@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central query registry: every operator claimed in SURVEY.md §2 (plus the
+  * training-data extensions) has one entry here, with a DuckDB oracle where
+  * the semantics are SQL-expressible (BASELINE.md t2 gate). */
+object Queries {
+
+  /** @param oracle   DuckDB SQL over the same parquet tables; None → driver
+    *                 records a weaker rows-only check.
+    * @param bench    include in the Bench headline set. */
+  final case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String],
+      bench: Boolean = true)
+
+  val registry: Seq[Q] = Seq(
+    // --- KPI family: the reference's core pipeline on `events` ---
+    Q("q01_kpi_daily", QueriesKpi.kpiDaily, Some(QueriesKpi.kpiDailySql)),
+    Q("q02_json_buckets", QueriesKpi.jsonBuckets, Some(QueriesKpi.jsonBucketsSql)),
+    Q("q03_report_endpoint", QueriesKpi.reportEndpoint, Some(QueriesKpi.reportEndpointSql)),
+    Q("q04_report_global", QueriesKpi.reportGlobal, Some(QueriesKpi.reportGlobalSql)),
+    Q("q05_normalize_endpoints", QueriesKpi.normalizeEndpoints,
+      Some(QueriesKpi.normalizeEndpointsSql), bench = false)
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  def benchNames: Seq[String] = registry.filter(_.bench).map(_.name)
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided test corpus (`TESTDATA.md`): TPC-H-ish
+  * parquet tables plus `events`/`documents`/`embeddings`.
+  *
+  * All loaders go through here so that source-level quirks are handled once:
+  *  - `events.parquet` stores `ts` as parquet `TIMESTAMP(NANOS)`, which Spark's
+  *    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
+  *    the same truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP,
+  *    so oracle comparisons line up.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, sfDir)
+      case other    => spark.read.parquet(path(sfDir, other))
+    }
+
+  /** `events` with `ts` as a proper TimestampType (microsecond, UTC). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(path(sfDir, "events"))
+    // ts DIV 1000: floor division nanos→micros; all test timestamps are
+    // post-epoch so floor == truncation, matching DuckDB's ns→us cast.
+    raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame       = load(spark, sfDir, "part")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "orders")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "lineitem")
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's core query (stage [3], /root/reference/src/calcular_kpi.py):
+  * bitácora log → daily per-endpoint KPI table.
+  *
+  * Logical plan (one shuffle):
+  *   scan → null-guard filter (P1) → key derivation (P2/P3) + lenient casts
+  *   (P4-P6) → hash aggregate A1-A6 (partial+final around an Exchange on the
+  *   group key) → bround 2dp (P11, half-even like Python's round) → sort (O1).
+  *
+  * Scale notes: the only non-streaming aggregate is the exact percentile
+  * (`Percentile`, ObjectHashAggregate — buffers values per group, same cost
+  * shape as the reference's per-group `elapsed` list, calcular_kpi.py:15,24).
+  * At 100 TB cardinality switch `exactP90 = false` for `approx_percentile`
+  * with bounded error; everything else is a streaming partial agg.
+  */
+object Kpi {
+
+  /** Input contract of the reference's JSONL scan (S1): all fields read as
+    * strings, coerced leniently downstream (calcular_kpi.py:90-114). */
+  val bitacoraSchema: StructType = StructType(Seq(
+    StructField("timestamp_utc", StringType),
+    StructField("endpoint", StringType),
+    StructField("status_code", StringType),
+    StructField("elapsed_ms", StringType),
+    StructField("parse_result", StringType)))
+
+  /** Output contract (K2): fixed 9-column order, calcular_kpi.py:124-134. */
+  val kpiColumns: Seq[String] = Seq(
+    "date_utc", "endpoint_base", "requests_total", "success_2xx",
+    "client_4xx", "server_5xx", "parse_errors", "avg_elapsed_ms",
+    "p90_elapsed_ms")
+
+  /** S1 — JSONL scan with the reference's abort-on-malformed-line contract
+    * (calcular_kpi.py:80-83): FAILFAST fails the job on any unparseable line;
+    * blank lines are skipped by Spark's JSON reader. */
+  def readBitacora(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.schema(bitacoraSchema).option("mode", "FAILFAST").json(path)
+
+  /** P2 — strict timestamp→date projection. With `strict=true`, a non-null
+    * value that does not match the reference's format aborts the job, like
+    * calcular_kpi.py:52 (strptime raise). */
+  def dateUtc(tsString: Column, strict: Boolean = true): Column = {
+    val parsed = to_date(try_to_timestamp(tsString, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")))
+    if (strict)
+      when(tsString.isNotNull && parsed.isNull,
+        raise_error(concat(lit("timestamp_utc does not match yyyy-MM-ddTHH:mm:ssZ: "), tsString)))
+        .otherwise(parsed)
+    else parsed
+  }
+
+  /** P1+P2+P3+P4-P6 — the normalized projection feeding the aggregate. */
+  def normalized(bitacora: DataFrame, strictTimestamps: Boolean = true): DataFrame = {
+    val f = bitacora
+      .filter(col("timestamp_utc").isNotNull && col("endpoint").isNotNull)
+    val anyCastFailed =
+      Normalize.castFailed(col("status_code"), "int") ||
+      Normalize.castFailed(col("elapsed_ms"), "double")
+    f.select(
+      dateUtc(col("timestamp_utc"), strictTimestamps).as("date_utc"),
+      Normalize.endpointBase(col("endpoint")).as("endpoint_base"),
+      Normalize.lenientInt(col("status_code")).as("status_code"),
+      Normalize.lenientDouble(col("elapsed_ms")).as("elapsed_ms"),
+      Normalize.effectiveParseResult(col("parse_result"), anyCastFailed).as("parse_result"))
+  }
+
+  /** A1-A6 + P7/P8 + P11 + O1 — the KPI aggregation over a normalized log
+    * with columns (date_utc, endpoint_base, status_code, elapsed_ms,
+    * parse_result). Exact p90 uses linear interpolation
+    * `lower*(1-frac) + upper*frac` at position (n-1)*0.9 — Spark's built-in
+    * `Percentile` is bit-identical to both np.percentile (the reference,
+    * calcular_kpi.py:39-44) and DuckDB's quantile_cont (verified empirically).
+    *
+    * Two output modes:
+    *  - faithful (default): reference contract — plain double avg, both
+    *    metrics `bround`ed to 2 dp half-even like Python's round (P11).
+    *  - crossEngineExact: no rounding; avg is computed from an exact
+    *    DECIMAL(18,2) sum (elapsed values are 2-dp by contract) divided in
+    *    double — every emitted double is then bit-identical across engines
+    *    and summation orders, which the driver's hash-compare gate needs.
+    *    (DuckDB's round_even on DOUBLE misrounds near ties, and double sums
+    *    are order-dependent, so rounded outputs can NOT be made portable.)
+    */
+  def aggregate(
+      normalized: DataFrame,
+      exactP90: Boolean = true,
+      crossEngineExact: Boolean = false): DataFrame = {
+    val p90 =
+      if (exactP90) percentile(col("elapsed_ms"), lit(0.9))
+      else percentile_approx(col("elapsed_ms"), lit(0.9), lit(10000))
+    val avgRaw =
+      if (crossEngineExact)
+        sum(col("elapsed_ms").cast("decimal(18,2)")).cast("double") / count(lit(1))
+      else avg(col("elapsed_ms"))
+    val round2: Column => Column =
+      if (crossEngineExact) identity else (c => bround(c, 2))
+    normalized
+      .groupBy(col("date_utc"), col("endpoint_base"))
+      .agg(
+        count(lit(1)).as("requests_total"),
+        count_if(col("status_code").between(200, 299)).as("success_2xx"),
+        count_if(col("status_code").between(400, 499)).as("client_4xx"),
+        count_if(col("status_code").between(500, 599)).as("server_5xx"),
+        count_if(col("parse_result") =!= "ok").as("parse_errors"),
+        avgRaw.as("avg_raw"),
+        p90.as("p90_raw"))
+      .select(
+        col("date_utc"), col("endpoint_base"), col("requests_total"),
+        col("success_2xx"), col("client_4xx"), col("server_5xx"),
+        col("parse_errors"),
+        round2(col("avg_raw")).as("avg_elapsed_ms"),
+        round2(col("p90_raw")).as("p90_elapsed_ms"))
+      .orderBy(col("date_utc"), col("endpoint_base"))
+  }
+
+  /** End-to-end reference query: raw bitácora → sorted KPI table. */
+  def bitacoraKpi(
+      bitacora: DataFrame,
+      strictTimestamps: Boolean = true,
+      crossEngineExact: Boolean = false): DataFrame =
+    aggregate(normalized(bitacora, strictTimestamps),
+      crossEngineExact = crossEngineExact)
+
+  /** K2 — single-CSV sink reproducing the reference's file contract
+    * (calcular_kpi.py:121-153). `coalesce(1)` is a small-scale compat mode
+    * only — at scale, drop it and write a partitioned directory. */
+  def writeKpiCsv(kpi: DataFrame, dir: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) kpi.coalesce(1) else kpi
+    out.select(kpiColumns.map(col): _*)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Kpi, Normalize}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Reference-semantics unit tests (SURVEY §5.1/§5.4): normalization contract,
+  * lenient casts, bucket boundaries, half-even rounding, p90 interpolation,
+  * and the edge-case fixture lines from FIXTURES.md §1. */
+class KpiSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def bitacora(rows: Seq[(String, String, String, String, String)]) =
+    rows.toDF("timestamp_utc", "endpoint", "status_code", "elapsed_ms", "parse_result")
+
+  test("P3 endpoint normalization: README.md:154-162 contract") {
+    val cases = Seq(
+      "/status/403" -> "/status",
+      "/status/200" -> "/status",
+      "/basic-auth/u/p" -> "/basic-auth",
+      "/redirect-to?url=/get" -> "/redirect-to",
+      "/get?x=1&y=2" -> "/get",
+      "/get" -> "/get",
+      "/status" -> "/status", // bare /status: no trailing slash -> unchanged
+      "/xml" -> "/xml")
+    val got = cases.map(_._1).toDF("e")
+      .select(Normalize.endpointBase($"e")).as[String].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("P4-P6 lenient casts force parse_result=error (calcular_kpi.py:102-114)") {
+    val df = bitacora(Seq(
+      ("2026-08-11T00:00:00Z", "/get", "abc", "10.0", "ok"),   // bad int
+      ("2026-08-11T00:00:00Z", "/get", "200", "xx", "ok"),     // bad double
+      ("2026-08-11T00:00:00Z", "/get", "200", "10.0", null),   // null parse
+      ("2026-08-11T00:00:00Z", "/get", "200", "10.0", "ok")))  // clean
+    val n = Kpi.normalized(df).collect()
+    assert(n.map(_.getAs[Int]("status_code")).toSeq == Seq(0, 200, 200, 200))
+    assert(n.map(_.getAs[Double]("elapsed_ms")).toSeq == Seq(10.0, 0.0, 10.0, 10.0))
+    assert(n.map(_.getAs[String]("parse_result")).toSeq == Seq("error", "error", "error", "ok"))
+  }
+
+  test("P1 null guard drops rows (calcular_kpi.py:96-97)") {
+    val df = bitacora(Seq(
+      (null, "/get", "200", "1.0", "ok"),
+      ("2026-08-11T00:00:00Z", null, "200", "1.0", "ok"),
+      ("2026-08-11T00:00:00Z", "/get", "200", "1.0", "ok")))
+    assert(Kpi.normalized(df).count() == 1)
+  }
+
+  test("P2 strict timestamp aborts on bad format (calcular_kpi.py:52)") {
+    val df = bitacora(Seq(("2026-08-11 00:00:00", "/get", "200", "1.0", "ok")))
+    val e = intercept[Exception](Kpi.bitacoraKpi(df).collect())
+    assert(e.getMessage.contains("timestamp_utc"))
+  }
+
+  test("P7 bucket boundaries: 199/200/299/300/399/400/499/500/599/0") {
+    val rows = Seq(199, 200, 299, 300, 399, 400, 499, 500, 599, 0).map(sc =>
+      ("2026-08-11T00:00:00Z", "/get", sc.toString, "1.0", "ok"))
+    val kpi = Kpi.bitacoraKpi(bitacora(rows)).collect().head
+    assert(kpi.getAs[Long]("requests_total") == 10) // 0 and 3xx count in total
+    assert(kpi.getAs[Long]("success_2xx") == 2)     // 200, 299
+    assert(kpi.getAs[Long]("client_4xx") == 2)      // 400, 499
+    assert(kpi.getAs[Long]("server_5xx") == 2)      // 500, 599
+  }
+
+  test("A6 exact p90: linear interpolation like np.percentile([1,2,3,4],90)=3.7") {
+    val rows = Seq(1.0, 2.0, 3.0, 4.0).map(v =>
+      ("2026-08-11T00:00:00Z", "/get", "200", v.toString, "ok"))
+    val kpi = Kpi.bitacoraKpi(bitacora(rows)).collect().head
+    assert(kpi.getAs[Double]("p90_elapsed_ms") == 3.7)
+  }
+
+  test("P11 half-even rounding (reference: round(0.125,2)==0.12)") {
+    // avg of (0.12, 0.13) = 0.125 -> half-even 0.12
+    val rows = Seq("0.12", "0.13").map(v =>
+      ("2026-08-11T00:00:00Z", "/get", "200", v, "ok"))
+    val kpi = Kpi.bitacoraKpi(bitacora(rows)).collect().head
+    assert(kpi.getAs[Double]("avg_elapsed_ms") == 0.12)
+  }
+
+  test("A9 weighted re-aggregation identity: weighted mean of unrounded " +
+      "daily means equals the endpoint-global mean") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    val direct = df.groupBy($"event_type")
+      .agg((sum($"value".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("m"))
+      .orderBy($"event_type").as[(String, Double)].collect()
+    val viaKpi = QueriesKpi.reportEndpoint(spark, "/root/testdata/sf0.001")
+      .select(regexp_replace($"endpoint_base", "^/", "").as("t"), $"avg_elapsed_ms")
+      .orderBy($"t").as[(String, Double)].collect()
+    direct.zip(viaKpi).foreach { case ((t1, m1), (t2, m2)) =>
+      // weighted path quantizes daily means to 6-dp decimals -> ~1e-6 abs
+      assert(t1 == t2); assert(math.abs(m1 - m2) < 1e-4, s"$t1: $m1 vs $m2")
+    }
+  }
+
+  test("S1 FAILFAST: malformed JSONL line aborts (calcular_kpi.py:80-83)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val f = dir.resolve("b.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"timestamp_utc": "2026-08-11T00:00:00Z", "endpoint": "/get", "status_code": 200, "elapsed_ms": 1.0, "parse_result": "ok"}
+        |not-json
+        |""".stripMargin)
+    val e = intercept[Exception] {
+      Kpi.bitacoraKpi(Kpi.readBitacora(spark, f.toString)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
