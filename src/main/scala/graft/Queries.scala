@@ -23,7 +23,33 @@ object Queries {
     Q("q03_report_endpoint", QueriesKpi.reportEndpoint, Some(QueriesKpi.reportEndpointSql)),
     Q("q04_report_global", QueriesKpi.reportGlobal, Some(QueriesKpi.reportGlobalSql)),
     Q("q05_normalize_endpoints", QueriesKpi.normalizeEndpoints,
-      Some(QueriesKpi.normalizeEndpointsSql), bench = false)
+      Some(QueriesKpi.normalizeEndpointsSql), bench = false),
+
+    // --- Relational suite on the TPC-H-ish corpus ---
+    Q("q10_pricing_summary", QueriesRelational.pricingSummary,
+      Some(QueriesRelational.pricingSummarySql)),
+    Q("q11_filter_revenue", QueriesRelational.filterRevenue,
+      Some(QueriesRelational.filterRevenueSql)),
+    Q("q12_join_revenue", QueriesRelational.joinRevenue,
+      Some(QueriesRelational.joinRevenueSql)),
+    Q("q13_semi_join_priority", QueriesRelational.semiJoinPriority,
+      Some(QueriesRelational.semiJoinPrioritySql)),
+    Q("q14_anti_join_customers", QueriesRelational.antiJoinCustomers,
+      Some(QueriesRelational.antiJoinCustomersSql)),
+    Q("q15_top_customers", QueriesRelational.topCustomers,
+      Some(QueriesRelational.topCustomersSql)),
+    Q("q16_window_top_orders", QueriesRelational.windowTopOrders,
+      Some(QueriesRelational.windowTopOrdersSql)),
+    Q("q17_window_running_qty", QueriesRelational.windowRunningQty,
+      Some(QueriesRelational.windowRunningQtySql)),
+    Q("q18_distinct_customers", QueriesRelational.distinctCustomers,
+      Some(QueriesRelational.distinctCustomersSql)),
+    Q("q19_setops_active_customers", QueriesRelational.setOpsActiveCustomers,
+      Some(QueriesRelational.setOpsActiveCustomersSql)),
+    Q("q20_rollup_quantities", QueriesRelational.rollupQuantities,
+      Some(QueriesRelational.rollupQuantitiesSql)),
+    Q("q21_price_buckets", QueriesRelational.priceBuckets,
+      Some(QueriesRelational.priceBucketsSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

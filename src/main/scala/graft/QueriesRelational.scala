@@ -1,0 +1,319 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational suite over the TPC-H-ish corpus: joins (broadcast/shuffle/
+  * semi/anti), window functions, set operations, rollup, distinct
+  * aggregation, top-k. The reference itself has none of these (SURVEY §2.6 —
+  * its stage boundaries pass whole files), but they are the operations its
+  * proposed fact-table load (README.md:165-178) needs at scale, and the
+  * driver's t2 oracle gate runs here.
+  *
+  * Cross-engine determinism rules (same as QueriesKpi): money aggregates go
+  * through exact DECIMAL sums (2-dp data casts exactly; scaled sums stay
+  * below 2^53 so decimal→double casts are exact in both engines); averages
+  * divide an exact sum in double; quantities are integral doubles so plain
+  * sums are order-independent; no final rounding anywhere.
+  */
+object QueriesRelational {
+
+  /** Exact money sum: `CAST(sum(CAST(c AS DECIMAL(18,2))) AS DOUBLE)`. */
+  private def decSum(c: String): org.apache.spark.sql.Column =
+    expr(s"CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE)")
+
+  // -------------------------------------------------------------------
+  // q10 — pricing summary (TPC-H Q1 shape): scan→filter→hash agg, the
+  // lineitem counterpart of the KPI spine. One shuffle; all aggregates
+  // streaming partials (no percentile here).
+  // -------------------------------------------------------------------
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        decSum("l_extendedprice").as("sum_base_price"),
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)")
+          .as("sum_disc_price"),
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)")
+          .as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (decSum("l_extendedprice") / count(lit(1))).as("avg_price"),
+        (expr("CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |       sum(l_quantity) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      |       sum(l_quantity) / count(*) AS avg_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |       CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q11 — selective filter + global agg (TPC-H Q6 shape). The predicates
+  // must reach the parquet scan as PushedFilters (shipdate min/max prune
+  // via row-group stats).
+  // -------------------------------------------------------------------
+  def filterRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(
+        to_date(col("l_shipdate")).between("1996-01-01", "1996-12-31") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val filterRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_rows
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      |  AND l_discount BETWEEN CAST(0.03 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+      |  AND l_quantity < 24""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q12 — multi-way join revenue rollup (TPC-H Q5 shape): dims broadcast,
+  // fact tables shuffle-join on their keys; AQE picks the physical join
+  // for customer/orders at runtime.
+  // -------------------------------------------------------------------
+  def joinRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val joinRevenueSql: String =
+    """SELECT r_name, n_name,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
+      |       count(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q13 — semi join (EXISTS): orders having any heavy lineitem.
+  // -------------------------------------------------------------------
+  def semiJoinPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_quantity") > 45)
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val semiJoinPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q14 — anti join (NOT EXISTS): customers with no 1999 orders, per
+  // nation (unfiltered orders would make the result empty: every customer
+  // has at least one order in the corpus).
+  // -------------------------------------------------------------------
+  def antiJoinCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(year(col("o_orderdate")) === 1999)
+    val n = Tables.nation(spark, sfDir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("customers_without_orders"),
+        expr("CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)").as("sum_acctbal"))
+      .orderBy(col("n_name"))
+  }
+
+  val antiJoinCustomersSql: String =
+    """SELECT n_name, count(*) AS customers_without_orders,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND year(o_orderdate) = 1999)
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q15 — top-k (order+limit with deterministic tiebreak).
+  // -------------------------------------------------------------------
+  def topCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  val topCustomersSql: String =
+    """SELECT c_custkey, c_name,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q16 — ranking window: top-3 orders per customer.
+  // -------------------------------------------------------------------
+  def windowTopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val windowTopOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q17 — running-total window per supplier (integral quantities, so the
+  // running sum is order-independent exact).
+  // -------------------------------------------------------------------
+  def windowRunningQty(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.select(
+        col("l_suppkey"), to_date(col("l_shipdate")).as("shipdate"),
+        col("l_orderkey"), col("l_linenumber"),
+        sum(col("l_quantity")).over(w).as("running_qty"))
+      .orderBy(col("l_suppkey"), col("shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val windowRunningQtySql: String =
+    """SELECT l_suppkey, CAST(l_shipdate AS DATE) AS shipdate, l_orderkey, l_linenumber,
+      |       sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+      |FROM lineitem
+      |ORDER BY l_suppkey, shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q18 — exact distinct aggregation (expands to a two-phase agg plan).
+  // -------------------------------------------------------------------
+  def distinctCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val distinctCustomersSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q19 — set operations: customers active in 1997 and 1998 but not 1999.
+  // -------------------------------------------------------------------
+  def setOpsActiveCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def keys(y: Int) = o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    keys(1997).intersect(keys(1998)).except(keys(1999)).orderBy(col("o_custkey"))
+  }
+
+  val setOpsActiveCustomersSql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999
+      |ORDER BY o_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q20 — rollup (grouping sets): subtotals + grand total.
+  // -------------------------------------------------------------------
+  def rollupQuantities(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"), col("sum_price"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  val rollupQuantitiesSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       sum(l_quantity) AS sum_qty, count(*) AS n_rows,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q21 — range-bucket conditional counts on orders (P7 at fact scale).
+  // -------------------------------------------------------------------
+  def priceBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count_if(col("o_totalprice") < 50000).as("bucket_low"),
+        count_if(col("o_totalprice") >= 50000 && col("o_totalprice") < 150000).as("bucket_mid"),
+        count_if(col("o_totalprice") >= 150000).as("bucket_high"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val priceBucketsSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       count(*) FILTER (WHERE o_totalprice < 50000) AS bucket_low,
+      |       count(*) FILTER (WHERE o_totalprice >= 50000 AND o_totalprice < 150000) AS bucket_mid,
+      |       count(*) FILTER (WHERE o_totalprice >= 150000) AS bucket_high
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+}
