@@ -49,7 +49,24 @@ object Queries {
     Q("q20_rollup_quantities", QueriesRelational.rollupQuantities,
       Some(QueriesRelational.rollupQuantitiesSql)),
     Q("q21_price_buckets", QueriesRelational.priceBuckets,
-      Some(QueriesRelational.priceBucketsSql))
+      Some(QueriesRelational.priceBucketsSql)),
+
+    // --- Training-data pipeline: dedup / similarity / text / sessions ---
+    Q("q30_dedup_exact", QueriesText.dedupExact, Some(QueriesText.dedupExactSql)),
+    Q("q31_dedup_normalized", QueriesText.dedupNormalized,
+      Some(QueriesText.dedupNormalizedSql)),
+    Q("q32_minhash_pairs", QueriesText.minhashPairs, None),
+    Q("q33_simhash_near_dups", QueriesText.simhashNearDups, None),
+    Q("q34_jaccard_pairs", QueriesText.jaccardPairs,
+      Some(QueriesText.jaccardPairsSql), bench = false),
+    Q("q35_knn_brute", QueriesText.knnBrute, Some(QueriesText.knnBruteSql)),
+    Q("q36_lang_id", QueriesText.langId, Some(QueriesText.langIdSql)),
+    Q("q37_text_quality", QueriesText.textQuality, Some(QueriesText.textQualitySql)),
+    Q("q38_token_counts", QueriesText.tokenCounts, Some(QueriesText.tokenCountsSql)),
+    Q("q39_fingerprints", QueriesText.fingerprints, None),
+    Q("q40_sessionize", QueriesText.sessionize, Some(QueriesText.sessionizeSql)),
+    Q("q41_knn_lsh", QueriesText.knnLsh, None),
+    Q("q50_multimodal_stats", QueriesText.multimodalStats, None)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

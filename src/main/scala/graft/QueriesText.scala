@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{RollingHashExpression, TextFunctions}
+import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+
+/** Training-data pipeline queries over `documents` / `embeddings` / `events`:
+  * dedup (exact, near-exact, MinHash-LSH, SimHash, n-gram jaccard),
+  * similarity search, text analysis (language-ID, quality, token counting,
+  * fingerprinting), sessionization, multimodal plumbing.
+  *
+  * Oracle policy: integer/string-derived metrics and ratio-of-integers
+  * doubles are SQL-expressible and oracle-checked; hash-family operators
+  * (xxhash64-based MinHash/SimHash, rolling-hash fingerprints, LSH buckets)
+  * have no DuckDB equivalent → rows-only checks.
+  */
+object QueriesText {
+
+  /** DuckDB fragment: normalized text (mirrors TextFunctions.normalizeText). */
+  private def normSql(c: String): String =
+    s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+
+  /** DuckDB fragment: TextFunctions.occurrences (integer-exact count). */
+  private def occSql(e: String, marker: String): String =
+    s"CAST((length($e) - length(replace($e, '$marker', ''))) / ${marker.length} AS INT)"
+
+  // ------------------------------------------------------------------
+  // q30 — exact dedup groups (hash-groupBy on md5 digest).
+  // ------------------------------------------------------------------
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_count
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q31 — near-exact dedup stats per source (normalized text).
+  // ------------------------------------------------------------------
+  def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(TextFunctions.normalizeText(col("text"))).as("n_distinct_norm"))
+      .orderBy(col("source"))
+  }
+
+  val dedupNormalizedSql: String =
+    s"""SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT ${normSql("text")}) AS n_distinct_norm
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q32 — MinHash LSH candidate pairs (rows-only: xxhash64 family).
+  // ------------------------------------------------------------------
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Dedup.minHashSignatures(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    Dedup.lshCandidatePairs(sigs, "doc_id")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------------
+  // q33 — SimHash fingerprints + near-dup pairs (rows-only).
+  // ------------------------------------------------------------------
+  def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Dedup.simHash(Tables.documents(spark, sfDir), "doc_id", "text")
+    Dedup.simHashNearDups(fp, "doc_id", maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------------------------------------
+  // q34 — exact word-level jaccard pairs ≥ 0.8 (ratio of ints: oracle-safe).
+  // ------------------------------------------------------------------
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, sfDir), "doc_id", "text", 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val jaccardPairsSql: String =
+    s"""WITH toks AS (
+      |  SELECT DISTINCT doc_id AS id,
+      |         unnest(string_split(${normSql("text")}, ' ')) AS tok
+      |  FROM documents
+      |), sizes AS (
+      |  SELECT id, count(*) AS n_tok FROM toks GROUP BY id
+      |), shared AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+      |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |       CAST(shared AS DOUBLE) / CAST(na.n_tok + nb.n_tok - shared AS DOUBLE) AS jaccard
+      |FROM shared
+      |JOIN sizes na ON na.id = id_a
+      |JOIN sizes nb ON nb.id = id_b
+      |WHERE CAST(shared AS DOUBLE) / CAST(na.n_tok + nb.n_tok - shared AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q35 — brute-force cosine top-5 (ids+rank only: ranking is stable
+  // cross-engine, raw cosines are not guaranteed bit-equal).
+  // ------------------------------------------------------------------
+  def knnBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("qid"), col("rank"), col("neighbor_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val knnBruteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS qid, emb AS qemb FROM e WHERE vec_id < 10),
+      |s AS (SELECT qid, e.vec_id AS neighbor_id,
+      |             list_cosine_similarity(e.emb, q.qemb) AS cosine
+      |      FROM e, q WHERE e.vec_id != q.qid),
+      |r AS (SELECT qid, neighbor_id,
+      |             row_number() OVER (PARTITION BY qid
+      |                                ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT qid, rank, neighbor_id FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q36 — heuristic language-ID (integer marker counts + argmax).
+  // ------------------------------------------------------------------
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val scores = TextFunctions.langMarkers.map { case (lang, words) =>
+      TextFunctions.stopwordHits(col("text"), words).as(s"s_$lang")
+    }
+    d.select((col("doc_id") +: scores :+
+        TextFunctions.langId(col("text")).as("lang_pred")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val padded = s"' ' || ${normSql("text")} || ' '"
+    val scoreExprs = TextFunctions.langMarkers.map { case (lang, words) =>
+      val sum = words.map(w => occSql("p", s" $w ")).mkString(" + ")
+      s"($sum) AS s_$lang"
+    }.mkString(",\n       ")
+    // fold-equivalent argmax: later languages win only on strictly greater
+    // score than the running best (= greatest of the earlier scores)
+    s"""WITH t AS (SELECT doc_id, $padded AS p FROM documents),
+      |s AS (SELECT doc_id,
+      |       $scoreExprs
+      |FROM t)
+      |SELECT doc_id, s_en, s_es, s_fr, s_de,
+      |       CASE WHEN s_en + s_es + s_fr + s_de = 0 THEN 'und'
+      |            WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+      |            WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+      |            WHEN s_es > s_en THEN 'es'
+      |            ELSE 'en' END AS lang_pred
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q37 — quality metrics (integer-derived, oracle-exact).
+  // ------------------------------------------------------------------
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(col("doc_id"), TextFunctions.qualityMetrics(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_tokens"), col("q.avg_token_len"),
+        col("q.punct_count"), col("q.stopword_ratio"), col("q.quality_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String = {
+    val allWords = TextFunctions.langMarkers.flatMap(_._2)
+    val hits = allWords.map(w => occSql("p", s" $w ")).mkString(" + ")
+    s"""WITH t AS (
+      |  SELECT doc_id, ${normSql("text")} AS norm,
+      |         ' ' || ${normSql("text")} || ' ' AS p
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, norm,
+      |         CASE WHEN length(norm) = 0 THEN 0
+      |              ELSE ${occSql("norm", " ")} + 1 END AS n_tokens,
+      |         ${occSql("norm", ".")} + ${occSql("norm", ",")} +
+      |           ${occSql("norm", "!")} + ${occSql("norm", "?")} AS punct_count,
+      |         ($hits) AS stop_hits
+      |  FROM t
+      |)
+      |SELECT doc_id, n_tokens,
+      |       CASE WHEN n_tokens > 0
+      |            THEN CAST(length(norm) - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |            ELSE 0.0 END AS avg_token_len,
+      |       punct_count,
+      |       CASE WHEN n_tokens > 0
+      |            THEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |            ELSE 0.0 END AS stopword_ratio,
+      |       n_tokens BETWEEN 5 AND 100000
+      |         AND (CASE WHEN n_tokens > 0
+      |                   THEN CAST(length(norm) - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |                   ELSE 0.0 END) BETWEEN 1.0 AND 20.0 AS quality_ok
+      |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q38 — token counting: whitespace + BPE-ish regex pre-tokenizer.
+  // ------------------------------------------------------------------
+  def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).as("n_ws_tokens"),
+        TextFunctions.tokenCountBpe(col("text")).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+      |       CASE WHEN length(${normSql("text")}) = 0 THEN 0
+      |            ELSE ${occSql(normSql("text"), " ")} + 1 END AS n_ws_tokens,
+      |       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q39 — rolling-hash document fingerprints (custom Catalyst Expression
+  // with codegen; rows-only — no 64-bit overflow loop in DuckDB SQL).
+  // ------------------------------------------------------------------
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(col("doc_id"),
+        RollingHashExpression.rollingHash(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------------
+  // q40 — gap sessionization of the event stream (30-minute gap).
+  // ------------------------------------------------------------------
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame =
+    Sessionize.userSessionStats(
+        Tables.events(spark, sfDir), "user_id", "ts", "event_id", 1800L)
+      .orderBy(col("user_id"))
+
+  val sessionizeSql: String =
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |), n AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN prev IS NULL
+      |                OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+      |              ELSE 0 END AS is_new
+      |  FROM l
+      |), s AS (
+      |  SELECT user_id,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM n
+      |), per AS (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM s GROUP BY user_id, session_id
+      |)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events,
+      |       max(n_events) AS max_session_events
+      |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q41 — LSH-bucketed approximate knn (rows-only; the scale path of q35).
+  // ------------------------------------------------------------------
+  def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 5, nPlanes = 8)
+      .select(col("qid"), col("rank"), col("neighbor_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
+  // q50 — multimodal plumbing: payload → (stub) decode → feature stats.
+  // ------------------------------------------------------------------
+  def multimodalStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = Multimodal.payloadFromText(
+      Tables.documents(spark, sfDir), "doc_id", "source", "text")
+    Multimodal.featureStats(Multimodal.decodeFeatures(payloads))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness:
+  *
+  *  1. exact       — hash-groupBy on md5(text): one shuffle on the digest.
+  *  2. near-exact  — same after whitespace/case normalization.
+  *  3. MinHash+LSH — shingle → 64 permuted min-hashes → band → bucket join:
+  *                   candidate pairs only ever meet inside a MinHash band
+  *                   bucket, so the join is linear-ish in corpus size
+  *                   (never the O(n²) cross join).
+  *  4. SimHash     — 64-bit majority fingerprint; near-dups = small hamming
+  *                   distance, found by chunk-bucket join (pigeonhole: two
+  *                   fingerprints within hamming k share at least one of
+  *                   k+1 chunks exactly).
+  *
+  * All stages are DataFrame-native (explode / groupBy / join); the heavy
+  * operations shuffle on (band, bucket) or (chunk, value) keys, which at
+  * 100 TB spreads uniformly — no driver-side collection anywhere.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // 1-2. exact / near-exact
+  // ------------------------------------------------------------------
+
+  /** Group identical payloads: (digest, keep_id = min id, dup_count). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Representative-only view: drops all but the min-id row per digest. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------------
+  // 3. MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** Word n-gram shingles, one row per distinct (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val tokens = split(TextFunctions.normalizeText(col(textCol)), " ")
+    val sh = when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", tokens))) // short doc: whole text
+    df.select(col(idCol), explode(sh).as("shingle")).distinct()
+  }
+
+  /** Deterministic hash family for MinHash: h_i(x) = xxhash64(i, x).
+    * (The classic affine a·x+b over Z/2^64 needs wrapping multiplication,
+    * which ANSI mode — Spark 4's default — rejects as overflow; re-hashing
+    * with the permutation index mixed in is equally valid and codegen'd.) */
+  private def permutedHash(base: Column, i: Int): Column =
+    xxhash64(lit(i), base)
+
+  /** MinHash signatures: (id, sig: array<long> of length `numPerm`).
+    * One explode + one groupBy(id) — the signature aggregation is a
+    * map-side-combinable min, so the shuffle carries only (id, 64 longs). */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleN)
+    val base = xxhash64(col("shingle"))
+    val aggs = (0 until numPerm).map(i => min(permutedHash(base, i)).as(s"h$i"))
+    sh.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numPerm).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: candidate pairs (a < b) whose signatures collide in at
+    * least one band, with the MinHash jaccard estimate (= fraction of equal
+    * signature components). `bands` must divide `numPerm`. */
+  def lshCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      numPerm: Int = 64, bands: Int = 16): DataFrame = {
+    require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    val rows = numPerm / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+    val buckets = signatures
+      .select(col(idCol).as("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = buckets.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = buckets.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numPerm).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Exact word-level jaccard for given id pairs (or all co-bucketed pairs):
+    * |A∩B| / |A∪B| over distinct tokens, via a token-equality join — the
+    * exact-verify stage after LSH candidate generation. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(TextFunctions.normalizeText(col(textCol)), " ")).as("tok"))
+      .distinct()
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
+    val shared = toks.select(col("id").as("id_a"), col("tok"))
+      .join(toks.select(col("id").as("id_b"), col("tok")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("id_a"), col("n_tok").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n_tok").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  // ------------------------------------------------------------------
+  // 4. SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash fingerprint per document: majority vote of token-hash
+    * bits. One explode + one groupBy(id) with 64 map-side-combinable sums. */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(split(TextFunctions.normalizeText(col(textCol)), " ")).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val withSums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withSums.select(col(idCol), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, using the
+    * pigeonhole chunk-bucket join (4 × 16-bit chunks ⇒ any pair within
+    * hamming 3 must agree on ≥1 chunk; chunks = maxHamming+1 in general). */
+  def simHashNearDups(
+      fingerprints: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val chunkCols = (0 until chunks).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * bitsPer)
+          .bitwiseAND((1L << bitsPer) - 1).as("ckey"))
+    }
+    val b = fingerprints.select(col(idCol).as("id"), col("simhash"),
+        explode(array(chunkCols: _*)).as("cc"))
+      .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
+    val l = b.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("simhash").as("fp_a"))
+    val r = b.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("simhash").as("fp_b"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHashExpression
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with a typed metadata struct; decode / feature-extract
+  * run as partition-local batch transforms.
+  *
+  * The Spark-side architecture here is real and tested — schema, typed
+  * Dataset boundary, `mapPartitions` batching (the Scala analogue of
+  * `mapInPandas`: one iterator per partition, amortized per-batch setup,
+  * no per-row interpreter crossings), partition sizing. The actual codec
+  * call is STUBBED with a deterministic fake (this container has no image/
+  * audio libraries): `fakeDecode` derives metadata and a feature vector
+  * from the payload bytes via rolling hashes. Swapping in a real decoder
+  * changes ONE function (`decodeBatch`'s body), not the pipeline.
+  */
+object Multimodal {
+
+  /** Typed media record at the decode boundary. */
+  final case class MediaRecord(media_id: Long, source: String, payload: Array[Byte])
+
+  /** Decoded features: metadata + fixed-dim feature vector. */
+  final case class MediaFeatures(
+      media_id: Long, source: String,
+      width: Int, height: Int, channels: Int, format: String,
+      n_bytes: Long, features: Array[Float])
+
+  val FeatureDim = 16
+
+  /** STUB decode — deterministic pure function of the payload bytes.
+    * Replace with a real codec (e.g. javax.imageio / ffmpeg bindings) here;
+    * everything upstream/downstream is production-shaped. */
+  private def fakeDecode(r: MediaRecord): MediaFeatures = {
+    var h = 1125899906842597L
+    var i = 0
+    while (i < r.payload.length) { h = h * 31 + r.payload(i); i += 1 }
+    val feats = new Array[Float](FeatureDim)
+    var j = 0
+    var s = h
+    while (j < FeatureDim) {
+      s = s * 6364136223846793005L + 1442695040888963407L // LCG walk
+      feats(j) = (s >>> 11).toFloat / (1L << 53).toFloat
+      j += 1
+    }
+    MediaFeatures(
+      r.media_id, r.source,
+      width = 1 + math.floorMod(h, 1920).toInt,
+      height = 1 + math.floorMod(h >> 16, 1080).toInt,
+      channels = 1 + math.floorMod(h >> 32, 4).toInt,
+      format = if (math.floorMod(h, 2) == 0) "png" else "jpeg",
+      n_bytes = r.payload.length.toLong,
+      features = feats)
+  }
+
+  /** Batch decode over one partition's iterator — the seam where a real
+    * implementation would allocate its codec once per partition. */
+  private def decodeBatch(it: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+    // per-partition setup would go here (codec handles, model weights, ...)
+    it.map(fakeDecode)
+  }
+
+  /** Attach a binary payload column to any (id, source, text) table — the
+    * stand-in ingest for media blobs in the test corpus. */
+  def payloadFromText(df: DataFrame, idCol: String, srcCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      col(srcCol).as("source"),
+      col(textCol).cast("binary").as("payload"))
+
+  /** The decode pipeline: DataFrame → typed boundary → partition-batched
+    * decode → DataFrame of features. Repartitions so each task holds a
+    * bounded byte volume (at scale: tune target bytes/task, not task count). */
+  def decodeFeatures(payloads: DataFrame, partitions: Int = 0): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    val ds: Dataset[MediaRecord] = {
+      val base = payloads.as[MediaRecord]
+      if (partitions > 0) base.repartition(partitions) else base
+    }
+    ds.mapPartitions(decodeBatch _).toDF()
+  }
+
+  /** Per-source feature statistics over the decoded output — the query
+    * shape a training pipeline runs to monitor a media corpus. */
+  def featureStats(features: DataFrame): DataFrame =
+    features.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        avg(col("width").cast("double")).as("avg_width"),
+        avg(col("height").cast("double")).as("avg_height"),
+        count_if(col("format") === "png").as("n_png"),
+        avg(aggregate(col("features"), lit(0.0),
+          (acc, v) => acc + v * v)).as("avg_feature_energy"))
+      .orderBy(col("source"))
+}

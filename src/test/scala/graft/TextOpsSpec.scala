@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{RollingHashExpression, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Unit tests for the training-data operators: dedup tiers, similarity
+  * search, text analysis, rolling hash, multimodal plumbing. */
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact dedup keeps min-id representative per identical text") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .orderBy($"keep_id").collect()
+    assert(groups.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_count")))
+      .toSeq == Seq((1L, 3L), (2L, 1L)))
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L))
+  }
+
+  test("minhash LSH finds near-duplicate, not unrelated, pairs") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"word$i").mkString(" ") + " wordX"
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text")
+    assert(sigs.count() == 3)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.5 })
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
+  test("simhash: identical texts get identical fingerprints, disjoint texts distant") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val fp = Dedup.simHash(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 3)
+    val nd = Dedup.simHashNearDups(Dedup.simHash(df, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(nd.toSeq.contains((1L, 2L)))
+  }
+
+  test("jaccard pairs: exact overlap ratio") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet == Set((1L, 2L))) // |∩|=3, |∪|=5 -> 0.6
+    assert(math.abs(pairs((1L, 2L)) - 0.6) < 1e-12)
+  }
+
+  test("brute-force knn: self-similar vectors rank first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.98f, 0.2f))).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(vecs, vecs.filter($"vec_id" === 0L), k = 2)
+      .orderBy($"rank").collect()
+    assert(knn.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L))
+    assert(knn.head.getAs[Double]("cosine") > 0.99)
+  }
+
+  test("rolling hash: matches reference implementation, codegen & interpreted") {
+    val df = Seq("hello", "", "héllo wörld").toDF("t")
+    val got = df.select(RollingHashExpression.rollingHash($"t")).as[Long].collect()
+    val want = Seq("hello", "", "héllo wörld").map(s =>
+      RollingHashExpression.hashBytes(s.getBytes("UTF-8"), 31L))
+    assert(got.toSeq == want)
+  }
+
+  test("language-ID: marker-bearing text classified, empty -> und") {
+    val df = Seq(
+      (1L, "the cat and the dog is to of"),
+      (2L, "el que de la los"),
+      (3L, "xxxx yyyy zzzz")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextFunctions.langId($"text").as("l"))
+      .orderBy($"doc_id").as[(Long, String)].collect().toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es"); assert(got(3L) == "und")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("Hello, world! 42 times").toDF("t")
+    val r = df.select(
+      TextFunctions.tokenCountWs($"t").as("ws"),
+      TextFunctions.tokenCountBpe($"t").as("bpe")).collect().head
+    assert(r.getAs[Int]("ws") == 4)
+    // Hello , world ! 42 times -> 6
+    assert(r.getAs[Int]("bpe") == 6)
+  }
+
+  test("multimodal stub pipeline: deterministic features, stable schema") {
+    val docs = Seq((1L, "s1", "abc"), (2L, "s1", "defg"), (3L, "s2", "abc"))
+      .toDF("doc_id", "source", "text")
+    val feats = Multimodal.decodeFeatures(
+      Multimodal.payloadFromText(docs, "doc_id", "source", "text"))
+    val rows = feats.orderBy($"media_id").collect()
+    assert(rows.length == 3)
+    // same payload bytes -> same decoded features, regardless of source
+    val f1 = rows(0).getAs[scala.collection.Seq[Float]]("features").toSeq
+    val f3 = rows(2).getAs[scala.collection.Seq[Float]]("features").toSeq
+    assert(f1 == f3)
+    assert(rows(0).getAs[Int]("width") >= 1)
+    val stats = Multimodal.featureStats(feats).collect()
+    assert(stats.map(_.getAs[String]("source")).toSeq == Seq("s1", "s2"))
+  }
+
+  test("cosine similarity column matches manual computation") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineSimilarity($"a", $"b")).as[Double].collect().head
+    val want = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - want) < 1e-12)
+  }
+}
