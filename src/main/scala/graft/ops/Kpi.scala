@@ -125,6 +125,23 @@ object Kpi {
     aggregate(normalized(bitacora, strictTimestamps),
       crossEngineExact = crossEngineExact)
 
+  /** Output schema of the KPI CSV (explicit — never inferred, SURVEY §1.3). */
+  val kpiSchema: StructType = StructType(Seq(
+    StructField("date_utc", DateType),
+    StructField("endpoint_base", StringType),
+    StructField("requests_total", LongType),
+    StructField("success_2xx", LongType),
+    StructField("client_4xx", LongType),
+    StructField("server_5xx", LongType),
+    StructField("parse_errors", LongType),
+    StructField("avg_elapsed_ms", DoubleType),
+    StructField("p90_elapsed_ms", DoubleType)))
+
+  /** S2 — KPI CSV scan with the explicit schema (generar_reporte.py:262
+    * uses pandas inference; we never infer). */
+  def readKpiCsv(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(kpiSchema).csv(path)
+
   /** K2 — single-CSV sink reproducing the reference's file contract
     * (calcular_kpi.py:121-153). `coalesce(1)` is a small-scale compat mode
     * only — at scale, drop it and write a partitioned directory. */

@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.net.{CookieManager, CookiePolicy, URI}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+/** Retrying HTTP fetch used by the DSv2 connector — the reference's
+  * `request_with_retry` semantics (/root/reference/src/http_client.py:39-75):
+  *
+  *  - up to `maxRetries` retries (maxRetries+1 attempts total);
+  *  - retries on network error AND on 403 responses (the reference treats a
+  *    403 as retryable, then tolerates it if configured: :57-61, :105-113);
+  *  - linear backoff `backoffMs * attempt`;
+  *  - per-request timeout.
+  *
+  * Pure JDK (`java.net.http.HttpClient`) — no extra dependencies.
+  */
+object HttpFetch {
+
+  final case class Config(
+      method: String = "GET",
+      body: Option[String] = None,
+      contentType: Option[String] = None,
+      user: Option[String] = None,
+      password: Option[String] = None,
+      maxRetries: Int = 2,
+      backoffMs: Long = 500L,
+      timeoutMs: Long = 20000L,
+      followRedirects: Boolean = true,
+      cookieSession: Boolean = false,
+      acceptStatusCodes: Set[Int] = Set.empty,
+      failOnHttpError: Boolean = true)
+
+  final case class Result(
+      url: String, statusCode: Int, body: String,
+      headers: Map[String, String], elapsedMs: Double, attempts: Int)
+
+  def newClient(cfg: Config): HttpClient = {
+    val b = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis(cfg.timeoutMs))
+      .followRedirects(
+        if (cfg.followRedirects) HttpClient.Redirect.NORMAL
+        else HttpClient.Redirect.NEVER)
+    if (cfg.cookieSession)
+      b.cookieHandler(new CookieManager(null, CookiePolicy.ACCEPT_ALL))
+    b.build()
+  }
+
+  private def buildRequest(url: String, cfg: Config): HttpRequest = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(cfg.timeoutMs))
+    cfg.contentType.foreach(ct => b.header("Content-Type", ct))
+    for (u <- cfg.user; p <- cfg.password) {
+      val tok = Base64.getEncoder.encodeToString(
+        s"$u:$p".getBytes(StandardCharsets.UTF_8))
+      b.header("Authorization", s"Basic $tok")
+    }
+    cfg.method.toUpperCase match {
+      case "GET" => b.GET()
+      case "POST" => b.POST(HttpRequest.BodyPublishers.ofString(cfg.body.getOrElse("")))
+      case "PUT" => b.PUT(HttpRequest.BodyPublishers.ofString(cfg.body.getOrElse("")))
+      case "DELETE" => b.DELETE()
+      case m => throw new IllegalArgumentException(s"unsupported method: $m")
+    }
+    b.build()
+  }
+
+  /** One URL through the retry policy. Throws after exhausting retries on
+    * network errors; HTTP error statuses throw only when `failOnHttpError`
+    * and not accepted (S6 tolerated-4xx semantics). */
+  def fetch(client: HttpClient, url: String, cfg: Config): Result = {
+    val req = buildRequest(url, cfg)
+    var attempt = 1
+    var last: Either[Throwable, HttpResponse[String]] = null
+    val t0 = System.nanoTime()
+    var done = false
+    while (!done) {
+      last =
+        try Right(client.send(req, HttpResponse.BodyHandlers.ofString()))
+        catch { case e: java.io.IOException => Left(e) }
+      val retryable = last match {
+        case Left(_) => true
+        case Right(r) => r.statusCode == 403 // reference retries 403 too
+      }
+      if (retryable && attempt <= cfg.maxRetries) {
+        Thread.sleep(cfg.backoffMs * attempt)
+        attempt += 1
+      } else done = true
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    last match {
+      case Left(e) =>
+        throw new java.io.IOException(
+          s"$url failed after $attempt attempts: ${e.getMessage}", e)
+      case Right(r) =>
+        val sc = r.statusCode
+        if (cfg.failOnHttpError && sc >= 400 && !cfg.acceptStatusCodes.contains(sc))
+          throw new java.io.IOException(
+            s"$url returned HTTP $sc after $attempt attempts")
+        val hdrs = r.headers().map().asScala.map {
+          case (k, vs) => k -> vs.asScala.mkString(",")
+        }.toMap
+        Result(url, sc, r.body(), hdrs, elapsedMs, attempt)
+    }
+  }
+}

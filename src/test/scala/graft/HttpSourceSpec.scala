@@ -1,0 +1,182 @@
+package graft
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 http connector tests against a local stub replaying the httpbin.org
+  * response shapes the reference consumes (FIXTURES.md §3). No egress. */
+class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = SparkTestSession.spark
+
+  private var server: HttpServer = _
+  private var base: String = _
+  private val status403Hits = new AtomicInteger(0)
+  private val flaky403Hits = new AtomicInteger(0)
+
+  private def reply(ex: HttpExchange, code: Int, body: String,
+      headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.add(k, v) }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    val os: OutputStream = ex.getResponseBody
+    if (bytes.nonEmpty) os.write(bytes)
+    os.close()
+  }
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/basic-auth", (ex: HttpExchange) => {
+      val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+      val expected = "Basic " + java.util.Base64.getEncoder
+        .encodeToString("usuario_test:clave123".getBytes)
+      if (auth.contains(expected))
+        reply(ex, 200, """{"authenticated": true, "user": "usuario_test"}""")
+      else reply(ex, 401, "")
+    })
+    server.createContext("/cookies/set", (ex: HttpExchange) => {
+      reply(ex, 200, """{"cookies": {}}""",
+        Map("Set-Cookie" -> "session=activa; Path=/"))
+    })
+    server.createContext("/cookies", (ex: HttpExchange) => {
+      if (ex.getRequestURI.getPath == "/cookies") {
+        val cookie = Option(ex.getRequestHeaders.getFirst("Cookie")).getOrElse("")
+        val v = if (cookie.contains("session=activa")) "activa" else "MISSING"
+        reply(ex, 200, s"""{"cookies": {"session": "$v"}}""")
+      } else reply(ex, 404, "")
+    })
+    server.createContext("/status/403", (ex: HttpExchange) => {
+      status403Hits.incrementAndGet(); reply(ex, 403, "")
+    })
+    server.createContext("/flaky403", (ex: HttpExchange) => {
+      if (flaky403Hits.incrementAndGet() <= 2) reply(ex, 403, "")
+      else reply(ex, 200, """{"ok": true}""")
+    })
+    server.createContext("/get", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val args = if (q.isEmpty) "{}"
+        else "{" + q.split("&").map { kv =>
+          val Array(k, v) = kv.split("=", 2); s""""$k": "$v"""" }.mkString(", ") + "}"
+      reply(ex, 200, s"""{"args": $args, "url": "$base/get"}""")
+    })
+    server.createContext("/xml", (ex: HttpExchange) => {
+      reply(ex, 200,
+        """<?xml version="1.0"?><slideshow>
+          |<slide type="all"><title>Wake up</title></slide>
+          |<slide type="all"><title>Overview</title></slide>
+          |</slideshow>""".stripMargin)
+    })
+    server.createContext("/html", (ex: HttpExchange) => {
+      reply(ex, 200, "<html><head><title> Herman Melville - Moby-Dick </title></head><body><h1>Ch 1</h1></body></html>")
+    })
+    server.createContext("/html-noh1", (ex: HttpExchange) => {
+      reply(ex, 200, "<html><body><p>nothing</p></body></html>")
+    })
+    server.createContext("/post", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val form = "{" + body.split("&").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        s""""${java.net.URLDecoder.decode(k, "UTF-8")}": "${java.net.URLDecoder.decode(v, "UTF-8")}""""
+      }.mkString(", ") + "}"
+      reply(ex, 200, s"""{"form": $form}""")
+    })
+    server.createContext("/redirect-to", (ex: HttpExchange) => {
+      val target = Option(ex.getRequestURI.getQuery).getOrElse("url=/get")
+        .split("&").collectFirst { case kv if kv.startsWith("url=") =>
+          java.net.URLDecoder.decode(kv.drop(4), "UTF-8") }.getOrElse("/get")
+      reply(ex, 302, "", Map("Location" -> s"$base$target?from=redirect"))
+    })
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop(0)
+
+  test("S4 basic auth sends Authorization header; asserts authenticated") {
+    val r = graft.sources.HttpIngest
+      .basicAuth(spark, s"$base/basic-auth/usuario_test/clave123", "usuario_test", "clave123")
+      .collect().head
+    assert(r.getAs[Int]("status_code") == 200)
+    assert(r.getAs[Boolean]("authenticated"))
+    assert(r.getAs[String]("user") == "usuario_test")
+  }
+
+  test("S5 cookie round-trip within one session, ordered") {
+    val rows = graft.sources.HttpIngest
+      .cookieSession(spark, s"$base/cookies/set?session=activa", s"$base/cookies")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows.last.getAs[String]("session_cookie") == "activa")
+  }
+
+  test("S6 tolerated 403: retried then emitted as row, not error") {
+    status403Hits.set(0)
+    val r = graft.sources.HttpIngest.tolerated403(spark, s"$base/status/403")
+      .collect().head
+    assert(r.getAs[Int]("status_code") == 403)
+    assert(r.getAs[Int]("attempts") == 3)      // 1 + maxRetries(2), http_client.py:44
+    assert(status403Hits.get() == 3)           // stub saw the linear-backoff retries
+  }
+
+  test("S3 retry: 403 twice then 200 succeeds on third attempt") {
+    flaky403Hits.set(0)
+    val r = graft.sources.HttpIngest.read(spark, Seq(s"$base/flaky403"),
+        Map("backoffMs" -> "10")).collect().head
+    assert(r.getAs[Int]("status_code") == 200)
+    assert(r.getAs[Int]("attempts") == 3)
+  }
+
+  test("unexpected 4xx fails the scan (raise_for_status semantics)") {
+    val e = intercept[Exception] {
+      graft.sources.HttpIngest.read(spark, Seq(s"$base/nope"), Map("backoffMs" -> "1"))
+        .collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("P14 JSON extraction from /get body") {
+    val r = graft.sources.HttpIngest.extractJson(spark, s"$base/get").collect().head
+    assert(r.getAs[String]("echoed_url") == s"$base/get")
+  }
+
+  test("P12 XML slide extraction via from_xml") {
+    val rows = graft.sources.HttpIngest.extractXmlSlides(spark, s"$base/xml")
+      .collect()
+    assert(rows.map(_.getAs[String]("title")).toSeq == Seq("Wake up", "Overview"))
+    assert(rows.forall(_.getAs[String]("slide_type") == "all"))
+  }
+
+  test("P13 HTML title chain: title, then h1, then SIN_TITULO") {
+    val t1 = graft.sources.HttpIngest.extractHtmlTitle(spark, s"$base/html")
+      .collect().head.getAs[String]("title")
+    assert(t1 == "Herman Melville - Moby-Dick")
+    val t2 = graft.sources.HttpIngest.extractHtmlTitle(spark, s"$base/html-noh1")
+      .collect().head.getAs[String]("title")
+    assert(t2 == "SIN_TITULO")
+  }
+
+  test("S7 form POST echo") {
+    val r = graft.sources.HttpIngest.postForm(spark, s"$base/post",
+      Seq("nombre" -> "Ada", "apellido" -> "Lovelace")).collect().head
+    // get_json_object re-serializes compactly
+    assert(r.getAs[String]("form_echo").contains("\"nombre\":\"Ada\""))
+  }
+
+  test("S8 redirect follow lands on /get with args") {
+    val r = graft.sources.HttpIngest.redirect(spark, s"$base/redirect-to?url=/get")
+      .collect().head
+    assert(r.getAs[Int]("status_code") == 200)
+    assert(r.getAs[String]("final_args").contains("redirect"))
+  }
+
+  test("parallel partitioning: one task per url without cookieSession") {
+    val df = graft.sources.HttpIngest.read(spark,
+      Seq(s"$base/get?a=1", s"$base/get?a=2", s"$base/get?a=3"), Map.empty)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 3)
+  }
+}
