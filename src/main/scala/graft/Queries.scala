@@ -50,6 +50,8 @@ object Queries {
       Some(QueriesRelational.rollupQuantitiesSql)),
     Q("q21_price_buckets", QueriesRelational.priceBuckets,
       Some(QueriesRelational.priceBucketsSql)),
+    Q("q22_asof_prev_spend", QueriesRelational.asOfPrevSpend,
+      Some(QueriesRelational.asOfPrevSpendSql)),
 
     // --- Training-data pipeline: dedup / similarity / text / sessions ---
     Q("q30_dedup_exact", QueriesText.dedupExact, Some(QueriesText.dedupExactSql)),

@@ -297,6 +297,36 @@ object QueriesRelational {
       |ORDER BY returnflag, linestatus""".stripMargin
 
   // -------------------------------------------------------------------
+  // q22 — as-of join: each order joined to the customer's most recent
+  // STRICTLY-earlier daily spend (operators/AsOfJoin, union+window —
+  // an operator Spark lacks; DuckDB's native ASOF JOIN is the oracle).
+  // -------------------------------------------------------------------
+  def asOfPrevSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val left = o.select(col("o_orderkey"), col("o_custkey").as("custkey"),
+      to_date(col("o_orderdate")).as("od"))
+    val daily = o.groupBy(col("o_custkey").as("custkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("day_total"))
+    graft.operators.AsOfJoin.asOf(
+        left, daily, key = "custkey", leftTime = "od", rightTime = "d",
+        valueCols = Seq("day_total"), strict = true)
+      .select(col("o_orderkey"), col("asof_time").as("prev_date"),
+        col("day_total").as("prev_day_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val asOfPrevSpendSql: String =
+    """WITH daily AS (
+      |  SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS d,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o.o_orderkey, d.d AS prev_date, d.day_total AS prev_day_total
+      |FROM orders o ASOF LEFT JOIN daily d
+      |  ON o.o_custkey = d.custkey AND d.d < CAST(o.o_orderdate AS DATE)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // -------------------------------------------------------------------
   // q21 — range-bucket conditional counts on orders (P7 at fact scale).
   // -------------------------------------------------------------------
   def priceBuckets(spark: SparkSession, sfDir: String): DataFrame = {

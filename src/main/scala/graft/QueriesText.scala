@@ -21,9 +21,15 @@ object QueriesText {
   private def normSql(c: String): String =
     s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
 
-  /** DuckDB fragment: TextFunctions.occurrences (integer-exact count). */
-  private def occSql(e: String, marker: String): String =
-    s"CAST((length($e) - length(replace($e, '$marker', ''))) / ${marker.length} AS INT)"
+  /** DuckDB fragment: TextFunctions.tokenCountWs on a normalized expr. */
+  private def tokCountSql(norm: String): String =
+    s"CASE WHEN length($norm) = 0 THEN 0 ELSE CAST(len(string_split($norm, ' ')) AS INT) END"
+
+  /** DuckDB fragment: TextFunctions.stopwordHits on a normalized expr. */
+  private def stopHitsSql(norm: String, words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(string_split($norm, ' '), t -> t IN ($set))) AS INT)"
+  }
 
   // ------------------------------------------------------------------
   // q30 — exact dedup groups (hash-groupBy on md5 digest).
@@ -137,14 +143,12 @@ object QueriesText {
   }
 
   val langIdSql: String = {
-    val padded = s"' ' || ${normSql("text")} || ' '"
     val scoreExprs = TextFunctions.langMarkers.map { case (lang, words) =>
-      val sum = words.map(w => occSql("p", s" $w ")).mkString(" + ")
-      s"($sum) AS s_$lang"
+      s"${stopHitsSql("p", words)} AS s_$lang"
     }.mkString(",\n       ")
     // fold-equivalent argmax: later languages win only on strictly greater
     // score than the running best (= greatest of the earlier scores)
-    s"""WITH t AS (SELECT doc_id, $padded AS p FROM documents),
+    s"""WITH t AS (SELECT doc_id, ${normSql("text")} AS p FROM documents),
       |s AS (SELECT doc_id,
       |       $scoreExprs
       |FROM t)
@@ -170,18 +174,13 @@ object QueriesText {
 
   val textQualitySql: String = {
     val allWords = TextFunctions.langMarkers.flatMap(_._2)
-    val hits = allWords.map(w => occSql("p", s" $w ")).mkString(" + ")
     s"""WITH t AS (
-      |  SELECT doc_id, ${normSql("text")} AS norm,
-      |         ' ' || ${normSql("text")} || ' ' AS p
-      |  FROM documents
+      |  SELECT doc_id, ${normSql("text")} AS norm FROM documents
       |), m AS (
       |  SELECT doc_id, norm,
-      |         CASE WHEN length(norm) = 0 THEN 0
-      |              ELSE ${occSql("norm", " ")} + 1 END AS n_tokens,
-      |         ${occSql("norm", ".")} + ${occSql("norm", ",")} +
-      |           ${occSql("norm", "!")} + ${occSql("norm", "?")} AS punct_count,
-      |         ($hits) AS stop_hits
+      |         ${tokCountSql("norm")} AS n_tokens,
+      |         CAST(length(norm) - length(translate(norm, '.,!?', '')) AS INT) AS punct_count,
+      |         ${stopHitsSql("norm", allWords)} AS stop_hits
       |  FROM t
       |)
       |SELECT doc_id, n_tokens,
@@ -212,8 +211,7 @@ object QueriesText {
 
   val tokenCountsSql: String =
     s"""SELECT doc_id,
-      |       CASE WHEN length(${normSql("text")}) = 0 THEN 0
-      |            ELSE ${occSql(normSql("text"), " ")} + 1 END AS n_ws_tokens,
+      |       ${tokCountSql(normSql("text"))} AS n_ws_tokens,
       |       CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 

@@ -26,12 +26,11 @@ object TextFunctions {
   private def expr_replace(c: Column, search: String): Column =
     regexp_replace(c, java.util.regex.Pattern.quote(search), "")
 
-  /** Whitespace token count: spaces+1 on the single-space-normalized text
-    * (0 for blank input). */
+  /** Whitespace token count: split size on the single-space-normalized text
+    * (0 for blank input). One split pass — no per-marker regex scans. */
   def tokenCountWs(c: Column): Column = {
     val norm = normalizeText(c)
-    when(length(norm) === 0, 0)
-      .otherwise(occurrences(norm, " ") + 1)
+    when(length(norm) === 0, 0).otherwise(size(split(norm, " ")))
   }
 
   /** BPE-ish token count: letter runs, digit runs, and single punctuation
@@ -39,13 +38,12 @@ object TextFunctions {
   def tokenCountBpe(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("int")
 
-  /** Stopword-marker hit count for one language: occurrences of any of the
-    * given words (space-delimited match against the padded normalized text). */
-  def stopwordHits(c: Column, words: Seq[String]): Column = {
-    val padded = concat(lit(" "), normalizeText(c), lit(" "))
-    words.map(w => occurrences(padded, s" $w "))
-      .reduce(_ + _)
-  }
+  /** Stopword-marker hit count for one language: tokens ∈ word set, counted
+    * in a single split + array filter (vs one full-text scan per marker —
+    * ~20× fewer passes over the text at corpus scale). */
+  def stopwordHits(c: Column, words: Seq[String]): Column =
+    size(filter(split(normalizeText(c), " "),
+      t => t.isin(words.map(_.asInstanceOf[Any]): _*)))
 
   /** Language-marker table for the heuristic classifier. Tiny on purpose:
     * the point is the operator shape (argmax over per-language scores), not
@@ -80,8 +78,8 @@ object TextFunctions {
     val avgTokLen = when(nTokens > 0,
       (nChars - (nTokens - 1)).cast("double") / nTokens.cast("double"))
       .otherwise(0.0)
-    val punct = occurrences(norm, ".") + occurrences(norm, ",") +
-      occurrences(norm, "!") + occurrences(norm, "?")
+    // one translate pass counts all four punctuation marks
+    val punct = length(norm) - length(translate(norm, ".,!?", ""))
     val stopHits = stopwordHits(c, langMarkers.flatMap(_._2))
     val stopRatio = when(nTokens > 0,
       stopHits.cast("double") / nTokens.cast("double")).otherwise(0.0)

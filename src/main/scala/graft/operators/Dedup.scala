@@ -43,14 +43,18 @@ object Dedup {
   // 3. MinHash + LSH
   // ------------------------------------------------------------------
 
-  /** Word n-gram shingles, one row per distinct (id, shingle). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  /** Word n-gram shingles per (id, shingle) pair. `dedup=true` adds a
+    * distinct (a full shuffle) — NOT needed for MinHash, where min() is
+    * duplicate-insensitive; only ask for it when set semantics matter. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      dedup: Boolean = false): DataFrame = {
     val tokens = split(TextFunctions.normalizeText(col(textCol)), " ")
     val sh = when(size(tokens) >= n,
       transform(sequence(lit(0), size(tokens) - n),
         i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
       .otherwise(array(concat_ws(" ", tokens))) // short doc: whole text
-    df.select(col(idCol), explode(sh).as("shingle")).distinct()
+    val exploded = df.select(col(idCol), explode(sh).as("shingle"))
+    if (dedup) exploded.distinct() else exploded
   }
 
   /** Deterministic hash family for MinHash: h_i(x) = xxhash64(i, x).
@@ -67,7 +71,8 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleN)
-    val base = xxhash64(col("shingle"))
+      .select(col(idCol), xxhash64(col("shingle")).as("shingle_hash"))
+    val base = col("shingle_hash")
     val aggs = (0 until numPerm).map(i => min(permutedHash(base, i)).as(s"h$i"))
     sh.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -76,10 +81,19 @@ object Dedup {
 
   /** LSH banding: candidate pairs (a < b) whose signatures collide in at
     * least one band, with the MinHash jaccard estimate (= fraction of equal
-    * signature components). `bands` must divide `numPerm`. */
+    * signature components). `bands` must divide `numPerm`.
+    *
+    * Scale topology: the band self-join carries ONLY (band, bucket, id) —
+    * pairs are deduplicated across bands while they are still two longs,
+    * and signatures are re-joined once per unique pair (never 16× per
+    * band collision). Buckets larger than `maxBucketSize` are dropped
+    * before the join: a mega-bucket is a low-information band (on skewed
+    * corpora it turns the join quadratic) and its members are still found
+    * via their other, more selective bands. */
   def lshCandidatePairs(
       signatures: DataFrame, idCol: String,
-      numPerm: Int = 64, bands: Int = 16): DataFrame = {
+      numPerm: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 200): DataFrame = {
     require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
     val rows = numPerm / bands
     val bandCols = (0 until bands).map { b =>
@@ -87,19 +101,27 @@ object Dedup {
         xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
     }
     val buckets = signatures
-      .select(col(idCol).as("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val a = buckets.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = buckets.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val usable = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucketSize))
+      .select(col("band"), col("bucket"))
+    val pruned = buckets.join(usable, Seq("band", "bucket"), "left_semi")
+    val pairs = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sigs = signatures.select(col(idCol), col("sig"))
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / numPerm).as("est_jaccard"))
-      .distinct()
   }
 
   /** Exact word-level jaccard for given id pairs (or all co-bucketed pairs):

@@ -11,6 +11,16 @@ Usage: python3 tools/check_oracle.py [sfDir] [outDir]
 """
 import json, sys, math
 import duckdb
+import pandas as pd
+
+
+def same(x, y):
+    try:
+        if pd.isna(x) and pd.isna(y):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return x == y
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -48,9 +58,7 @@ for name, sql in sorted(oracle.items()):
     for c in got.columns:
         a, b = got[c].tolist(), want[c].tolist()
         for i, (x, y) in enumerate(zip(a, b)):
-            if x != y and not (
-                    isinstance(x, float) and isinstance(y, float)
-                    and (x == y or (math.isnan(x) and math.isnan(y)))):
+            if not same(x, y):
                 diff = abs(x - y) if isinstance(x, float) else None
                 bad.append((c, i, x, y, diff))
                 break
