@@ -68,6 +68,8 @@ object Queries {
     Q("q39_fingerprints", QueriesText.fingerprints, None),
     Q("q40_sessionize", QueriesText.sessionize, Some(QueriesText.sessionizeSql)),
     Q("q41_knn_lsh", QueriesText.knnLsh, None),
+    Q("q42_embedding_near_dups", QueriesText.embeddingNearDups,
+      Some(QueriesText.embeddingNearDupsSql)),
     Q("q50_multimodal_stats", QueriesText.multimodalStats, None)
   )
 

@@ -270,6 +270,37 @@ object QueriesText {
   }
 
   // ------------------------------------------------------------------
+  // q42 — embedding-cosine near-duplicates via hyperplane LSH buckets
+  // (the embedding tier of the dedup ladder). The corpus embeddings are
+  // random noise (max pairwise cosine ≈ 0.51), so the query plants exact
+  // copies of vec_id<20 at id+100000: the operator must recover exactly
+  // those 20 pairs. Identical vectors always share an LSH bucket, so the
+  // probabilistic recall does not blur the oracle; the brute-force
+  // threshold join in DuckDB is the ground truth.
+  // ------------------------------------------------------------------
+  def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.unionByName(planted)
+    Similarity.cosineNearDups(corpus, minCosine = 0.99)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val embeddingNearDupsSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+      |  WHERE vec_id < 20)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM c a, c b
+      |WHERE a.vec_id < b.vec_id
+      |  AND list_cosine_similarity(a.emb, b.emb) >= 0.99
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
   // q50 — multimodal plumbing: payload → (stub) decode → feature stats.
   // ------------------------------------------------------------------
   def multimodalStats(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests from SURVEY §5.2: the p90 pipeline against a
+  * reimplemented linear-interpolation oracle, the weighted-mean identity,
+  * and group-sum preservation under the null-guard filter.
+  * (Raw scalacheck Gen with deterministic seeds — the scalatest bridge
+  * artifact is not in the offline cache.) */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  /** np.percentile's linear method, reimplemented independently. */
+  private def p90Oracle(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val pos = (s.length - 1) * 0.9
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    val f = pos - lo
+    s(lo) * (1 - f) + s(hi) * f
+  }
+
+  private val valuesGen =
+    Gen.nonEmptyListOf(Gen.chooseNum(0.0, 1000.0).map(v => math.rint(v * 100) / 100))
+
+  test("A6 property: percentile(0.9) == linear-interpolation oracle, ∀ lists") {
+    // single spark job over all sampled groups (30 jobs would be slow)
+    val groups = samples(valuesGen, 30)
+    val df = groups.zipWithIndex
+      .flatMap { case (xs, g) => xs.map(x => (g, x)) }
+      .toDF("g", "v")
+    val got = df.groupBy($"g").agg(percentile($"v", lit(0.9)).as("p"))
+      .collect().map(r => r.getAs[Int]("g") -> r.getAs[Double]("p")).toMap
+    groups.zipWithIndex.foreach { case (xs, g) =>
+      assert(got(g) == p90Oracle(xs), s"group $g: $xs")
+    }
+  }
+
+  test("A9 property: Σ(x·w)/Σw weighted-mean exactness and bounds") {
+    val rowGen = Gen.nonEmptyListOf(for {
+      x <- Gen.chooseNum(0.0, 500.0).map(v => math.rint(v * 100) / 100)
+      w <- Gen.chooseNum(1L, 1000L)
+    } yield (x, w))
+    val groups = samples(rowGen, 20)
+    val df = groups.zipWithIndex
+      .flatMap { case (rows, g) => rows.map { case (x, w) => (g, x, w) } }
+      .toDF("g", "x", "w")
+    val got = df.groupBy($"g")
+      .agg((sum($"x".cast("decimal(16,6)") * $"w".cast("decimal(8,0)")).cast("double")
+        / sum($"w").cast("double")).as("m"))
+      .collect().map(r => r.getAs[Int]("g") -> r.getAs[Double]("m")).toMap
+    groups.zipWithIndex.foreach { case (rows, g) =>
+      val want = (rows.map { case (x, w) => BigDecimal(x) * w }.sum /
+        BigDecimal(rows.map(_._2).sum)).toDouble
+      assert(math.abs(got(g) - want) < 1e-9, s"group $g")
+      assert(got(g) >= rows.map(_._1).min - 1e-9 && got(g) <= rows.map(_._1).max + 1e-9)
+    }
+  }
+
+  test("A1-A4 property: group counts preserve total minus dropped rows") {
+    val rowGen = Gen.nonEmptyListOf(for {
+      ts <- Gen.option(Gen.oneOf("2026-08-10T00:00:00Z", "2026-08-11T12:30:00Z"))
+      ep <- Gen.option(Gen.oneOf("/get", "/status/403", "/x?q=1"))
+      sc <- Gen.oneOf("200", "404", "500", "abc", "0")
+    } yield (ts.orNull, ep.orNull, sc, "1.0", "ok"))
+    samples(rowGen, 15).foreach { rows =>
+      val df = rows.toDF("timestamp_utc", "endpoint", "status_code", "elapsed_ms", "parse_result")
+      val kpi = graft.ops.Kpi.bitacoraKpi(df)
+      val kept = rows.count(r => r._1 != null && r._2 != null)
+      val total = kpi.agg(coalesce(sum($"requests_total"), lit(0L)))
+        .as[Long].collect().head
+      assert(total == kept.toLong, s"rows: $rows")
+    }
+  }
+}
