@@ -52,6 +52,10 @@ object Queries {
       Some(QueriesRelational.priceBucketsSql)),
     Q("q22_asof_prev_spend", QueriesRelational.asOfPrevSpend,
       Some(QueriesRelational.asOfPrevSpendSql)),
+    Q("q23_range_frame_activity", QueriesRelational.rangeFrameActivity,
+      Some(QueriesRelational.rangeFrameActivitySql)),
+    Q("q24_range_join_order_pairs", QueriesRelational.rangeJoinOrderPairs,
+      Some(QueriesRelational.rangeJoinOrderPairsSql)),
 
     // --- Training-data pipeline: dedup / similarity / text / sessions ---
     Q("q30_dedup_exact", QueriesText.dedupExact, Some(QueriesText.dedupExactSql)),

@@ -327,6 +327,56 @@ object QueriesRelational {
       |ORDER BY o.o_orderkey""".stripMargin
 
   // -------------------------------------------------------------------
+  // q23 — RANGE-frame window: per user, events in the trailing 5 minutes
+  // (exclusive of the current second) — temporal self-counting without a
+  // self-join; one shuffle+sort on the user key.
+  // -------------------------------------------------------------------
+  def rangeFrameActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("t"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-300, -1)
+    ev.select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_recent"))
+      .orderBy(col("event_id"))
+  }
+
+  val rangeFrameActivitySql: String =
+    """SELECT event_id, user_id,
+      |       count(*) OVER (PARTITION BY user_id
+      |                      ORDER BY (epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+      |                      RANGE BETWEEN 300 PRECEDING AND 1 PRECEDING) AS n_recent
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q24 — binned range join (operators/RangeJoin): order pairs of the
+  // same customer within 30 days, as a bucketed equi-join instead of the
+  // BroadcastNestedLoopJoin a raw range predicate would plan.
+  // -------------------------------------------------------------------
+  def rangeJoinOrderPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val points = o.select(col("o_custkey").as("custkey"),
+      col("o_orderkey").as("next_order"), unix_timestamp(col("o_orderdate")).as("t"))
+    val intervals = o.select(col("o_custkey").as("custkey"),
+        col("o_orderkey").as("first_order"),
+        unix_timestamp(col("o_orderdate")).as("t_start"))
+      .withColumn("t_end", col("t_start") + lit(30L * 86400))
+    graft.operators.RangeJoin.pointsInIntervals(
+        points, intervals, Seq("custkey"), "t", "t_start", "t_end",
+        binSeconds = 30L * 86400, strictStart = true)
+      .select(col("first_order"), col("next_order"))
+      .orderBy(col("first_order"), col("next_order"))
+  }
+
+  val rangeJoinOrderPairsSql: String =
+    """SELECT a.o_orderkey AS first_order, b.o_orderkey AS next_order
+      |FROM orders a JOIN orders b
+      |  ON a.o_custkey = b.o_custkey
+      | AND b.o_orderdate > a.o_orderdate
+      | AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+      |ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
   // q21 — range-bucket conditional counts on orders (P7 at fact scale).
   // -------------------------------------------------------------------
   def priceBuckets(spark: SparkSession, sfDir: String): DataFrame = {

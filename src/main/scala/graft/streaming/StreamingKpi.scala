@@ -61,6 +61,45 @@ object StreamingKpi {
         col("server_5xx"), col("parse_errors"),
         col("avg_elapsed_ms"), col("p90_elapsed_ms"))
 
+  /** Per-endpoint running state for the stateful tier. */
+  final case class EndpointState(
+      requests: Long, errors: Long, lastStatus: Int, consecutiveErrors: Long)
+
+  /** Alert event emitted when an endpoint crosses an error streak. */
+  final case class ErrorStreakAlert(
+      endpoint_base: String, consecutive_errors: Long, last_status: Int)
+
+  /** Custom streaming state via flatMapGroupsWithState: tracks per-endpoint
+    * consecutive-5xx streaks and emits an alert each time the streak
+    * reaches `threshold` — the kind of operator-state logic windowed aggs
+    * can't express (streaks reset on success, alerts fire mid-window).
+    * State lives in the state store; one shuffle on endpoint_base. */
+  def errorStreakAlerts(
+      normalized: DataFrame, threshold: Long = 3): org.apache.spark.sql.Dataset[ErrorStreakAlert] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = normalized.sparkSession
+    import spark.implicits._
+    val typed = normalized
+      .select(col("endpoint_base"), col("status_code"))
+      .as[(String, Int)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (endpoint: String, rows: Iterator[(String, Int)], state: GroupState[EndpointState]) =>
+          var s = state.getOption.getOrElse(EndpointState(0, 0, 0, 0))
+          val alerts = scala.collection.mutable.ArrayBuffer.empty[ErrorStreakAlert]
+          rows.foreach { case (_, status) =>
+            val isErr = status >= 500
+            val streak = if (isErr) s.consecutiveErrors + 1 else 0L
+            s = EndpointState(
+              s.requests + 1, s.errors + (if (isErr) 1 else 0), status, streak)
+            if (isErr && streak == threshold)
+              alerts += ErrorStreakAlert(endpoint, streak, status)
+          }
+          state.update(s)
+          alerts.iterator
+      }
+  }
+
   /** File-source entry point: watch a directory of JSONL bitácora files and
     * maintain the KPI table (the streaming analogue of S1 → A1-A6). */
   def fromJsonlDirectory(
