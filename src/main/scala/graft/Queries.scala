@@ -74,6 +74,7 @@ object Queries {
     Q("q41_knn_lsh", QueriesText.knnLsh, None),
     Q("q42_embedding_near_dups", QueriesText.embeddingNearDups,
       Some(QueriesText.embeddingNearDupsSql)),
+    Q("q43_knn_ivf", QueriesText.knnIvf, None),
     Q("q50_multimodal_stats", QueriesText.multimodalStats, None)
   )
 

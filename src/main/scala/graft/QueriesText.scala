@@ -270,6 +270,18 @@ object QueriesText {
   }
 
   // ------------------------------------------------------------------
+  // q43 — IVF approximate knn (rows-only: KMeans cells are probabilistic;
+  // the brute-force q35 is the recall reference).
+  // ------------------------------------------------------------------
+  def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nCentroids = 16, nProbe = 4)
+      .select(col("qid"), col("rank"), col("neighbor_id"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // ------------------------------------------------------------------
   // q42 — embedding-cosine near-duplicates via hyperplane LSH buckets
   // (the embedding tier of the dedup ladder). The corpus embeddings are
   // random noise (max pairwise cosine ≈ 0.51), so the query plants exact

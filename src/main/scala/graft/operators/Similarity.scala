@@ -65,6 +65,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate knn — the coarse-quantizer scale path:
+    * a KMeans codebook partitions the corpus into `nCentroids` cells; each
+    * query probes only its `nProbe` nearest cells, so the scored candidate
+    * set is ~|corpus|·nProbe/nCentroids instead of |corpus|.
+    *
+    * Index build (KMeans fit) is a one-off driver-coordinated job — at
+    * 100 TB you train on a sample and persist the codebook + cell
+    * assignments; serving is the cell-equality join below. Recall is
+    * bounded by nProbe/nCentroids; identical vectors always land in the
+    * query's first probe cell. */
+  def ivfKnn(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(embCol).cast("array<double>").as("emb"))
+    val fe = c.withColumn("features", array_to_vector(col("emb")))
+    val model = new KMeans().setK(nCentroids).setSeed(42L)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(fe)
+    val assigned = model.transform(fe).select(
+      col("neighbor_id"), col("emb"), col("cell"))
+    // centroid table as plain arrays, broadcast to rank probe cells per query
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("qid"),
+      col(embCol).cast("array<double>").as("qemb"))
+    val probeW = Window.partitionBy(col("qid"))
+      .orderBy(col("dist").asc, col("cell"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qemb"), col("cell"),
+        VectorFunctions.l2Sq(col("qemb"), col("centroid")).as("dist"))
+      .select(col("qid"), col("qemb"), col("cell"),
+        row_number().over(probeW).as("probe_rank"))
+      .filter(col("probe_rank") <= nProbe)
+      .select(col("qid"), col("qemb"), col("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(col("qid"), col("neighbor_id"),
+        VectorFunctions.cosineSimilarity(col("emb"), col("qemb")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.select(col("qid"), col("neighbor_id"), col("cosine"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /** All-pairs within-threshold cosine over embedding-LSH buckets —
     * embedding-based near-duplicate detection (the "embedding cosine
     * near-dup" dedup tier). */
