@@ -56,6 +56,8 @@ object Queries {
       Some(QueriesRelational.rangeFrameActivitySql)),
     Q("q24_range_join_order_pairs", QueriesRelational.rangeJoinOrderPairs,
       Some(QueriesRelational.rangeJoinOrderPairsSql)),
+    Q("q25_pivot_priorities", QueriesRelational.pivotOrderPriorities,
+      Some(QueriesRelational.pivotOrderPrioritiesSql)),
 
     // --- Training-data pipeline: dedup / similarity / text / sessions ---
     Q("q30_dedup_exact", QueriesText.dedupExact, Some(QueriesText.dedupExactSql)),

@@ -377,6 +377,35 @@ object QueriesRelational {
       |ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------
+  // q25 — pivot: order counts per year × priority (wide layout). The
+  // pivot values are declared explicitly, so the plan is a single pass
+  // (no extra distinct-values job).
+  // -------------------------------------------------------------------
+  private val priorities = Seq(
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def pivotOrderPriorities(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.groupBy(year(col("o_orderdate")).as("order_year"))
+      .pivot("o_orderpriority", priorities)
+      .agg(count(lit(1)))
+      .na.fill(0L, priorities)
+      .select(col("order_year") +:
+        priorities.map(p => col(s"`$p`").as(p.replaceAll("[^A-Za-z0-9]+", "_"))): _*)
+      .orderBy(col("order_year"))
+  }
+
+  val pivotOrderPrioritiesSql: String = {
+    val cols = priorities.map { p =>
+      val alias = p.replaceAll("[^A-Za-z0-9]+", "_")
+      s"""count(*) FILTER (WHERE o_orderpriority = '$p') AS "$alias""""
+    }.mkString(",\n       ")
+    s"""SELECT year(o_orderdate) AS order_year,
+      |       $cols
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q21 — range-bucket conditional counts on orders (P7 at fact scale).
   // -------------------------------------------------------------------
   def priceBuckets(spark: SparkSession, sfDir: String): DataFrame = {

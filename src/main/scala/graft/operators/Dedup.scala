@@ -33,10 +33,17 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** Representative-only view: drops all but the min-id row per digest. */
+  /** Representative-only view: drops all but the min-id row per digest.
+    * One shuffle (window over the digest) — a groups+semi-join formulation
+    * would shuffle the corpus twice and carry a keep-list the size of the
+    * distinct corpus through the join. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keep = exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    df.withColumn("dd_rn", row_number().over(w))
+      .filter(col("dd_rn") === 1)
+      .drop("dd_rn")
   }
 
   // ------------------------------------------------------------------
