@@ -77,6 +77,7 @@ object Queries {
     Q("q42_embedding_near_dups", QueriesText.embeddingNearDups,
       Some(QueriesText.embeddingNearDupsSql)),
     Q("q43_knn_ivf", QueriesText.knnIvf, None),
+    Q("q44_dedup_clusters", QueriesText.dedupClusters, None),
     Q("q50_multimodal_stats", QueriesText.multimodalStats, None)
   )
 

@@ -270,6 +270,22 @@ object QueriesText {
   }
 
   // ------------------------------------------------------------------
+  // q44 — full near-dup dedup pipeline: MinHash signatures → LSH candidate
+  // pairs → transitive closure (connected components) → cluster table.
+  // Rows-only (xxhash64-based pairs have no DuckDB equivalent).
+  // ------------------------------------------------------------------
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = Dedup.minHashSignatures(
+      Tables.documents(spark, sfDir), "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      .filter(col("est_jaccard") >= 0.7)
+    graft.operators.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
+      .groupBy(col("representative"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .orderBy(col("representative"))
+  }
+
+  // ------------------------------------------------------------------
   // q43 — IVF approximate knn (rows-only: KMeans cells are probabilistic;
   // the brute-force q35 is the recall reference).
   // ------------------------------------------------------------------

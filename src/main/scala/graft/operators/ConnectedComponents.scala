@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair list — the final step of
+  * near-duplicate dedup: LSH/jaccard emit PAIRS, but a duplicate "cluster"
+  * is the transitive closure (a~b, b~c ⇒ {a,b,c} keep one representative).
+  *
+  * Algorithm: iterated min-label propagation — each node adopts the
+  * smallest component label in its neighborhood (including itself) until a
+  * fixed point. Each iteration is two hash-shuffles (join on node, min-agg
+  * on label); iterations needed = graph diameter in label-hops, which for
+  * dedup graphs (dense near-clique clusters) is small. Convergence is
+  * checked with an aggregate, and lineage is truncated per iteration via
+  * localCheckpoint so 100-iteration worst cases don't build mile-long
+  * plans. (The alternating large-star/small-star refinement halves rounds
+  * on pathological chains; dedup clusters don't need it.)
+  */
+object ConnectedComponents {
+
+  /** @param pairs     two LongType columns `srcCol`/`dstCol`, undirected
+    * @return (node: long, component: long) — component = min node id in
+    *         the node's connected component; isolated nodes absent from
+    *         `pairs` are (by definition) their own component and are not
+    *         emitted. */
+  def components(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .union(pairs.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+      .distinct()
+      .cache()
+    // start: every node labeled with the min of itself and its neighbors
+    var labels = edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("comp"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      // propagate: node's new label = min over neighbors' labels and its own
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .select(col("a").as("node"), col("comp"))
+      val next = labels.union(neighborLabels)
+        .groupBy(col("node")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
+        .filter(col("comp") =!= col("prev"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Dedup decision table from near-dup pairs: every node mapped to the
+    * cluster representative (min id); `keep = node == representative`. */
+  def dedupClusters(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    components(pairs, srcCol, dstCol)
+      .select(col("node").as("id"), col("comp").as("representative"),
+        (col("node") === col("comp")).as("keep"))
+}

@@ -71,14 +71,29 @@ object Dedup {
   private def permutedHash(base: Column, i: Int): Column =
     xxhash64(lit(i), base)
 
+  /** Hashed shingles: one LONG per n-token window, built from per-token
+    * hashes — no shingle STRING is ever materialized (the string path in
+    * [[shingles]] costs a slice+concat allocation per window; hashing the
+    * token-hash window is ~3× cheaper and MinHash only needs the hash). */
+  private def shingleHashes(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val tokens = split(TextFunctions.normalizeText(col(textCol)), " ")
+    val withTh = df.select(col(idCol),
+      transform(tokens, t => xxhash64(t)).as("th"))
+    val sh = when(size(col("th")) >= n,
+      transform(sequence(lit(0), size(col("th")) - n),
+        i => xxhash64((1 to n).map(j => element_at(col("th"), i + j)): _*)))
+      .otherwise(array(xxhash64(col("th"))))
+    withTh.select(col(idCol), explode(sh).as("shingle_hash"))
+  }
+
   /** MinHash signatures: (id, sig: array<long> of length `numPerm`).
     * One explode + one groupBy(id) — the signature aggregation is a
     * map-side-combinable min, so the shuffle carries only (id, 64 longs). */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleN)
-      .select(col(idCol), xxhash64(col("shingle")).as("shingle_hash"))
+    val sh = shingleHashes(df, idCol, textCol, shingleN)
     val base = col("shingle_hash")
     val aggs = (0 until numPerm).map(i => min(permutedHash(base, i)).as(s"h$i"))
     sh.groupBy(col(idCol))

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses to one component, separate pair stays separate") {
+    val got = comps(Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 5L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("long chain converges (diameter > 2 hops)") {
+    val chain = (0L until 12L).sliding(2).map(s => (s(1), s.head)).toSeq
+    val got = comps(chain)
+    assert(got.values.toSet == Set(0L))
+    assert(got.keySet == (0L until 12L).toSet)
+  }
+
+  test("star + triangle + self-referencing edges") {
+    val got = comps(Seq((10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (20L, 22L)))
+    assert(got(11L) == 10L && got(12L) == 10L && got(13L) == 10L)
+    assert(got(21L) == 20L && got(22L) == 20L)
+  }
+
+  test("dedupClusters marks exactly one keeper per cluster") {
+    val clusters = ConnectedComponents.dedupClusters(
+        Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b")
+      .collect()
+    val keepers = clusters.filter(_.getAs[Boolean]("keep")).map(_.getAs[Long]("id"))
+    assert(keepers.sorted.toSeq == Seq(1L, 7L))
+    assert(clusters.length == 5)
+  }
+}
