@@ -55,6 +55,11 @@ object ConnectedComponents {
       iter += 1
     }
     edges.unpersist(false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIterations iterations " +
+          "(graph label-hop diameter exceeds the budget); raise maxIterations — " +
+          "returning partial labels would silently under-merge clusters")
     labels
   }
 

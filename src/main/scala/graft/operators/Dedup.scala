@@ -20,7 +20,10 @@ import graft.functions.TextFunctions
   *
   * All stages are DataFrame-native (explode / groupBy / join); the heavy
   * operations shuffle on (band, bucket) or (chunk, value) keys, which at
-  * 100 TB spreads uniformly — no driver-side collection anywhere.
+  * 100 TB spreads uniformly — no driver-side collection anywhere. The one
+  * operator that can go quadratic is [[jaccardPairs]]' token self-join —
+  * see its scaladoc for the candidate/doc-frequency restrictions that
+  * bound it at scale.
   */
 object Dedup {
 
@@ -146,19 +149,42 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / numPerm).as("est_jaccard"))
   }
 
-  /** Exact word-level jaccard for given id pairs (or all co-bucketed pairs):
-    * |A∩B| / |A∪B| over distinct tokens, via a token-equality join — the
-    * exact-verify stage after LSH candidate generation. */
+  /** Exact word-level jaccard |A∩B| / |A∪B| over distinct tokens, via a
+    * token-equality join.
+    *
+    * SCALE WARNING: the token self-join pairs every two documents sharing
+    * a token — a token present in d documents contributes d·(d-1)/2 join
+    * rows, so on corpora where common words span most documents this IS
+    * quadratic. At scale, restrict it: pass `candidates` (LSH pairs from
+    * [[lshCandidatePairs]]) to score only those pairs, and/or
+    * `maxDocFreq` to drop tokens shared by more than that many documents
+    * (high-DF tokens carry almost no jaccard signal but dominate join
+    * cost). Both default off to keep small-corpus semantics exact. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      minJaccard: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+      minJaccard: Double,
+      candidates: Option[DataFrame] = None,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val allToks = df.select(col(idCol).as("id"),
         explode(split(TextFunctions.normalizeText(col(textCol)), " ")).as("tok"))
       .distinct()
+    val toks = maxDocFreq match {
+      case Some(m) =>
+        val rare = allToks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= m).select(col("tok"))
+        allToks.join(rare, Seq("tok"), "left_semi")
+      case None => allToks
+    }
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n_tok"))
-    val shared = toks.select(col("id").as("id_a"), col("tok"))
+    val paired = toks.select(col("id").as("id_a"), col("tok"))
       .join(toks.select(col("id").as("id_b"), col("tok")), Seq("tok"))
       .filter(col("id_a") < col("id_b"))
+    val restricted = candidates match {
+      case Some(c) => paired.join(
+        c.select(col("id_a"), col("id_b")).distinct(), Seq("id_a", "id_b"), "left_semi")
+      case None => paired
+    }
+    val shared = restricted
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     shared

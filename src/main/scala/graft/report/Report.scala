@@ -80,8 +80,17 @@ object Report {
          |<td>${r.getAs[String]("alerta_p90")}</td>
          |</tr>""".stripMargin
     }.mkString("\n")
+    // endpoint_base is arbitrary log input: escape for the JSON string AND
+    // for the surrounding <script> element ('</' would close it)
+    def jsonStr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '/'  => "\\/"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val chartData = endpoints.map(r =>
-      s"""{"endpoint":"${r.getAs[String]("endpoint_base")}","requests":${r.getAs[Long]("requests_total")},"p90":${r.getAs[Double]("p90_elapsed_ms")}}""")
+      s"""{"endpoint":${jsonStr(r.getAs[String]("endpoint_base"))},"requests":${r.getAs[Long]("requests_total")},"p90":${r.getAs[Double]("p90_elapsed_ms")}}""")
       .mkString("[", ",", "]")
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>KPI diario</title>

@@ -80,14 +80,19 @@ object StreamingKpi {
     val spark = normalized.sparkSession
     import spark.implicits._
     val typed = normalized
-      .select(col("endpoint_base"), col("status_code"))
-      .as[(String, Int)]
+      .select(col("endpoint_base"), col("status_code"),
+        unix_micros(col("event_time")).as("t"))
+      .as[(String, Int, Long)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (endpoint: String, rows: Iterator[(String, Int)], state: GroupState[EndpointState]) =>
+        (endpoint: String, rows: Iterator[(String, Int, Long)], state: GroupState[EndpointState]) =>
           var s = state.getOption.getOrElse(EndpointState(0, 0, 0, 0))
           val alerts = scala.collection.mutable.ArrayBuffer.empty[ErrorStreakAlert]
-          rows.foreach { case (_, status) =>
+          // Spark gives no intra-group ordering guarantee for the iterator:
+          // sort the micro-batch's rows by event time so "consecutive" is
+          // well-defined. (Bounded by the batch's per-group volume; for
+          // unbounded groups pre-aggregate upstream.)
+          rows.toArray.sortBy(_._3).foreach { case (_, status, _) =>
             val isErr = status >= 500
             val streak = if (isErr) s.consecutiveErrors + 1 else 0L
             s = EndpointState(

@@ -30,6 +30,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got(21L) == 20L && got(22L) == 20L)
   }
 
+  test("non-convergence throws instead of returning split components") {
+    val chain = (0L until 30L).sliding(2).map(s => (s(1), s.head)).toSeq
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.components(chain.toDF("a", "b"), "a", "b",
+        maxIterations = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedupClusters marks exactly one keeper per cluster") {
     val clusters = ConnectedComponents.dedupClusters(
         Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b"), "a", "b")
