@@ -20,6 +20,9 @@ case class RollingHashExpression(child: Expression, prime: Long)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
+  // deterministic pure function of the child: lets Catalyst's
+  // ConstantFolding collapse rolling_hash(<literal>) at plan time
+  override def foldable: Boolean = child.foldable
 
   override def nullSafeEval(input: Any): Any =
     RollingHashExpression.hashBytes(input.asInstanceOf[UTF8String].getBytes, prime)

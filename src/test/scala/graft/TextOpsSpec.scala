@@ -113,6 +113,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(stats.map(_.getAs[String]("source")).toSeq == Seq("s1", "s2"))
   }
 
+  test("rolling_hash registered for SQL via GraftExtensions; literal folds") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT rolling_hash('hello') AS h, rolling_hash('hello', 37) AS h37")
+      .collect().head
+    assert(got.getAs[Long]("h") ==
+      RollingHashExpression.hashBytes("hello".getBytes("UTF-8"), 31L))
+    assert(got.getAs[Long]("h37") ==
+      RollingHashExpression.hashBytes("hello".getBytes("UTF-8"), 37L))
+    // foldable: a literal argument constant-folds at plan time
+    val plan = spark.sql("SELECT rolling_hash('x') AS h").queryExecution
+      .optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("rolling_hash"), plan)
+  }
+
   test("cosine similarity column matches manual computation") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val got = df.select(VectorFunctions.cosineSimilarity($"a", $"b")).as[Double].collect().head
