@@ -96,8 +96,13 @@ object QueriesKpi {
   def reportEndpoint(spark: SparkSession, sfDir: String): DataFrame = {
     val kpi = kpiDaily(spark, sfDir)
     val w = col("requests_total")
+    // DECIMAL(12,0) for the weight: a (date,endpoint) group can exceed 10^8
+    // rows at large SF, which would overflow a DECIMAL(8,0) weight under
+    // ANSI mode;
+    // 10^12 rows per group is beyond the design point and the scaled sum
+    // still stays below 2^53 for exact decimal->double
     def weighted(c: Column): Column =
-      (sum(c.cast("decimal(16,6)") * w.cast("decimal(8,0)")).cast("double")
+      (sum(c.cast("decimal(16,6)") * w.cast("decimal(12,0)")).cast("double")
         / greatest(sum(w), lit(1L)).cast("double"))
     kpi.groupBy(col("endpoint_base"))
       .agg(
@@ -125,9 +130,9 @@ object QueriesKpi {
       |       CAST(sum(client_4xx) AS BIGINT) AS client_4xx,
       |       CAST(sum(server_5xx) AS BIGINT) AS server_5xx,
       |       CAST(sum(parse_errors) AS BIGINT) AS parse_errors,
-      |       CAST(sum(CAST(avg_elapsed_ms AS DECIMAL(16,6)) * CAST(requests_total AS DECIMAL(8,0))) AS DOUBLE)
+      |       CAST(sum(CAST(avg_elapsed_ms AS DECIMAL(16,6)) * CAST(requests_total AS DECIMAL(12,0))) AS DOUBLE)
       |         / CAST(greatest(sum(requests_total), 1) AS DOUBLE) AS avg_elapsed_ms,
-      |       CAST(sum(CAST(p90_elapsed_ms AS DECIMAL(16,6)) * CAST(requests_total AS DECIMAL(8,0))) AS DOUBLE)
+      |       CAST(sum(CAST(p90_elapsed_ms AS DECIMAL(16,6)) * CAST(requests_total AS DECIMAL(12,0))) AS DOUBLE)
       |         / CAST(greatest(sum(requests_total), 1) AS DOUBLE) AS p90_elapsed_ms,
       |       CAST(sum(success_2xx) AS DOUBLE) * 100.0 / CAST(sum(requests_total) AS DOUBLE) AS pct_2xx,
       |       CAST(sum(client_4xx + server_5xx) AS DOUBLE) * 100.0 / CAST(sum(requests_total) AS DOUBLE) AS pct_err

@@ -26,7 +26,11 @@ object AsOfJoin {
 
   /** @param right       unique per (key, time)
     * @param valueCols   right columns to carry onto left rows (null when no
-    *                    prior right row exists — LEFT-asof semantics)
+    *                    prior right row exists — LEFT-asof semantics). Left
+    *                    rows with a null time are kept with a null match
+    *                    (DuckDB ASOF LEFT JOIN keeps unmatched left rows);
+    *                    right rows with a null time can never be "latest at
+    *                    or before" anything and are ignored.
     */
   def asOf(
       left: DataFrame, right: DataFrame,
@@ -36,13 +40,13 @@ object AsOfJoin {
     val rightTagVal = 1 - leftTagVal
     val payload = struct(
       (col(rightTime).as("asof_time") +: valueCols.map(col)): _*)
-    val taggedRight = right.select(
+    val taggedRight = right.filter(col(rightTime).isNotNull).select(
       (col(key).as("asof_key") +:
         col(rightTime).as("asof_t") +:
         lit(rightTagVal).as("asof_tag") +:
         payload.as("asof_payload") +:
         left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val taggedLeft = left.select(
+    val taggedLeft = left.filter(col(leftTime).isNotNull).select(
       (col(key).as("asof_key") +:
         col(leftTime).as("asof_t") +:
         lit(leftTagVal).as("asof_tag") +:
@@ -51,12 +55,22 @@ object AsOfJoin {
     val w = Window.partitionBy(col("asof_key"))
       .orderBy(col("asof_t"), col("asof_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    taggedLeft.unionByName(taggedRight)
+    val matched = taggedLeft.unionByName(taggedRight)
       .withColumn("asof_match", last(col("asof_payload"), ignoreNulls = true).over(w))
-      .filter(col("asof_tag") === leftTagVal && col("asof_t").isNotNull)
+      .filter(col("asof_tag") === leftTagVal)
       .select(
         left.columns.map(col) ++
           (col("asof_match.asof_time").as("asof_time") +:
             valueCols.map(c => col(s"asof_match.$c").as(c))): _*)
+    // null-time left rows bypass the window entirely (they would otherwise
+    // sort to the partition head and could absorb stray payloads) and come
+    // back with a null match, preserving LEFT cardinality
+    val nullTime = left.filter(col(leftTime).isNull)
+      .select(
+        left.columns.map(col) ++
+          (lit(null).cast(matched.schema("asof_time").dataType).as("asof_time") +:
+            valueCols.map(c =>
+              lit(null).cast(matched.schema(c).dataType).as(c))): _*)
+    matched.unionByName(nullTime)
   }
 }

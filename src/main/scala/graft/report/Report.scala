@@ -69,15 +69,26 @@ object Report {
          |<div class="card"><h3>% error</h3><p>${fmt(global.getAs[Double]("pct_err"))}%</p></div>
          |<div class="card"><h3>p90 global (aprox)</h3><p>${fmt(global.getAs[Double]("p90_global_aprox"))} ms</p></div>
          |</div>""".stripMargin
+    // endpoint_base is arbitrary log input: escape it in the HTML cells too
+    // (the reference renders it with to_html(escape=False), but there is no
+    // reason to reproduce an injection hole — alerta_p90 is engine-generated
+    // SI/NO yet goes through the same escape for uniformity)
+    def htmlEsc(s: String): String = s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c   => c.toString
+    }
     val rows = endpoints.map { r =>
-      s"""<tr data-alerta="${r.getAs[String]("alerta_p90")}">
-         |<td>${r.getAs[String]("endpoint_base")}</td>
+      s"""<tr data-alerta="${htmlEsc(r.getAs[String]("alerta_p90"))}">
+         |<td>${htmlEsc(r.getAs[String]("endpoint_base"))}</td>
          |<td>${r.getAs[Long]("requests_total")}</td>
          |<td>${fmt(r.getAs[Double]("pct_2xx"))}</td>
          |<td>${fmt(r.getAs[Double]("pct_err"))}</td>
          |<td>${fmt(r.getAs[Double]("avg_elapsed_ms"))}</td>
          |<td>${fmt(r.getAs[Double]("p90_elapsed_ms"))}</td>
-         |<td>${r.getAs[String]("alerta_p90")}</td>
+         |<td>${htmlEsc(r.getAs[String]("alerta_p90"))}</td>
          |</tr>""".stripMargin
     }.mkString("\n")
     // endpoint_base is arbitrary log input: escape for the JSON string AND

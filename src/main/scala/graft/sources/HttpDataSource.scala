@@ -54,7 +54,8 @@ object HttpDataSource {
     StructField("body", StringType, nullable = true),
     StructField("headers", MapType(StringType, StringType), nullable = true),
     StructField("elapsed_ms", DoubleType, nullable = false),
-    StructField("attempts", IntegerType, nullable = false)))
+    StructField("attempts", IntegerType, nullable = false),
+    StructField("total_ms", DoubleType, nullable = false)))
 
   def parseConfig(o: CaseInsensitiveStringMap): HttpFetch.Config =
     HttpFetch.Config(
@@ -137,7 +138,8 @@ private[sources] class HttpPartitionReader(urls: Seq[String], cfg: HttpFetch.Con
       if (r.body == null) null else UTF8String.fromString(r.body),
       headerMap,
       r.elapsedMs,
-      r.attempts)
+      r.attempts,
+      r.totalMs)
   }
 
   override def close(): Unit = ()

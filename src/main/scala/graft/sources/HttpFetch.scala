@@ -34,9 +34,15 @@ object HttpFetch {
       acceptStatusCodes: Set[Int] = Set.empty,
       failOnHttpError: Boolean = true)
 
+  /** @param elapsedMs  response time of the FINAL attempt only (matches the
+    *                    reference's per-request elapsed — backoff sleeps and
+    *                    earlier attempts excluded)
+    * @param totalMs    wall time across the whole retry loop incl. backoff
+    */
   final case class Result(
       url: String, statusCode: Int, body: String,
-      headers: Map[String, String], elapsedMs: Double, attempts: Int)
+      headers: Map[String, String], elapsedMs: Double, attempts: Int,
+      totalMs: Double)
 
   def newClient(cfg: Config): HttpClient = {
     val b = HttpClient.newBuilder()
@@ -76,11 +82,14 @@ object HttpFetch {
     var attempt = 1
     var last: Either[Throwable, HttpResponse[String]] = null
     val t0 = System.nanoTime()
+    var attemptMs = 0.0 // latency of the final attempt alone (no backoff)
     var done = false
     while (!done) {
+      val a0 = System.nanoTime()
       last =
         try Right(client.send(req, HttpResponse.BodyHandlers.ofString()))
         catch { case e: java.io.IOException => Left(e) }
+      attemptMs = (System.nanoTime() - a0) / 1e6
       val retryable = last match {
         case Left(_) => true
         case Right(r) => r.statusCode == 403 // reference retries 403 too
@@ -90,7 +99,7 @@ object HttpFetch {
         attempt += 1
       } else done = true
     }
-    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    val totalMs = (System.nanoTime() - t0) / 1e6
     last match {
       case Left(e) =>
         throw new java.io.IOException(
@@ -103,7 +112,7 @@ object HttpFetch {
         val hdrs = r.headers().map().asScala.map {
           case (k, vs) => k -> vs.asScala.mkString(",")
         }.toMap
-        Result(url, sc, r.body(), hdrs, elapsedMs, attempt)
+        Result(url, sc, r.body(), hdrs, attemptMs, attempt, totalMs)
     }
   }
 }

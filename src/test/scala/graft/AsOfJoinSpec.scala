@@ -39,4 +39,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     val r = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("v")).collect().head
     assert(r.getAs[Long]("asof_time") == 20L)
   }
+
+  test("null-time left rows are kept with a null match (LEFT semantics)") {
+    val left = Seq(("a", Some(25L), "y"), ("a", None, "n1"), ("c", None, "n2"))
+      .toDF("k", "t", "tag")
+    val got = AsOfJoin.asOf(left, right, "k", "t", "t", Seq("v"))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toSet
+    assert(got == Set(("y", Some(2.0)), ("n1", None), ("n2", None)))
+  }
+
+  test("null-time right rows never match") {
+    val r2 = Seq(("a", Some(10L), 1.0), ("a", None, 99.0)).toDF("k", "t", "v")
+    val left = Seq(("a", 25L, "y")).toDF("k", "t", "tag")
+    val got = AsOfJoin.asOf(left, r2, "k", "t", "t", Seq("v"))
+      .select($"v").as[Double].collect().toSeq
+    assert(got == Seq(1.0))
+  }
 }
