@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.RollingHashExpression
+import graft.functions.{MinHashSignatureExpression, RollingHashExpression}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to plain SQL. Install at build time
@@ -15,6 +15,9 @@ import graft.functions.RollingHashExpression
   * Registered functions:
   *  - `rolling_hash(str[, prime])` → LONG polynomial fingerprint
   *    (graft.functions.RollingHashExpression, codegen'd).
+  *  - `minhash_sig(tokens[, numPerm[, shingleN]])` → ARRAY<LONG> MinHash
+  *    signature of a token array (graft.functions
+  *    .MinHashSignatureExpression, codegen'd, zero-shuffle).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -32,10 +35,27 @@ object GraftExtensions {
       "rolling_hash(str[, prime]) takes 1 or 2 arguments (prime must be a literal)")
   }
 
+  private def intLit(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def minhashSigBuilder(args: Seq[Expression]): Expression = args match {
+    case Seq(c) => MinHashSignatureExpression(c, 64, 3)
+    case Seq(c, p) => MinHashSignatureExpression(c, intLit(p, "numPerm"), 3)
+    case Seq(c, p, n) =>
+      MinHashSignatureExpression(c, intLit(p, "numPerm"), intLit(n, "shingleN"))
+    case _ => throw new IllegalArgumentException(
+      "minhash_sig(tokens[, numPerm[, shingleN]]) takes 1-3 arguments")
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("rolling_hash",
       new ExpressionInfo(classOf[RollingHashExpression].getName, "rolling_hash"),
-      rollingHashBuilder))
+      rollingHashBuilder),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSignatureExpression].getName, "minhash_sig"),
+      minhashSigBuilder))
 
   /** Register on an already-built session (tests, REPLs). */
   def register(spark: SparkSession): Unit = {

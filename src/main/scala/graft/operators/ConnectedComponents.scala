@@ -32,11 +32,21 @@ object ConnectedComponents {
       .union(pairs.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
       .distinct()
       .cache()
+    // convergence probe: per-node labels only ever DECREASE under min-label
+    // propagation, so the label vector changed iff its exact sum changed —
+    // one decimal-exact agg over already-checkpointed data replaces a
+    // join+filter+count job per iteration (decimal(38,0): no int64 overflow
+    // even at 10^12 nodes x 10^18 max id, no float rounding)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
     // start: every node labeled with the min of itself and its neighbors
     var labels = edges.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("comp"))
       .localCheckpoint()
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -47,10 +57,9 @@ object ConnectedComponents {
       val next = labels.union(neighborLabels)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
-        .filter(col("comp") =!= col("prev"))
-        .limit(1).count()
-      converged = changed == 0
+      val newSum = labelSum(next)
+      converged = newSum.compareTo(prevSum) == 0
+      prevSum = newSum
       labels = next
       iter += 1
     }

@@ -67,54 +67,37 @@ object Dedup {
     if (dedup) exploded.distinct() else exploded
   }
 
-  /** Deterministic hash family for MinHash: h_i(x) = xxhash64(i, x).
-    * (The classic affine a·x+b over Z/2^64 needs wrapping multiplication,
-    * which ANSI mode — Spark 4's default — rejects as overflow; re-hashing
-    * with the permutation index mixed in is equally valid and codegen'd.) */
-  private def permutedHash(base: Column, i: Int): Column =
-    xxhash64(lit(i), base)
-
-  /** Hashed shingles: one LONG per n-token window, built from per-token
-    * hashes — no shingle STRING is ever materialized (the string path in
-    * [[shingles]] costs a slice+concat allocation per window; hashing the
-    * token-hash window is ~3× cheaper and MinHash only needs the hash). */
-  private def shingleHashes(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val tokens = split(TextFunctions.normalizeText(col(textCol)), " ")
-    val withTh = df.select(col(idCol),
-      transform(tokens, t => xxhash64(t)).as("th"))
-    val sh = when(size(col("th")) >= n,
-      transform(sequence(lit(0), size(col("th")) - n),
-        i => xxhash64((1 to n).map(j => element_at(col("th"), i + j)): _*)))
-      .otherwise(array(xxhash64(col("th"))))
-    withTh.select(col(idCol), explode(sh).as("shingle_hash"))
-  }
-
   /** MinHash signatures: (id, sig: array<long> of length `numPerm`).
-    * One explode + one groupBy(id) — the signature aggregation is a
-    * map-side-combinable min, so the shuffle carries only (id, 64 longs). */
+    *
+    * ZERO-shuffle: the whole signature is one codegen'd scalar expression
+    * per document ([[graft.functions.MinHashSignatureExpression]]) — a
+    * signature is a pure per-row function, so the explode→groupBy(id)
+    * formulation (which shuffles |docs|·|tokens| rows and walks Spark's
+    * interpreted higher-order-function path) is strictly worse at every
+    * scale. The spec keeps a relational reference formulation and asserts
+    * hash-for-hash equality. */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numPerm: Int = 64, shingleN: Int = 3): DataFrame = {
-    val sh = shingleHashes(df, idCol, textCol, shingleN)
-    val base = col("shingle_hash")
-    val aggs = (0 until numPerm).map(i => min(permutedHash(base, i)).as(s"h$i"))
-    sh.groupBy(col(idCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol), array((0 until numPerm).map(i => col(s"h$i")): _*).as("sig"))
+    val tokens = split(TextFunctions.normalizeText(col(textCol)), " ")
+    df.select(col(idCol),
+      graft.functions.MinHashSignatureExpression
+        .minhashSig(tokens, numPerm, shingleN).as("sig"))
   }
 
   /** LSH banding: candidate pairs (a < b) whose signatures collide in at
     * least one band, with the MinHash jaccard estimate (= fraction of equal
     * signature components). `bands` must divide `numPerm`.
     *
-    * Scale topology: the band self-join carries ONLY (band, bucket, id) —
-    * pairs are deduplicated across bands while they are still two longs,
-    * and signatures are re-joined once per unique pair (never 16× per
-    * band collision). Buckets larger than `maxBucketSize` are dropped
-    * before the join: a mega-bucket is a low-information band (on skewed
-    * corpora it turns the join quadratic) and its members are still found
-    * via their other, more selective bands. */
+    * Scale topology: the band shuffle carries ONLY (band, bucket, id);
+    * each bucket's pairs are generated in place from its gathered id list
+    * (a bucket is ≤ `maxBucketSize` ids — array-local, no self-join pass),
+    * deduplicated across bands while they are still two longs, and
+    * signatures are re-joined once per unique pair (never 16× per band
+    * collision). Buckets larger than `maxBucketSize` are dropped: a
+    * mega-bucket is a low-information band (on skewed corpora it turns
+    * the candidate set quadratic) and its members are still found via
+    * their other, more selective bands. */
   def lshCandidatePairs(
       signatures: DataFrame, idCol: String,
       numPerm: Int = 64, bands: Int = 16,
@@ -128,16 +111,17 @@ object Dedup {
     val buckets = signatures
       .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val usable = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, maxBucketSize))
-      .select(col("band"), col("bucket"))
-    val pruned = buckets.join(usable, Seq("band", "bucket"), "left_semi")
-    val pairs = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // collect_list is bounded by the maxBucketSize filter right after it;
+    // sorting the ids makes every emitted pair (a < b) canonical
+    val ids = sort_array(col("ids"))
+    val combos = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val pairs = buckets.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(explode(combos).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     val sigs = signatures.select(col(idCol), col("sig"))
     pairs

@@ -84,7 +84,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(embCol).cast("array<double>").as("emb"))
     val fe = c.withColumn("features", array_to_vector(col("emb")))
+    // coarse quantizer: random init (k-means|| costs extra full passes for
+    // init quality IVF doesn't need) and a bounded iteration budget — cell
+    // boundaries only gate candidate recall, not result correctness
     val model = new KMeans().setK(nCentroids).setSeed(42L)
+      .setInitMode("random").setMaxIter(8).setTol(1e-3)
       .setFeaturesCol("features").setPredictionCol("cell").fit(fe)
     val assigned = model.transform(fe).select(
       col("neighbor_id"), col("emb"), col("cell"))

@@ -36,6 +36,41 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("minhash_sig expression is hash-identical to the relational formulation") {
+    // relational reference: explode hashed shingles -> groupBy(id) with
+    // numPerm min(xxhash64(i, shingle_hash)) aggregates — the formulation
+    // the scalar expression replaced (covers >=n tokens, <n tokens, 1 token)
+    val df = Seq(
+      (1L, (1 to 40).map(i => s"word$i").mkString(" ")),
+      (2L, "only two"),
+      (3L, "single"),
+      (4L, "  Mixed   CASE  spacing\ttabs  ")).toDF("doc_id", "text")
+    val numPerm = 64; val n = 3
+    val tokens = split(TextFunctions.normalizeText($"text"), " ")
+    val withTh = df.select($"doc_id", transform(tokens, t => xxhash64(t)).as("th"))
+    val sh = when(size($"th") >= n,
+      transform(sequence(lit(0), size($"th") - n),
+        i => xxhash64((1 to n).map(j => element_at($"th", i + j)): _*)))
+      .otherwise(array(xxhash64($"th")))
+    val exploded = withTh.select($"doc_id", explode(sh).as("shingle_hash"))
+    val aggs = (0 until numPerm).map(i =>
+      min(xxhash64(lit(i), $"shingle_hash")).as(s"h$i"))
+    val want = exploded.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+      .select($"doc_id", array((0 until numPerm).map(i => col(s"h$i")): _*).as("sig"))
+      .orderBy($"doc_id")
+      .as[(Long, Seq[Long])].collect().toSeq
+    val got = Dedup.minHashSignatures(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(got == want)
+  }
+
+  test("minhash_sig registered for SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT minhash_sig(split('a b c d', ' '), 8, 3) AS s").collect().head
+    assert(got.getAs[scala.collection.Seq[Long]]("s").length == 8)
+  }
+
   test("simhash: identical texts get identical fingerprints, disjoint texts distant") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
