@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSignatureExpression, RollingHashExpression}
+import graft.functions.{MinHashSignatureExpression, RollingHashExpression, SimHashExpression}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to plain SQL. Install at build time
@@ -18,6 +18,8 @@ import graft.functions.{MinHashSignatureExpression, RollingHashExpression}
   *  - `minhash_sig(tokens[, numPerm[, shingleN]])` → ARRAY<LONG> MinHash
   *    signature of a token array (graft.functions
   *    .MinHashSignatureExpression, codegen'd, zero-shuffle).
+  *  - `simhash(tokens)` → LONG 64-bit SimHash fingerprint of a token
+  *    array (graft.functions.SimHashExpression, codegen'd, zero-shuffle).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -55,7 +57,13 @@ object GraftExtensions {
       rollingHashBuilder),
     ("minhash_sig",
       new ExpressionInfo(classOf[MinHashSignatureExpression].getName, "minhash_sig"),
-      minhashSigBuilder))
+      minhashSigBuilder),
+    ("simhash",
+      new ExpressionInfo(classOf[SimHashExpression].getName, "simhash"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "simhash(tokens) takes exactly 1 argument")
+        SimHashExpression(args.head)
+      }))
 
   /** Register on an already-built session (tests, REPLs). */
   def register(spark: SparkSession): Unit = {

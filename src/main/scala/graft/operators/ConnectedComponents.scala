@@ -20,17 +20,26 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param pairs     two LongType columns `srcCol`/`dstCol`, undirected
+    * @param distinctPairs  set true when `pairs` is already duplicate-free
+    *                  (e.g. [[Dedup.lshCandidatePairs]] output): min-label
+    *                  propagation is duplicate-insensitive, so the edge
+    *                  `distinct()` shuffle only trims join width — skip it
+    *                  when the producer already paid for it
     * @return (node: long, component: long) — component = min node id in
     *         the node's connected component; isolated nodes absent from
     *         `pairs` are (by definition) their own component and are not
     *         emitted. */
   def components(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIterations: Int = 20): DataFrame = {
-    val edges = pairs
+      maxIterations: Int = 20, distinctPairs: Boolean = false): DataFrame = {
+    val undirected = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(pairs.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
-      .distinct()
+    // pre-partition on the iteration join key: the per-iteration
+    // labels-join probes edges on `b`, so the cached side keeps
+    // hashpartitioning(b) and only the (smaller) label side shuffles
+    val edges = (if (distinctPairs) undirected else undirected.distinct())
+      .repartition(col("b"))
       .cache()
     // convergence probe: per-node labels only ever DECREASE under min-label
     // propagation, so the label vector changed iff its exact sum changed —
@@ -73,9 +82,10 @@ object ConnectedComponents {
   }
 
   /** Dedup decision table from near-dup pairs: every node mapped to the
-    * cluster representative (min id); `keep = node == representative`. */
+    * cluster representative (min id); `keep = node == representative`.
+    * LSH candidate pairs are already distinct → edge dedup skipped. */
   def dedupClusters(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame =
-    components(pairs, srcCol, dstCol)
+    components(pairs, srcCol, dstCol, distinctPairs = true)
       .select(col("node").as("id"), col("comp").as("representative"),
         (col("node") === col("comp")).as("keep"))
 }

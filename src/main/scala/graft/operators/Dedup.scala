@@ -185,19 +185,13 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** 64-bit SimHash fingerprint per document: majority vote of token-hash
-    * bits. One explode + one groupBy(id) with 64 map-side-combinable sums. */
+    * bits. ZERO-shuffle — one codegen'd scalar expression per row
+    * ([[graft.functions.SimHashExpression]]); the spec asserts equality
+    * with the explode→groupBy reference formulation. */
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      explode(split(TextFunctions.normalizeText(col(textCol)), " ")).as("tok"))
-    val h = xxhash64(col("tok"))
-    val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(h, j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
-    }
-    val withSums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    withSums.select(col(idCol), fp.as("simhash"))
+    val tokens = split(TextFunctions.normalizeText(col(textCol)), " ")
+    df.select(col(idCol),
+      graft.functions.SimHashExpression.simhash(tokens).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, using the

@@ -71,6 +71,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.getAs[scala.collection.Seq[Long]]("s").length == 8)
   }
 
+  test("simhash expression is hash-identical to the relational formulation") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta alpha"), // repeated token: occurrence-weighted
+      (2L, "zz yy xx ww vv uu"),
+      (3L, "single")).toDF("doc_id", "text")
+    val toks = df.select($"doc_id",
+      explode(split(TextFunctions.normalizeText($"text"), " ")).as("tok"))
+    val h = xxhash64($"tok")
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(1L) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val withSums = toks.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val want = withSums.select($"doc_id", fp.as("simhash"))
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    val got = Dedup.simHash(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   test("simhash: identical texts get identical fingerprints, disjoint texts distant") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
