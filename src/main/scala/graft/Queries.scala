@@ -78,7 +78,23 @@ object Queries {
       Some(QueriesText.embeddingNearDupsSql)),
     Q("q43_knn_ivf", QueriesText.knnIvf, None),
     Q("q44_dedup_clusters", QueriesText.dedupClusters, None),
-    Q("q50_multimodal_stats", QueriesText.multimodalStats, None)
+    Q("q50_multimodal_stats", QueriesText.multimodalStats, None),
+
+    // --- Pipeline utilities: sampling / sketches / selection / scrubbing ---
+    Q("q45_stratified_sample", QueriesPipeline.stratifiedSample,
+      Some(QueriesPipeline.stratifiedSampleSql)),
+    Q("q46_approx_distinct", QueriesPipeline.approxDistinct,
+      Some(QueriesPipeline.approxDistinctSql)),
+    Q("q47_top_docs_per_source", QueriesPipeline.topDocsPerSource,
+      Some(QueriesPipeline.topDocsPerSourceSql)),
+    Q("q48_tfidf_top_terms", QueriesPipeline.tfidfTopTerms,
+      Some(QueriesPipeline.tfidfTopTermsSql)),
+    Q("q49_pii_scrub", QueriesPipeline.piiScrub,
+      Some(QueriesPipeline.piiScrubSql)),
+    Q("q51_url_anatomy", QueriesPipeline.urlAnatomy,
+      Some(QueriesPipeline.urlAnatomySql)),
+    Q("q52_bloom_semi_join", QueriesPipeline.bloomSemiJoin,
+      Some(QueriesPipeline.bloomSemiJoinSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{BloomJoin, Sampling, TfIdf, TopK}
+
+/** Pipeline-utility queries (q45-q52): the selection / sizing / scrubbing
+  * operations around the dedup+similarity core of a training-data pipeline
+  * — deterministic sampling, cardinality sketches, per-group selection,
+  * TF-IDF, PII scrubbing, URL anatomy, bloom-accelerated semi joins.
+  *
+  * Oracle policy follows QueriesText: integer-exact or
+  * single-IEEE-operation outputs are DuckDB-checked; engine-local hash
+  * families (xxhash64 sampling) and probabilistic sketches get the
+  * rows-only check — except q46, which turns the sketch check into an
+  * exact oracle by asserting the HLL estimate lands within tolerance of
+  * the exact count computed in the SAME query. */
+object QueriesPipeline {
+
+  private def normSql(c: String): String =
+    s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+
+  // ------------------------------------------------------------------
+  // q45 — deterministic stratified sampling (Lehmer hash on doc_id):
+  // reproducible across engines/partitionings, filter-only (no shuffle).
+  // ------------------------------------------------------------------
+  // per-source rates over the corpus's src0..src19 strata; src17-19 left
+  // out of the map on purpose (the allowlist drops unknown strata)
+  private val sampleRates: Map[String, Double] =
+    (0 until 17).map(i => s"src$i" -> (0.1 + 0.04 * i)).toMap
+
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    Sampling.stratifiedLehmerSample(d, "source", "doc_id", sampleRates)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val rateCase = sampleRates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("CASE ", " ", " ELSE -1.0 END")
+    s"""SELECT source, count(*) AS n_sampled,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents
+      |WHERE CAST(((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS DOUBLE)
+      |        / 2147483647.0
+      |      < ($rateCase)
+      |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q46 — HLL cardinality sketch with a self-validating oracle: the query
+  // itself asserts |approx - exact| / exact <= 5% (rsd 2%), so the DuckDB
+  // side can state the expected verdict as a literal and the hash compare
+  // still exercises the sketch.
+  // ------------------------------------------------------------------
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val norm = TextFunctions.normalizeText(col("text"))
+    d.groupBy(col("source"))
+      .agg(
+        countDistinct(norm).as("exact_cnt"),
+        approx_count_distinct(norm, 0.02).as("approx_cnt"))
+      .select(col("source"), col("exact_cnt"),
+        (abs(col("approx_cnt") - col("exact_cnt")).cast("double")
+          / col("exact_cnt").cast("double") <= 0.05).as("hll_within_5pct"))
+      .orderBy(col("source"))
+  }
+
+  val approxDistinctSql: String =
+    s"""SELECT source, count(DISTINCT ${normSql("text")}) AS exact_cnt,
+      |       TRUE AS hll_within_5pct
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q47 — grouped top-k selection: 3 longest docs per source (token
+  // count desc, doc_id asc tie-break).
+  // ------------------------------------------------------------------
+  def topDocsPerSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).as("n_tokens"))
+    TopK.perGroup(d, Seq("source"),
+        Seq(col("n_tokens").desc, col("doc_id").asc), k = 3)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val topDocsPerSourceSql: String = {
+    val norm = normSql("text")
+    s"""WITH t AS (
+      |  SELECT source, doc_id,
+      |         CASE WHEN length($norm) = 0 THEN 0
+      |              ELSE CAST(len(string_split($norm, ' ')) AS INT) END AS n_tokens
+      |  FROM documents
+      |), r AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_tokens DESC, doc_id) AS rk
+      |  FROM t
+      |)
+      |SELECT source, rk, doc_id, n_tokens FROM r WHERE rk <= 3
+      |ORDER BY source, rk""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q48 — TF-IDF top term per document (rational idf N/df: one IEEE
+  // multiply+divide of integers, bit-reproducible cross-engine).
+  // ------------------------------------------------------------------
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    TfIdf.topTerms(Tables.documents(spark, sfDir), "doc_id", "text", k = 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_count"), col("score"))
+      .orderBy(col("doc_id"))
+
+  val tfidfTopTermsSql: String = {
+    val norm = normSql("text")
+    s"""WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term
+      |), dfreq AS (
+      |  SELECT term, count(*) AS df_count FROM tf GROUP BY term
+      |), n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df_count,
+      |         CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)
+      |           / CAST(df_count AS DOUBLE) AS score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)
+      |                                       / CAST(df_count AS DOUBLE) DESC,
+      |                                     term) AS rk
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      |)
+      |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+      |       CAST(df_count AS BIGINT) AS df_count, score
+      |FROM scored WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q49 — PII scrubbing over synthetic contact strings built from the
+  // customer table (the corpus documents carry no PII by construction):
+  // redact + count, aggregated per nation.
+  // ------------------------------------------------------------------
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    // the corpus has no phone column: derive one from c_custkey with exact
+    // integer arithmetic (identical in any engine), TPC-H phone shaped
+    val ck = col("c_custkey")
+    val phone = concat(
+      lpad((ck % 90 + 10).cast("string"), 2, "0"), lit("-"),
+      lpad((ck % 900 + 100).cast("string"), 3, "0"), lit("-"),
+      lpad((ck * 7 % 900 + 100).cast("string"), 3, "0"), lit("-"),
+      lpad((ck * 13 % 9000 + 1000).cast("string"), 4, "0"))
+    val contact = concat(col("c_name"), lit(" call "), phone,
+      lit(" mail "), lower(regexp_replace(col("c_name"), "\\s+", ".")),
+      lit("@example.com"))
+    val scrubbed = c.select(col("c_nationkey"),
+      TextFunctions.piiScrub(contact).as("p"))
+    scrubbed.groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("p.n_emails")).as("n_emails"),
+        sum(col("p.n_phones")).as("n_phones"),
+        count_if(col("p.clean_text").contains("<EMAIL>")
+          && col("p.clean_text").contains("<PHONE>")).as("n_fully_scrubbed"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val piiScrubSql: String =
+    s"""WITH t AS (
+      |  SELECT c_nationkey,
+      |         c_name || ' call ' ||
+      |         lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0') || '-' ||
+      |         lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+      |         lpad(CAST(c_custkey * 7 % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+      |         lpad(CAST(c_custkey * 13 % 9000 + 1000 AS VARCHAR), 4, '0') ||
+      |         ' mail ' ||
+      |         lower(regexp_replace(c_name, '\\s+', '.', 'g')) || '@example.com'
+      |           AS contact
+      |  FROM customer
+      |), s AS (
+      |  SELECT c_nationkey,
+      |         regexp_replace(
+      |           regexp_replace(contact, '${TextFunctions.PhonePattern}', '<PHONE>', 'g'),
+      |           '${TextFunctions.EmailPattern}', '<EMAIL>', 'g') AS clean_text,
+      |         len(regexp_extract_all(contact, '${TextFunctions.EmailPattern}')) AS n_emails,
+      |         len(regexp_extract_all(contact, '${TextFunctions.PhonePattern}')) AS n_phones
+      |  FROM t
+      |)
+      |SELECT c_nationkey, count(*) AS n_customers,
+      |       CAST(sum(n_emails) AS BIGINT) AS n_emails,
+      |       CAST(sum(n_phones) AS BIGINT) AS n_phones,
+      |       count(*) FILTER (WHERE clean_text LIKE '%<EMAIL>%'
+      |                          AND clean_text LIKE '%<PHONE>%') AS n_fully_scrubbed
+      |FROM s GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q51 — URL anatomy over synthetic event URLs: parse_url host/path/
+  // query-param extraction, aggregated per host.
+  // ------------------------------------------------------------------
+  def urlAnatomy(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    val url = concat(lit("https://api-"), col("event_type"),
+      lit(".example.com/v1/"), col("event_type"),
+      lit("?k="), k, lit("&u="), col("user_id"))
+    ev.select(
+        parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("k")).cast("int").as("k"),
+        col("user_id"))
+      .groupBy(col("host"), col("path"))
+      .agg(count(lit(1)).as("n_requests"),
+        countDistinct(col("user_id")).as("n_users"),
+        avg(col("k")).as("avg_k"))
+      .orderBy(col("host"))
+  }
+
+  val urlAnatomySql: String =
+    """WITH u AS (
+      |  SELECT 'https://api-' || event_type || '.example.com/v1/' || event_type
+      |           || '?k=' || CAST(json_extract_string(props, '$.k') AS INT)
+      |           || '&u=' || user_id AS url,
+      |         user_id
+      |  FROM events
+      |), p AS (
+      |  SELECT split_part(split_part(url, '//', 2), '/', 1) AS host,
+      |         '/' || split_part(split_part(split_part(url, '//', 2), '?', 1),
+      |                           '/', 2) || '/' ||
+      |         split_part(split_part(split_part(url, '//', 2), '?', 1), '/', 3)
+      |           AS path,
+      |         CAST(regexp_extract(url, '[?&]k=([^&]*)', 1) AS INT) AS k,
+      |         user_id
+      |  FROM u
+      |)
+      |SELECT host, path, count(*) AS n_requests,
+      |       count(DISTINCT user_id) AS n_users, avg(k) AS avg_k
+      |FROM p GROUP BY host, path ORDER BY host""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q52 — bloom-filter-accelerated semi join: lineitems of urgent
+  // high-value orders. Exact semantics (bloom only prunes; the real semi
+  // join follows) → the oracle is the plain EXISTS formulation.
+  // ------------------------------------------------------------------
+  def bloomSemiJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val hot = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
+    BloomJoin.bloomSemiJoin(li, hot, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val bloomSemiJoinSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l_orderkey
+      |                AND o_orderpriority = '1-URGENT'
+      |                AND o_totalprice > 200000.0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}

@@ -67,6 +67,25 @@ object TextFunctions {
     when(anyHit, best).otherwise(lit("und"))
   }
 
+  /** PII patterns kept deliberately simple (char classes + bounded
+    * quantifiers only) so Java regex and RE2-family engines agree exactly —
+    * the redaction is oracle-checkable cross-engine. */
+  val EmailPattern = "[A-Za-z0-9][A-Za-z0-9.#_-]*@[A-Za-z0-9][A-Za-z0-9.-]*\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Scrub emails/phones from a text column: struct(clean_text, n_emails,
+    * n_phones). Pure regexp composition — codegen'd, shuffle-free; the
+    * counts come from `regexp_count`, the scrub from two `regexp_replace`
+    * passes (phones first: a phone can't contain an email, so the order
+    * only matters for overlap bookkeeping and this one is unambiguous). */
+  def piiScrub(c: Column): Column = {
+    val nEmails = regexp_count(c, lit(EmailPattern)).cast("int")
+    val nPhones = regexp_count(c, lit(PhonePattern)).cast("int")
+    val clean = regexp_replace(
+      regexp_replace(c, PhonePattern, "<PHONE>"), EmailPattern, "<EMAIL>")
+    struct(clean.as("clean_text"), nEmails.as("n_emails"), nPhones.as("n_phones"))
+  }
+
   /** Quality metrics struct over a text column: token count, average token
     * length, punctuation count, stopword ratio, and an accept flag
     * (length/punct/stopword heuristics like production corpus filters). */

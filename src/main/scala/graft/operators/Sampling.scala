@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling — the training-data counterpart of
+  * `df.sample()`, which is seed-stable only for a fixed partitioning (its
+  * Bernoulli draw is per-partition-seeded, so a repartition or a different
+  * file split changes the sample). Hash-based sampling decides per ROW from
+  * the row's own key, so the sample is a pure function of the data:
+  * re-runnable across engines, partitionings, and cluster sizes — and it is
+  * a plain `filter`, so it pushes down the scan and costs zero shuffle at
+  * any scale.
+  *
+  * Two keying tiers:
+  *  - [[lehmerSample]]: integer key through a Lehmer/Park-Miller step
+  *    (`key·48271 mod (2^31−1)`) — multiplications stay < 2^63 for keys
+  *    up to ~9.5·10^13, so ANSI mode (Spark 4 default) never overflows,
+  *    and the arithmetic is exact in any engine (oracle-checkable).
+  *  - [[contentHashSample]]: content key through `xxhash64` — for
+  *    sampling on text/bytes where no integer key exists (engine-local:
+  *    xxhash64 has no DuckDB equivalent).
+  */
+object Sampling {
+
+  private val LehmerA = 48271L
+  private val LehmerM = 2147483647L // 2^31 - 1 (prime)
+
+  /** The per-row pseudo-uniform in [0, 1): exact integer arithmetic, TWO
+    * Lehmer steps — one step never wraps for keys < ~44k (`key·48271 <
+    * 2^31−1`), leaving small keys nearly linear; the second multiply wraps
+    * for every key ≥ 1 and disperses deciles to ±0.2% (key 0 is the
+    * multiplicative fixed point and always draws 0.0 — classic Lehmer
+    * excludes it; here it just means row 0 is always sampled). */
+  def lehmerU(key: Column): Column = {
+    val step1 = (key.cast("long") * lit(LehmerA)) % lit(LehmerM)
+    ((step1 * lit(LehmerA)) % lit(LehmerM)).cast("double") / lit(LehmerM.toDouble)
+  }
+
+  /** Keep ~`rate` of rows, decided by the integer key alone. */
+  def lehmerSample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    df.filter(lehmerU(col(keyCol)) < lit(rate))
+
+  /** Per-stratum rates: keep ~rates(s) of rows in stratum s (strata absent
+    * from the map are dropped — an explicit allowlist, so a new upstream
+    * stratum can't silently flood the sample). */
+  def stratifiedLehmerSample(
+      df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val rate = rates.foldLeft(lit(-1.0)) { case (acc, (s, r)) =>
+      when(col(strataCol) === lit(s), lit(r)).otherwise(acc)
+    }
+    df.filter(lehmerU(col(keyCol)) < rate)
+  }
+
+  /** Content-keyed variant: stable under id reassignment (dedup-safe). */
+  def contentHashSample(df: DataFrame, textCol: String, rate: Double): DataFrame = {
+    // xxhash64 ∈ [Long.Min, Long.Max]; shift into [0,1) without overflow
+    val u = (xxhash64(col(textCol)).cast("double") / lit(2.0 * Long.MaxValue)) + lit(0.5)
+    df.filter(u < lit(rate))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** TF-IDF term scoring over a document corpus.
+  *
+  * Scale topology: one explode→groupBy(doc, term) for term frequencies
+  * (shuffle ∝ distinct (doc, term) pairs), one groupBy(term) for document
+  * frequencies (shuffle ∝ vocabulary), then a term-keyed join — the same
+  * shape as a shuffled word-count, no driver-side vocabulary. The corpus
+  * size joins in as a broadcast scalar.
+  *
+  * Scoring uses the RATIONAL idf `N / df` (not `log(N/df)`): ranking by
+  * `tf·N/df` is order-equivalent to `tf·(N/df)` under any monotone
+  * transform of `N/df`, and a single IEEE multiply+divide of integers is
+  * bit-reproducible across engines — so the oracle can hash-match scores
+  * exactly, which `ln` (libm-dependent) could not guarantee. */
+object TfIdf {
+
+  /** (doc, term, tf): occurrence counts of each distinct token per doc. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(split(TextFunctions.normalizeText(col(textCol)), " ")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (term, df_count): number of documents containing each term. */
+  def docFrequencies(tf: DataFrame, idCol: String): DataFrame =
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df_count"))
+
+  /** Top-k terms per document by `tf·N/df` (ties → lexicographic term).
+    * Output: (id, rank, term, tf, df_count, score). */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+    val dfreq = docFrequencies(tf, idCol)
+    val n = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs").cast("double")
+          / col("df_count").cast("double"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.select(col(idCol), col("term"), col("tf"), col("df_count"),
+        col("score"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TextFunctions
+import graft.operators.{BloomJoin, Sampling, TfIdf, TopK}
+
+/** Unit tests for the pipeline-utility operators (q45-q52 family):
+  * deterministic sampling, grouped top-k, TF-IDF, PII scrub, bloom join. */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("lehmer sampling is deterministic and repartition-invariant") {
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.lehmerSample(df, "id", 0.3).as[Long].collect().sorted.toSeq
+    val b = Sampling.lehmerSample(df.repartition(7), "id", 0.3)
+      .as[Long].collect().sorted.toSeq
+    assert(a == b)                       // partitioning must not matter
+    assert(math.abs(a.length - 600) < 90) // ~30% ± a loose tolerance
+  }
+
+  test("stratified sampling applies per-stratum rates; unknown strata dropped") {
+    val df = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val got = Sampling.stratifiedLehmerSample(
+        df, "stratum", "id", Map("s0" -> 1.0, "s1" -> 0.2))
+      .groupBy($"stratum").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got("s0") == 1000L)           // rate 1.0 keeps everything
+    assert(math.abs(got("s1") - 200L) < 80)
+    assert(!got.contains("s2"))          // absent from the map -> dropped
+  }
+
+  test("content-hash sampling keys on the text, not the id") {
+    val df = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("id", "text")
+    val kept = Sampling.contentHashSample(df, "text", 0.99)
+      .select($"id").as[Long].collect().toSet
+    // identical text -> identical keep/drop decision
+    assert(kept.contains(1L) == kept.contains(2L))
+  }
+
+  test("grouped top-k keeps exactly k rows per group with deterministic ties") {
+    val df = Seq(("a", 1L, 10), ("a", 2L, 10), ("a", 3L, 5),
+      ("b", 4L, 1)).toDF("g", "id", "v")
+    val got = TopK.perGroup(df, Seq("g"), Seq($"v".desc, $"id".asc), k = 2)
+      .select($"g", $"rk", $"id").as[(String, Int, Long)].collect().toSet
+    assert(got == Set(("a", 1, 1L), ("a", 2, 2L), ("b", 1, 4L)))
+  }
+
+  test("tf-idf: rare term outranks common term") {
+    val df = Seq(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(df, "doc_id", "text", k = 1)
+      .filter($"doc_id" === 1L).collect().head
+    assert(top.getAs[String]("term") == "rare") // df=1 beats tf=2 of df=3
+    // score = tf * N / df = 1 * 3 / 1 = 3.0
+    assert(top.getAs[Double]("score") == 3.0)
+  }
+
+  test("pii scrub redacts and counts emails and phones") {
+    val df = Seq(
+      "reach me at jo.do#1@mail.example.org or 12-345-678-9012 thanks",
+      "no pii here").toDF("t")
+    val got = df.select(TextFunctions.piiScrub($"t").as("p"))
+      .select($"p.clean_text", $"p.n_emails", $"p.n_phones")
+      .as[(String, Int, Int)].collect()
+    assert(got(0) == ("reach me at <EMAIL> or <PHONE> thanks", 1, 1))
+    assert(got(1) == ("no pii here", 0, 0))
+  }
+
+  test("bloom semi join result is exactly the plain semi join") {
+    val left = (1L to 500L).map(i => (i, i % 7)).toDF("k", "payload")
+    val right = (1L to 500L by 5L).toDF("rk")
+    val got = BloomJoin.bloomSemiJoin(left, right, "k", "rk", expectedItems = 200L)
+      .select($"k").as[Long].collect().sorted.toSeq
+    val want = left.join(right, $"k" === $"rk", "left_semi")
+      .select($"k").as[Long].collect().sorted.toSeq
+    assert(got == want)
+  }
+}
