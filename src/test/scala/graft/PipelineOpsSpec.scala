@@ -70,6 +70,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(1) == ("no pii here", 0, 0))
   }
 
+  test("native vector kernels are bit-identical to the HOF fold formulations") {
+    val rng = new scala.util.Random(7)
+    val vecs = (1L to 50L).map(i =>
+      (i, Array.fill(64)(rng.nextDouble() * 2 - 1),
+        Array.fill(64)(rng.nextDouble() * 2 - 1))).toDF("id", "a", "b")
+    // reference formulations on the interpreted HOF path
+    def dotF(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def normF(a: org.apache.spark.sql.Column) =
+      sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+    val cosF = dotF($"a", $"b") / (normF($"a") * normF($"b"))
+    val l2F = aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val nPlanes = 12
+    val bucketF = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with($"a", sequence(lit(0), size($"a") - 1),
+          (v, i) => v * graft.functions.VectorFunctions.hyperplaneSign(p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = vecs.select(
+      graft.functions.VectorFunctions.cosineSimilarity($"a", $"b").as("cosN"),
+      cosF.as("cosR"),
+      graft.functions.VectorFunctions.l2Sq($"a", $"b").as("l2N"), l2F.as("l2R"),
+      graft.functions.VectorFunctions.hyperplaneBucket($"a", nPlanes).as("bkN"),
+      bucketF.as("bkR")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getAs[Double]("cosN")) ==
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("cosR")))
+      assert(java.lang.Double.doubleToRawLongBits(r.getAs[Double]("l2N")) ==
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("l2R")))
+      assert(r.getAs[Long]("bkN") == r.getAs[Long]("bkR"))
+    }
+  }
+
   test("bloom semi join result is exactly the plain semi join") {
     val left = (1L to 500L).map(i => (i, i % 7)).toDF("k", "payload")
     val right = (1L to 500L by 5L).toDF("rk")
