@@ -35,6 +35,43 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("selective filters and projections reach the parquet scan") {
+    val sf = "/root/testdata/sf0.001"
+    val q11 = QueriesRelational.filterRevenue(spark, sf)
+    val plan = q11.queryExecution.executedPlan.toString
+    // predicate pushdown: the lineitem scan must carry pushed filters,
+    // not read-everything-then-filter
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(!plan.contains("PushedFilters: []"), plan)
+    // column pruning: a 2-column aggregate must not read the whole schema
+    val scanSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!scanSchema.contains("l_comment"), scanSchema)
+  }
+
+  test("q12 five-way join broadcasts the dimension tables") {
+    val plan = QueriesRelational.joinRevenue(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("minhash signatures plan is map-only (no Exchange below the scan)") {
+    val sigs = graft.operators.Dedup.minHashSignatures(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    val plan = sigs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // and the signature expression runs inside WholeStageCodegen
+    // (rendered as a `*(n)` stage prefix in the plan string)
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("hash sampling is a pure pushdown-safe filter (no shuffle, no agg)") {
+    val s = graft.operators.Sampling.lehmerSample(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", 0.3)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("IVF knn: perfect recall on planted exact duplicates, bounded candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 5)

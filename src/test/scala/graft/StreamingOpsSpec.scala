@@ -1,0 +1,64 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingOps
+
+/** Streaming dedup + sessionization over MemoryStream micro-batches. */
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming dedup: first doc per digest passes, in-horizon dups suppressed") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingOps.dedupStream(docs, "text", "ts", watermark = "10 minutes")
+      .select($"doc_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      mem.addData(
+        (1L, "aaa", ts("2026-08-10 00:00:01")),
+        (2L, "bbb", ts("2026-08-10 00:00:02")),
+        (3L, "aaa", ts("2026-08-10 00:00:03"))) // dup of 1 within horizon
+      q.processAllAvailable()
+      mem.addData((4L, "aaa", ts("2026-08-10 00:05:00"))) // still within horizon
+      q.processAllAvailable()
+      val got = spark.table("dedup").as[Long].collect().toSet
+      assert(got == Set(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("streaming session_window matches batch sessionization semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val q = StreamingOps.sessionStream(
+        events, "user_id", "ts", gap = "30 minutes", watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      // user 1: two sessions (09:00-09:10, then 10:00); user 2: one
+      mem.addData(
+        (1L, ts("2026-08-10 09:00:00")), (1L, ts("2026-08-10 09:10:00")),
+        (1L, ts("2026-08-10 10:00:00")), (2L, ts("2026-08-10 09:30:00")))
+      q.processAllAvailable()
+      // watermark flush: an event far past everything closes all sessions
+      mem.addData((99L, ts("2026-08-10 23:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .filter($"user_id" < 99L)
+        .select($"user_id", $"n_events")
+        .as[(Long, Long)].collect().sorted.toSeq
+      assert(got == Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+      // session extent: the 2-event session spans 09:00 -> 09:10 + gap
+      val s1 = spark.table("sessions")
+        .filter($"user_id" === 1L && $"n_events" === 2L).collect().head
+      assert(s1.getAs[Timestamp]("session_start") == ts("2026-08-10 09:00:00"))
+      assert(s1.getAs[Timestamp]("session_end") == ts("2026-08-10 09:40:00"))
+    } finally q.stop()
+  }
+}
