@@ -94,7 +94,11 @@ object Queries {
     Q("q51_url_anatomy", QueriesPipeline.urlAnatomy,
       Some(QueriesPipeline.urlAnatomySql)),
     Q("q52_bloom_semi_join", QueriesPipeline.bloomSemiJoin,
-      Some(QueriesPipeline.bloomSemiJoinSql))
+      Some(QueriesPipeline.bloomSemiJoinSql)),
+    Q("q53_approx_quantile", QueriesPipeline.approxQuantile,
+      Some(QueriesPipeline.approxQuantileSql)),
+    Q("q54_salted_agg", QueriesPipeline.saltedAgg,
+      Some(QueriesPipeline.saltedAggSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

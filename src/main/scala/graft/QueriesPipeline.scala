@@ -243,6 +243,49 @@ object QueriesPipeline {
       |FROM p GROUP BY host, path ORDER BY host""".stripMargin
 
   // ------------------------------------------------------------------
+  // q53 — approx-percentile scale switch (SURVEY §7.4 R4) with a
+  // self-validating oracle: exact p90 (interpolated, cross-engine-stable)
+  // next to the mergeable approx sketch, plus the in-query assertion that
+  // the sketch lands within 5% — the q46 pattern applied to quantiles.
+  // ------------------------------------------------------------------
+  def approxQuantile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        percentile(col("value"), lit(0.9)).as("exact_p90"),
+        percentile_approx(col("value"), lit(0.9), lit(10000)).as("approx_p90"))
+      .select(col("event_type"), col("exact_p90"),
+        (abs(col("approx_p90") - col("exact_p90"))
+          <= abs(col("exact_p90")) * 0.05).as("approx_within_5pct"))
+      .orderBy(col("event_type"))
+  }
+
+  val approxQuantileSql: String =
+    """SELECT event_type, quantile_cont(value, 0.9) AS exact_p90,
+      |       TRUE AS approx_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q54 — salted two-phase aggregation over the skewed event stream:
+  // identical results to the plain groupBy (the oracle IS the plain
+  // groupBy), hot keys spread over 16 reducers in the partial phase.
+  // ------------------------------------------------------------------
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"))
+    operators.SkewSalt.saltedAgg(ev, Seq("event_type"), Seq(
+        ("n_events", "value", operators.SkewSalt.Agg.count),
+        ("min_value", "value", operators.SkewSalt.Agg.min),
+        ("max_value", "value", operators.SkewSalt.Agg.max)))
+      .orderBy(col("event_type"))
+  }
+
+  val saltedAggSql: String =
+    """SELECT event_type, count(value) AS n_events,
+      |       min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
   // q52 — bloom-filter-accelerated semi join: lineitems of urgent
   // high-value orders. Exact semantics (bloom only prunes; the real semi
   // join follows) → the oracle is the plain EXISTS formulation.

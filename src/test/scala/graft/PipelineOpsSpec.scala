@@ -70,6 +70,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(1) == ("no pii here", 0, 0))
   }
 
+  test("salted aggregation equals plain groupBy on a skewed key, any partitioning") {
+    // 90% of rows share one key — the shape salting exists for
+    val df = (1L to 5000L).map { i =>
+      (if (i % 10 == 0) s"cold${i % 7}" else "hot", i)
+    }.toDF("k", "v").repartition(13)
+    val salted = graft.operators.SkewSalt.saltedAgg(df, Seq("k"), Seq(
+        ("n", "v", graft.operators.SkewSalt.Agg.count),
+        ("mn", "v", graft.operators.SkewSalt.Agg.min),
+        ("mx", "v", graft.operators.SkewSalt.Agg.max)))
+      .orderBy($"k").collect().map(_.toSeq).toSeq
+    val plain = df.groupBy($"k")
+      .agg(count($"v").as("n"), min($"v").as("mn"), max($"v").as("mx"))
+      .orderBy($"k").collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    // decimal-exact salted SUM is reduction-order-proof
+    val sumSalted = graft.operators.SkewSalt.saltedAgg(
+        df.withColumn("d", $"v".cast("decimal(18,2)")), Seq("k"),
+        Seq(("s", "d", graft.operators.SkewSalt.Agg.sum)))
+      .orderBy($"k").collect().map(_.toSeq).toSeq
+    val sumPlain = df.groupBy($"k").agg(sum($"v".cast("decimal(18,2)")).as("s"))
+      .orderBy($"k").collect().map(_.toSeq).toSeq
+    assert(sumSalted == sumPlain)
+  }
+
   test("native vector kernels are bit-identical to the HOF fold formulations") {
     val rng = new scala.util.Random(7)
     val vecs = (1L to 50L).map(i =>
