@@ -26,9 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // shuffle/spill/checkpoint files on tmpfs: the container's virtual disk
-  // has multi-second IO stalls under load that randomly inflate query
-  // times; RAM is sized far above any local-mode spill this corpus makes
-  "-Dspark.local.dir=/dev/shm/graft-spark",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++ {
+  // shuffle/spill/checkpoint files on tmpfs when available: the container's
+  // virtual disk has multi-second IO stalls under load that randomly
+  // inflate query times; RAM is sized far above any local-mode spill this
+  // corpus makes. Skipped on hosts without /dev/shm (macOS, Windows).
+  if (file("/dev/shm").isDirectory) Seq("-Dspark.local.dir=/dev/shm/graft-spark")
+  else Seq.empty
+}

@@ -37,16 +37,22 @@ object GraftExtensions {
       "rolling_hash(str[, prime]) takes 1 or 2 arguments (prime must be a literal)")
   }
 
-  private def intLit(e: Expression, what: String): Int = {
+  private def intLit(e: Expression, what: String, min: Int): Int = {
     require(e.foldable, s"$what must be a literal")
-    e.eval().asInstanceOf[Number].intValue()
+    val v = e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got: $other")
+    }
+    require(v >= min, s"$what must be >= $min, got $v")
+    v
   }
 
   private def minhashSigBuilder(args: Seq[Expression]): Expression = args match {
     case Seq(c) => MinHashSignatureExpression(c, 64, 3)
-    case Seq(c, p) => MinHashSignatureExpression(c, intLit(p, "numPerm"), 3)
+    case Seq(c, p) => MinHashSignatureExpression(c, intLit(p, "numPerm", 1), 3)
     case Seq(c, p, n) =>
-      MinHashSignatureExpression(c, intLit(p, "numPerm"), intLit(n, "shingleN"))
+      MinHashSignatureExpression(c, intLit(p, "numPerm", 1), intLit(n, "shingleN", 1))
     case _ => throw new IllegalArgumentException(
       "minhash_sig(tokens[, numPerm[, shingleN]]) takes 1-3 arguments")
   }

@@ -55,7 +55,10 @@ object MinHashSignatureExpression {
     val th = new Array[Long](t)
     var i = 0
     while (i < t) {
-      th(i) = XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
+      // null token → hash unchanged from the seed, exactly like the
+      // built-in xxhash64 (HashExpression skips null children)
+      val s = tokens.getUTF8String(i)
+      th(i) = if (s == null) Seed else XXH64.hashUTF8String(s, Seed)
       i += 1
     }
     // window hashes: n-token windows when the doc is long enough, else one

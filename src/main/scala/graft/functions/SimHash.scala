@@ -43,7 +43,9 @@ object SimHashExpression {
     val counts = new Array[Int](64)
     var i = 0
     while (i < t) {
-      val h = XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
+      // null token → seed, matching the built-in xxhash64's null handling
+      val s = tokens.getUTF8String(i)
+      val h = if (s == null) Seed else XXH64.hashUTF8String(s, Seed)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

@@ -18,16 +18,36 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   * sequence as the fold it replaces (left-to-right accumulation, same
   * operation order), so results are bit-equal to the HOF formulation and
   * to DuckDB's list kernels — ANN rankings stay oracle-stable (asserted
-  * in PipelineOpsSpec).
+  * in PipelineOpsSpec). The one deliberate divergence: malformed input
+  * (length mismatch, null elements) throws a named error where the fold
+  * returned a silent null — corrupt embeddings should stop a pipeline,
+  * not quietly drop out of its rankings.
   */
 object VectorKernels {
 
+  /** Malformed embeddings fail FAST with a named error (ANSI-mode spirit)
+    * instead of the HOF fold's silent null — a length-mismatched or
+    * null-holed vector in an ANN pipeline is corrupt input, and a null
+    * that vanishes in a top-k ranking hides it. */
+  private def checkPair(a: ArrayData, b: ArrayData, op: String): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$op: embedding lengths differ ($n vs ${b.numElements()})")
+    n
+  }
+
+  private def checkNotNull(arr: ArrayData, i: Int, op: String): Unit =
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(s"$op: null element at index $i")
+
   /** cosine = (Σaᵢbᵢ) / (sqrt(Σaᵢ²)·sqrt(Σbᵢ²)), one pass. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkPair(a, b, "cosine_sim")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      checkNotNull(a, i, "cosine_sim"); checkNotNull(b, i, "cosine_sim")
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -37,10 +57,11 @@ object VectorKernels {
 
   /** Σ (aᵢ−bᵢ)² */
   def l2Sq(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkPair(a, b, "l2_sq")
     var acc = 0.0
     var i = 0
     while (i < n) {
+      checkNotNull(a, i, "l2_sq"); checkNotNull(b, i, "l2_sq")
       val d = a.getDouble(i) - b.getDouble(i)
       acc += d * d
       i += 1
@@ -53,6 +74,8 @@ object VectorKernels {
     * to the per-plane left-to-right fold. */
   def hyperplaneBucket(emb: ArrayData, nPlanes: Int): Long = {
     val t = emb.numElements()
+    var c = 0
+    while (c < t) { checkNotNull(emb, c, "hyperplane_bucket"); c += 1 }
     val acc = new Array[Double](nPlanes)
     var p = 0
     while (p < nPlanes) {

@@ -38,7 +38,10 @@ object BloomJoin {
       right.stat.bloomFilter(rightKey, expectedItems, fpp)
     val bc = spark.sparkContext.broadcast(filter)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    // rename the build-side key before joining: a bare col(rightKey) would
+    // be ambiguous whenever leftKey and rightKey share a name
+    val keys = right.select(col(rightKey).as("__bloom_join_key"))
     left.filter(mightContain(col(leftKey).cast("long")))
-      .join(right.select(col(rightKey)), col(leftKey) === col(rightKey), "left_semi")
+      .join(keys, col(leftKey) === col("__bloom_join_key"), "left_semi")
   }
 }

@@ -111,15 +111,23 @@ object Dedup {
     val buckets = signatures
       .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    // collect_list is bounded by the maxBucketSize filter right after it;
-    // sorting the ids makes every emitted pair (a < b) canonical
-    val ids = sort_array(col("ids"))
+    // constant-memory count prefilter FIRST (a mega-bucket must be dropped
+    // before anything gathers it — collect_list on an unpruned bucket
+    // would buffer the whole bucket on one reducer), then gather the
+    // surviving ≤ maxBucketSize ids and emit each bucket's pairs in place;
+    // sorted+distinct ids make every pair (a < b) canonical with no
+    // self-pairs for duplicate-id inputs
+    val usable = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n").between(2, maxBucketSize))
+      .select(col("band"), col("bucket"))
+    val ids = array_distinct(sort_array(col("ids")))
     val combos = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
-    val pairs = buckets.groupBy(col("band"), col("bucket"))
+    val pairs = buckets.join(usable, Seq("band", "bucket"), "left_semi")
+      .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
       .select(explode(combos).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()

@@ -31,10 +31,13 @@ object Sampling {
     * 2^31−1`), leaving small keys nearly linear; the second multiply wraps
     * for every key ≥ 1 and disperses deciles to ±0.2% (key 0 is the
     * multiplicative fixed point and always draws 0.0 — classic Lehmer
-    * excludes it; here it just means row 0 is always sampled). */
+    * excludes it; here it just means row 0 is always sampled).
+    * `pmod` (not `%`, which preserves the dividend's sign) keeps the
+    * draw in [0, 1) for NEGATIVE keys too — a sign-preserving remainder
+    * would make every negative-keyed row sample at any rate ≥ 0. */
   def lehmerU(key: Column): Column = {
-    val step1 = (key.cast("long") * lit(LehmerA)) % lit(LehmerM)
-    ((step1 * lit(LehmerA)) % lit(LehmerM)).cast("double") / lit(LehmerM.toDouble)
+    val step1 = pmod(key.cast("long") * lit(LehmerA), lit(LehmerM))
+    pmod(step1 * lit(LehmerA), lit(LehmerM)).cast("double") / lit(LehmerM.toDouble)
   }
 
   /** Keep ~`rate` of rows, decided by the integer key alone. */

@@ -28,14 +28,14 @@ object TfIdf {
       .agg(count(lit(1)).as("tf"))
 
   /** (term, df_count): number of documents containing each term. */
-  def docFrequencies(tf: DataFrame, idCol: String): DataFrame =
+  def docFrequencies(tf: DataFrame): DataFrame =
     tf.groupBy(col("term")).agg(count(lit(1)).as("df_count"))
 
   /** Top-k terms per document by `tf·N/df` (ties → lexicographic term).
     * Output: (id, rank, term, tf, df_count, score). */
   def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val tf = termFrequencies(df, idCol, textCol)
-    val dfreq = docFrequencies(tf, idCol)
+    val dfreq = docFrequencies(tf)
     val n = df.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(n))

@@ -31,6 +31,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!got.contains("s2"))          // absent from the map -> dropped
   }
 
+  test("lehmer sampling handles negative keys (pmod keeps the draw in [0,1))") {
+    val df = (-1000L to -1L).toDF("id")
+    val kept = Sampling.lehmerSample(df, "id", 0.3).count()
+    assert(kept < 450, s"negative keys over-sampled: $kept/1000 at rate 0.3")
+    assert(Sampling.lehmerSample(df, "id", 0.0).count() == 0)
+  }
+
+  test("bloom semi join works when both keys share a column name") {
+    val left = (1L to 100L).toDF("key")
+    val right = (1L to 100L by 10L).toDF("key")
+    val got = BloomJoin.bloomSemiJoin(left, right, "key", "key", expectedItems = 20L)
+      .as[Long].collect().sorted.toSeq
+    assert(got == (1L to 100L by 10L).toSeq)
+  }
+
+  test("vector kernels fail fast on malformed embeddings") {
+    val mismatched = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      mismatched.select(
+        graft.functions.VectorFunctions.cosineSimilarity($"a", $"b")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("content-hash sampling keys on the text, not the id") {
     val df = Seq((1L, "aaa"), (2L, "aaa"), (3L, "bbb")).toDF("id", "text")
     val kept = Sampling.contentHashSample(df, "text", 0.99)
