@@ -108,26 +108,27 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
     }
+    // ids ride the band shuffle as longs (bounded_collect_longs is
+    // long-typed; integral id columns are required, like ConnectedComponents)
     val buckets = signatures
-      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col(idCol).cast("long").as("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    // constant-memory count prefilter FIRST (a mega-bucket must be dropped
-    // before anything gathers it — collect_list on an unpruned bucket
-    // would buffer the whole bucket on one reducer), then gather the
-    // surviving ≤ maxBucketSize ids and emit each bucket's pairs in place;
-    // sorted+distinct ids make every pair (a < b) canonical with no
-    // self-pairs for duplicate-id inputs
-    val usable = buckets.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n").between(2, maxBucketSize))
-      .select(col("band"), col("bucket"))
+    // gather each bucket's ids with a HARD memory ceiling: the custom
+    // bounded_collect_longs aggregate stores at most maxBucketSize longs
+    // per group in partial AND final phases and returns NULL for any
+    // bucket that overflows — a mega-bucket costs the same as a full one
+    // instead of OOMing its reducer (collect_list + size filter would
+    // buffer the whole bucket before the filter sees it). One shuffle.
+    // Sorted+distinct ids make every pair (a < b) canonical with no
+    // self-pairs for duplicate-id inputs.
     val ids = array_distinct(sort_array(col("ids")))
     val combos = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
-    val pairs = buckets.join(usable, Seq("band", "bucket"), "left_semi")
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
+    val pairs = buckets.groupBy(col("band"), col("bucket"))
+      .agg(graft.functions.BoundedCollectLongs
+        .boundedCollectLongs(col("id"), maxBucketSize).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(combos).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()

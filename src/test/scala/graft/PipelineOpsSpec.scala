@@ -94,6 +94,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(1) == ("no pii here", 0, 0))
   }
 
+  test("bounded_collect_longs: full groups gathered, over-cap groups -> NULL") {
+    val df = (1L to 1000L).map(i => (if (i <= 990) "big" else "small", i))
+      .toDF("g", "v").repartition(11)
+    val got = df.groupBy($"g")
+      .agg(graft.functions.BoundedCollectLongs
+        .boundedCollectLongs($"v", 100).as("ids"))
+      .collect().map(r => r.getAs[String]("g") ->
+        Option(r.getAs[scala.collection.Seq[Long]]("ids"))).toMap
+    assert(got("big").isEmpty)                    // 990 > cap -> NULL
+    assert(got("small").get.sorted == (991L to 1000L)) // under cap: complete
+  }
+
   test("salted aggregation equals plain groupBy on a skewed key, any partitioning") {
     // 90% of rows share one key — the shape salting exists for
     val df = (1L to 5000L).map { i =>
