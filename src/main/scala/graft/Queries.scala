@@ -58,6 +58,8 @@ object Queries {
       Some(QueriesRelational.rangeJoinOrderPairsSql)),
     Q("q25_pivot_priorities", QueriesRelational.pivotOrderPriorities,
       Some(QueriesRelational.pivotOrderPrioritiesSql)),
+    Q("q26_grouping_sets", QueriesRelational.groupingSetsQuantities,
+      Some(QueriesRelational.groupingSetsQuantitiesSql)),
 
     // --- Training-data pipeline: dedup / similarity / text / sessions ---
     Q("q30_dedup_exact", QueriesText.dedupExact, Some(QueriesText.dedupExactSql)),
@@ -98,7 +100,9 @@ object Queries {
     Q("q53_approx_quantile", QueriesPipeline.approxQuantile,
       Some(QueriesPipeline.approxQuantileSql)),
     Q("q54_salted_agg", QueriesPipeline.saltedAgg,
-      Some(QueriesPipeline.saltedAggSql))
+      Some(QueriesPipeline.saltedAggSql)),
+    Q("q55_vocabulary", QueriesPipeline.vocabulary,
+      Some(QueriesPipeline.vocabularySql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -286,6 +286,29 @@ object QueriesPipeline {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------
+  // q55 — corpus vocabulary: global top-20 tokens by document frequency
+  // (the word-count shape at corpus scale: one explode + two bounded
+  // aggregations; ties broken lexically for determinism).
+  // ------------------------------------------------------------------
+  def vocabulary(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val toks = d.select(col("doc_id"),
+        explode(split(TextFunctions.normalizeText(col("text")), " ")).as("term"))
+    toks.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("total_occurrences"))
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(20)
+  }
+
+  val vocabularySql: String =
+    s"""SELECT term, count(DISTINCT doc_id) AS doc_freq,
+      |       count(*) AS total_occurrences
+      |FROM (SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS term
+      |      FROM documents)
+      |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin
+
+  // ------------------------------------------------------------------
   // q52 — bloom-filter-accelerated semi join: lineitems of urgent
   // high-value orders. Exact semantics (bloom only prunes; the real semi
   // join follows) → the oracle is the plain EXISTS formulation.

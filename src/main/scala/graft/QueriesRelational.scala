@@ -425,4 +425,32 @@ object QueriesRelational {
       |       count(*) FILTER (WHERE o_totalprice >= 50000 AND o_totalprice < 150000) AS bucket_mid,
       |       count(*) FILTER (WHERE o_totalprice >= 150000) AS bucket_high
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q26 — explicit GROUPING SETS (beyond q20's rollup): the two
+  // single-dimension marginals in one pass over the fact table, with
+  // grouping() flags distinguishing the set each row came from.
+  // -------------------------------------------------------------------
+  def groupingSetsQuantities(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n_rows"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  val groupingSetsQuantitiesSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       sum(l_quantity) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY returnflag, linestatus""".stripMargin
 }

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus file-layout helpers — at 100 TB the WRITE layout is a query
+  * optimization: partition directories turn predicate columns into
+  * directory pruning (zero IO for filtered-out partitions), and bounded
+  * file sizes keep task granularity sane.
+  *
+  * `partitionBy` columns should be low-cardinality (source, language,
+  * date): each distinct tuple is a directory. High-cardinality layout
+  * belongs in bucketing (see ScaleSpec's bucketed-join test) or file-level
+  * sorting, not partitions. */
+object CorpusLayout {
+
+  /** Write `df` partitioned by `cols`, capping rows per file so one huge
+    * partition still parallelizes on read. */
+  def writePartitioned(
+      df: DataFrame, path: String, cols: Seq[String],
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(cols: _*)
+      .parquet(path)
+
+  /** Read back a partitioned corpus (partition columns become data
+    * columns; filters on them prune directories, asserted in spec). */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
