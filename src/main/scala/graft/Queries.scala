@@ -102,7 +102,9 @@ object Queries {
     Q("q54_salted_agg", QueriesPipeline.saltedAgg,
       Some(QueriesPipeline.saltedAggSql)),
     Q("q55_vocabulary", QueriesPipeline.vocabulary,
-      Some(QueriesPipeline.vocabularySql))
+      Some(QueriesPipeline.vocabularySql)),
+    Q("q56_corpus_prep", QueriesPipeline.corpusPrep,
+      Some(QueriesPipeline.corpusPrepSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

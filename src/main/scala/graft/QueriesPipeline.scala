@@ -309,6 +309,64 @@ object QueriesPipeline {
       |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin
 
   // ------------------------------------------------------------------
+  // q56 — the corpus-preparation capstone: quality filter → exact dedup
+  // → stratified sample → per-source stats, composed as ONE declarative
+  // plan (the narrow stages fuse; the only shuffles are the dedup window
+  // and the final aggregate). Every stage is SQL-expressible, so the
+  // whole pipeline is oracle-checked end-to-end.
+  // ------------------------------------------------------------------
+  def corpusPrep(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val quality = d
+      .withColumn("q", TextFunctions.qualityMetrics(col("text")))
+      .filter(col("q.quality_ok"))
+      .select(col("doc_id"), col("source"), col("text"), col("q.n_tokens").as("n_tokens"))
+    val deduped = operators.Dedup.exactDedup(quality, "doc_id", "text")
+    val sampled = operators.Sampling.stratifiedLehmerSample(
+      deduped, "source", "doc_id", sampleRates)
+    sampled.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
+  val corpusPrepSql: String = {
+    val norm = normSql("text")
+    val rateCase = sampleRates.toSeq.sortBy(_._1)
+      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString("CASE ", " ", " ELSE -1.0 END")
+    s"""WITH q AS (
+      |  SELECT doc_id, source, text, n_tokens
+      |  FROM (
+      |    SELECT doc_id, source, text,
+      |           CASE WHEN length($norm) = 0 THEN 0
+      |                ELSE CAST(len(string_split($norm, ' ')) AS INT) END AS n_tokens,
+      |           length($norm) AS n_chars
+      |    FROM documents
+      |  )
+      |  WHERE n_tokens BETWEEN 5 AND 100000
+      |    AND (CASE WHEN n_tokens > 0
+      |              THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |              ELSE 0.0 END) BETWEEN 1.0 AND 20.0
+      |), dd AS (
+      |  SELECT * FROM q
+      |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      |), s AS (
+      |  SELECT * FROM dd
+      |  WHERE CAST(((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS DOUBLE)
+      |          / 2147483647.0
+      |        < ($rateCase)
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q52 — bloom-filter-accelerated semi join: lineitems of urgent
   // high-value orders. Exact semantics (bloom only prunes; the real semi
   // join follows) → the oracle is the plain EXISTS formulation.

@@ -83,6 +83,50 @@ object Multimodal {
     ds.mapPartitions(decodeBatch _).toDF()
   }
 
+  /** Resized media record: same payload identity, target geometry attached.
+    * A real implementation transforms pixels in `resizeBatch`; the stub
+    * rescales the fake geometry deterministically. */
+  final case class ResizedMedia(
+      media_id: Long, source: String,
+      width: Int, height: Int, resized_payload: Array[Byte])
+
+  /** Resize pipeline: decode-shaped partition-batched transform with a
+    * target box (aspect-preserving fit — the geometry every image pipeline
+    * wants). Stub keeps the payload bytes; a real codec would re-encode. */
+  def resizeTo(payloads: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.as[MediaRecord].mapPartitions { it =>
+      // per-partition codec setup seam (same as decodeBatch)
+      it.map { r =>
+        val d = fakeDecode(r)
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
+        ResizedMedia(r.media_id, r.source,
+          math.max(1, (d.width * scale).toInt),
+          math.max(1, (d.height * scale).toInt),
+          r.payload)
+      }
+    }.toDF()
+  }
+
+  /** Frame sampling for video-shaped payloads: emit every `stride`-th
+    * frame index up to the stub-derived frame count — the explode-shaped
+    * transform (one row in, k rows out) a video pipeline runs before
+    * per-frame decode. Frame payload extraction is the stubbed seam. */
+  def sampleFrames(payloads: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val d = fakeDecode(r)
+        val nFrames = 1 + math.floorMod(d.n_bytes, 240L).toInt // stub: ≤10s@24fps
+        (0 until nFrames by stride).map(f => (r.media_id, r.source, f, nFrames))
+      }
+    }.toDF("media_id", "source", "frame_index", "n_frames")
+  }
+
   /** Per-source feature statistics over the decoded output — the query
     * shape a training pipeline runs to monitor a media corpus. */
   def featureStats(features: DataFrame): DataFrame =

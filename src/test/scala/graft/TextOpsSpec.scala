@@ -170,6 +170,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(stats.map(_.getAs[String]("source")).toSeq == Seq("s1", "s2"))
   }
 
+  test("multimodal resize and frame-sample: deterministic geometry, bounded output") {
+    val docs = Seq((1L, "s1", "abcdef"), (2L, "s1", "x")).toDF("doc_id", "source", "text")
+    val payloads = Multimodal.payloadFromText(docs, "doc_id", "source", "text")
+    val resized = Multimodal.resizeTo(payloads, 640, 480).collect()
+    assert(resized.length == 2)
+    resized.foreach { r =>
+      assert(r.getAs[Int]("width") <= 640 && r.getAs[Int]("width") >= 1)
+      assert(r.getAs[Int]("height") <= 480 && r.getAs[Int]("height") >= 1)
+    }
+    val frames = Multimodal.sampleFrames(payloads, stride = 24)
+    val byId = frames.groupBy($"media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet == Set(1L, 2L))
+    // stride sampling emits ceil(n_frames / stride) rows, ≥ 1 per payload
+    val f1 = frames.filter($"media_id" === 1L).collect()
+    assert(f1.forall(_.getAs[Int]("frame_index") % 24 == 0))
+    assert(f1.map(_.getAs[Int]("n_frames")).distinct.length == 1)
+  }
+
   test("rolling_hash registered for SQL via GraftExtensions; literal folds") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT rolling_hash('hello') AS h, rolling_hash('hello', 37) AS h37")
