@@ -30,6 +30,17 @@ object QueriesPipeline {
   private val sampleRates: Map[String, Double] =
     (0 until 17).map(i => s"src$i" -> (0.1 + 0.04 * i)).toMap
 
+  /** The rate allowlist as DuckDB SQL — shared by q45 and q56 so the two
+    * oracles can never encode the sample differently. */
+  private val rateCaseSql: String = sampleRates.toSeq.sortBy(_._1)
+    .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+    .mkString("CASE ", " ", " ELSE -1.0 END")
+
+  /** The Lehmer draw as DuckDB SQL (doc_id is non-negative here, so plain
+    * `%` matches the Spark side's pmod). */
+  private val lehmerUSql: String =
+    "CAST(((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS DOUBLE) / 2147483647.0"
+
   def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
     Sampling.stratifiedLehmerSample(d, "source", "doc_id", sampleRates)
@@ -39,18 +50,12 @@ object QueriesPipeline {
       .orderBy(col("source"))
   }
 
-  val stratifiedSampleSql: String = {
-    val rateCase = sampleRates.toSeq.sortBy(_._1)
-      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
-      .mkString("CASE ", " ", " ELSE -1.0 END")
+  val stratifiedSampleSql: String =
     s"""SELECT source, count(*) AS n_sampled,
       |       min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM documents
-      |WHERE CAST(((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS DOUBLE)
-      |        / 2147483647.0
-      |      < ($rateCase)
+      |WHERE $lehmerUSql < ($rateCaseSql)
       |GROUP BY source ORDER BY source""".stripMargin
-  }
 
   // ------------------------------------------------------------------
   // q46 — HLL cardinality sketch with a self-validating oracle: the query
@@ -292,8 +297,11 @@ object QueriesPipeline {
   // ------------------------------------------------------------------
   def vocabulary(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val toks = d.select(col("doc_id"),
-        explode(split(TextFunctions.normalizeText(col("text")), " ")).as("term"))
+    val norm = TextFunctions.normalizeText(col("text"))
+    // blank docs normalize to "" and would contribute a bogus '' term
+    // (split of an empty string yields [""] in both engines)
+    val toks = d.filter(length(norm) > 0)
+      .select(col("doc_id"), explode(split(norm, " ")).as("term"))
     toks.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("doc_freq"),
         count(lit(1)).as("total_occurrences"))
@@ -305,7 +313,7 @@ object QueriesPipeline {
     s"""SELECT term, count(DISTINCT doc_id) AS doc_freq,
       |       count(*) AS total_occurrences
       |FROM (SELECT doc_id, unnest(string_split(${normSql("text")}, ' ')) AS term
-      |      FROM documents)
+      |      FROM documents WHERE length(${normSql("text")}) > 0)
       |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin
 
   // ------------------------------------------------------------------
@@ -335,9 +343,6 @@ object QueriesPipeline {
 
   val corpusPrepSql: String = {
     val norm = normSql("text")
-    val rateCase = sampleRates.toSeq.sortBy(_._1)
-      .map { case (s, r) => s"WHEN source = '$s' THEN $r" }
-      .mkString("CASE ", " ", " ELSE -1.0 END")
     s"""WITH q AS (
       |  SELECT doc_id, source, text, n_tokens
       |  FROM (
@@ -356,9 +361,7 @@ object QueriesPipeline {
       |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
       |), s AS (
       |  SELECT * FROM dd
-      |  WHERE CAST(((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS DOUBLE)
-      |          / 2147483647.0
-      |        < ($rateCase)
+      |  WHERE $lehmerUSql < ($rateCaseSql)
       |)
       |SELECT source, count(*) AS n_docs,
       |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,

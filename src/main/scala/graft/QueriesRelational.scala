@@ -428,8 +428,10 @@ object QueriesRelational {
 
   // -------------------------------------------------------------------
   // q26 — explicit GROUPING SETS (beyond q20's rollup): the two
-  // single-dimension marginals in one pass over the fact table, with
-  // grouping() flags distinguishing the set each row came from.
+  // single-dimension marginals in one pass over the fact table. The
+  // grouping() flags are part of the OUTPUT (and the sort key): a
+  // coalesce-to-'ALL' sentinel alone could not distinguish a genuine
+  // NULL group value from a marginal row on null-bearing data.
   // -------------------------------------------------------------------
   def groupingSetsQuantities(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
@@ -437,20 +439,27 @@ object QueriesRelational {
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
         col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // grouping() is an aggregate-context function: it must be computed
+        // here, not in a select after the aggregation
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
         sum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n_rows"))
       .select(
+        col("g_flag"), col("g_status"),
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n_rows"))
-      .orderBy(col("returnflag"), col("linestatus"))
+      .orderBy(col("g_flag"), col("g_status"), col("returnflag"), col("linestatus"))
   }
 
   val groupingSetsQuantitiesSql: String =
-    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+    """SELECT CAST(grouping(l_returnflag) AS INT) AS g_flag,
+      |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+      |       coalesce(l_returnflag, 'ALL') AS returnflag,
       |       coalesce(l_linestatus, 'ALL') AS linestatus,
       |       sum(l_quantity) AS sum_qty, count(*) AS n_rows
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-      |ORDER BY returnflag, linestatus""".stripMargin
+      |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin
 }

@@ -11,4 +11,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-export of the `private[sql]` type that `inputTypes` overrides
+    * must name (custom aggregates outside org.apache.spark.sql can't
+    * reference it directly). */
+  type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -3,9 +3,10 @@ package graft.functions
 import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.SqlBridge.AbstractDataType
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Collect-with-a-ceiling: gathers up to `maxItems` longs per group and
@@ -28,10 +29,14 @@ case class BoundedCollectLongs(
     maxItems: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[BoundedCollectLongs.Buffer] {
+    extends TypedImperativeAggregate[BoundedCollectLongs.Buffer]
+    with ImplicitCastInputTypes {
 
   require(maxItems >= 1, s"maxItems must be >= 1, got $maxItems")
 
+  // analysis-time coercion/rejection of the input type — without this a
+  // non-Long child passes analysis and ClassCastExceptions on executors
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -50,11 +50,14 @@ object ConnectedComponents {
       df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
-    // start: every node labeled with the min of itself and its neighbors
+    // start: every node labeled with the min of itself and its neighbors.
+    // Checkpoints are LAZY: the labelSum probe right after is the action
+    // that materializes them — one job per iteration total (an eager
+    // checkpoint would run its own job and the probe a second one)
     var labels = edges.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -65,7 +68,7 @@ object ConnectedComponents {
         .select(col("a").as("node"), col("comp"))
       val next = labels.union(neighborLabels)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val newSum = labelSum(next)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

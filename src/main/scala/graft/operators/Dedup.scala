@@ -103,6 +103,15 @@ object Dedup {
       numPerm: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 200): DataFrame = {
     require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    // fail fast on non-integral ids: the long cast below would turn them
+    // into NULLs the bounded aggregate skips — an empty result, silently
+    signatures.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"lshCandidatePairs requires an integral id column, $idCol is $other " +
+          "(map string/UUID ids to longs first, e.g. via xxhash64 + a lookup table)")
+    }
     val rows = numPerm / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

@@ -73,20 +73,27 @@ class ScaleSpec extends AnyFunSuite {
   }
 
   test("partitioned corpus layout: filters prune partition directories") {
-    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    graft.operators.CorpusLayout.writePartitioned(docs, out, Seq("source"))
-    // directory-per-source on disk
-    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
-      .map(_.getName).filter(_.startsWith("source=")).sorted
-    assert(dirs.length == 20, dirs.mkString(","))
-    val back = graft.operators.CorpusLayout.readPartitioned(spark, out)
-      .filter(col("source") === "src3")
-    val plan = back.queryExecution.executedPlan.toString
-    // the filter must land in PartitionFilters (directory pruning), and
-    // the scan must report only the matching partition's files
-    assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
-    assert(back.count() == docs.filter(col("source") === "src3").count())
+    val outPath = java.nio.file.Files.createTempDirectory("graft_part")
+    val out = outPath.toString
+    try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      graft.operators.CorpusLayout.writePartitioned(docs, out, Seq("source"))
+      // directory-per-source on disk
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("source=")).sorted
+      assert(dirs.length == 20, dirs.mkString(","))
+      val back = graft.operators.CorpusLayout.readPartitioned(spark, out)
+        .filter(col("source") === "src3")
+      val plan = back.queryExecution.executedPlan.toString
+      // the filter must land in PartitionFilters (directory pruning), and
+      // the scan must report only the matching partition's files
+      assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
+      assert(back.count() == docs.filter(col("source") === "src3").count())
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("IVF knn: perfect recall on planted exact duplicates, bounded candidates") {
