@@ -24,6 +24,8 @@ object Queries {
     Q("q04_report_global", QueriesKpi.reportGlobal, Some(QueriesKpi.reportGlobalSql)),
     Q("q05_normalize_endpoints", QueriesKpi.normalizeEndpoints,
       Some(QueriesKpi.normalizeEndpointsSql), bench = false),
+    Q("q57_global_p90_exact", QueriesKpi.globalP90Exact,
+      Some(QueriesKpi.globalP90ExactSql)),
 
     // --- Relational suite on the TPC-H-ish corpus ---
     Q("q10_pricing_summary", QueriesRelational.pricingSummary,

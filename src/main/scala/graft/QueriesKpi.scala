@@ -171,6 +171,28 @@ object QueriesKpi {
       |       quantile_cont(p90_elapsed_ms, 0.9) AS p90_of_p90
       |FROM kpi""".stripMargin
 
+  /** q57 — exact global p90 from the RAW data, next to the reference's
+    * documented p90-of-p90 approximation (A8, generar_reporte.py:29-30
+    * "sin raw no hay exacto global") — the extension SURVEY §2.4 A8 notes:
+    * with the raw log available the engine CAN compute the true global
+    * percentile, and exposing both quantifies the approximation's error. */
+  def globalP90Exact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val kpi = kpiDaily(spark, sfDir)
+    val exact = ev.agg(percentile(col("value"), lit(0.9)).as("p90_exact"))
+    val approx = kpi.agg(
+      percentile(col("p90_elapsed_ms"), lit(0.9)).as("p90_of_p90"))
+    exact.crossJoin(approx)
+      .select(col("p90_exact"), col("p90_of_p90"),
+        (col("p90_of_p90") - col("p90_exact")).as("approx_error"))
+  }
+
+  val globalP90ExactSql: String =
+    s"""$kpiCte, e AS (SELECT quantile_cont(value, 0.9) AS p90_exact FROM events),
+      |a AS (SELECT quantile_cont(p90_elapsed_ms, 0.9) AS p90_of_p90 FROM kpi)
+      |SELECT p90_exact, p90_of_p90, p90_of_p90 - p90_exact AS approx_error
+      |FROM e CROSS JOIN a""".stripMargin
+
   /** q05 — endpoint normalization contract (P3), table-driven over synthetic
     * raw endpoints built from events (README.md:154-162 cases). */
   def normalizeEndpoints(spark: SparkSession, sfDir: String): DataFrame = {

@@ -128,6 +128,9 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         Map("backoffMs" -> "10")).collect().head
     assert(r.getAs[Int]("status_code") == 200)
     assert(r.getAs[Int]("attempts") == 3)
+    // elapsed_ms times the FINAL attempt only; total_ms spans the whole
+    // retry loop incl. the 10+20ms linear backoff sleeps
+    assert(r.getAs[Double]("total_ms") >= r.getAs[Double]("elapsed_ms") + 30.0)
   }
 
   test("unexpected 4xx fails the scan (raise_for_status semantics)") {
