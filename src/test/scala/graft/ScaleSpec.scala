@@ -72,6 +72,16 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("q56 corpus-prep pipeline fuses: shuffles only at dedup window and final agg") {
+    val plan = QueriesPipeline.corpusPrep(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // quality filter + sampling are narrow (fused into the scans/window);
+    // expected exchanges: dedup window partitioning, final agg hash
+    // partitioning, and the output sort — anything more means a stage leaked
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"$exchanges exchanges:\n$plan")
+  }
+
   test("partitioned corpus layout: filters prune partition directories") {
     val outPath = java.nio.file.Files.createTempDirectory("graft_part")
     val out = outPath.toString
