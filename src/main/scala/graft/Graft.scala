@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import graft.operators._
+import graft.functions._
+
+/** One-stop facade over the engine's operator set — the entry point a
+  * user migrating off the reference pipeline works against. Every method
+  * delegates to the package that owns the implementation (and its specs);
+  * nothing here adds behavior.
+  *
+  * {{{
+  * import graft.Graft
+  * val kpi      = Graft.kpi(bitacoraDf)                     // stage [3]
+  * val report   = Graft.htmlReport(kpi, umbralP90 = 300)    // stage [4]
+  * val sigs     = Graft.minHashSignatures(docs, "doc_id", "text")
+  * val pairs    = Graft.lshCandidatePairs(sigs, "doc_id")
+  * val clusters = Graft.dedupClusters(pairs, "id_a", "id_b")
+  * val sample   = Graft.stratifiedSample(docs, "source", "doc_id", rates)
+  * }}}
+  */
+object Graft {
+
+  // --- the reference pipeline (stages [2]-[4]) ---
+  def syntheticBitacora(spark: org.apache.spark.sql.SparkSession,
+      n: Long, seed: Long = 42L): DataFrame =
+    gen.SyntheticBitacora.generate(spark, n, seed)
+  def kpi(bitacora: DataFrame, crossEngineExact: Boolean = false): DataFrame =
+    ops.Kpi.bitacoraKpi(bitacora, crossEngineExact = crossEngineExact)
+  def htmlReport(kpi: DataFrame, umbralP90: Double): String =
+    report.Report.buildReport(kpi, umbralP90)
+
+  // --- dedup ladder ---
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.exactDedup(df, idCol, textCol)
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numPerm: Int = 64, shingleN: Int = 3): DataFrame =
+    Dedup.minHashSignatures(df, idCol, textCol, numPerm, shingleN)
+  def lshCandidatePairs(signatures: DataFrame, idCol: String,
+      numPerm: Int = 64, bands: Int = 16, maxBucketSize: Int = 200): DataFrame =
+    Dedup.lshCandidatePairs(signatures, idCol, numPerm, bands, maxBucketSize)
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.simHash(df, idCol, textCol)
+  def simHashNearDups(fp: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
+    Dedup.simHashNearDups(fp, idCol, maxHamming)
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double): DataFrame =
+    Dedup.jaccardPairs(df, idCol, textCol, minJaccard)
+  def dedupClusters(pairs: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    ConnectedComponents.dedupClusters(pairs, srcCol, dstCol)
+
+  // --- similarity search ---
+  def knn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    Similarity.bruteForceKnn(corpus, queries, k)
+  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+      nPlanes: Int = 16): DataFrame =
+    Similarity.lshKnn(corpus, queries, k, nPlanes)
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
+    Similarity.ivfKnn(corpus, queries, k, nCentroids, nProbe)
+  def cosineNearDups(corpus: DataFrame, minCosine: Double): DataFrame =
+    Similarity.cosineNearDups(corpus, minCosine)
+
+  // --- text analysis ---
+  def langId(c: Column): Column = TextFunctions.langId(c)
+  def qualityMetrics(c: Column): Column = TextFunctions.qualityMetrics(c)
+  def tokenCountWs(c: Column): Column = TextFunctions.tokenCountWs(c)
+  def tokenCountBpe(c: Column): Column = TextFunctions.tokenCountBpe(c)
+  def piiScrub(c: Column): Column = TextFunctions.piiScrub(c)
+  def fingerprint(c: Column): Column = RollingHashExpression.rollingHash(c)
+
+  // --- selection / sizing ---
+  def sample(df: DataFrame, keyCol: String, rate: Double): DataFrame =
+    Sampling.lehmerSample(df, keyCol, rate)
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+      rates: Map[String, Double]): DataFrame =
+    Sampling.stratifiedLehmerSample(df, strataCol, keyCol, rates)
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      orderBy: Seq[Column], k: Int): DataFrame =
+    TopK.perGroup(df, groupCols, orderBy, k)
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    TfIdf.topTerms(df, idCol, textCol, k)
+  def bloomSemiJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, expectedItems: Long): DataFrame =
+    BloomJoin.bloomSemiJoin(left, right, leftKey, rightKey, expectedItems)
+
+  // --- temporal / relational extensions ---
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, valueCols: Seq[String],
+      strict: Boolean = false): DataFrame =
+    AsOfJoin.asOf(left, right, key, leftTime, rightTime, valueCols, strict)
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame =
+    Sessionize.userSessionStats(events, userCol, tsCol, idCol, gapSeconds)
+}

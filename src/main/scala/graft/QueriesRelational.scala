@@ -96,14 +96,25 @@ object QueriesRelational {
     val c = Tables.customer(spark, sfDir)
     val n = Tables.nation(spark, sfDir)
     val r = Tables.region(spark, sfDir)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    // pre-aggregate the fact table on the join key BEFORE the joins:
+    // orders.o_orderkey is unique, so after the join each row IS one
+    // distinct order and n_orders = count(1) — no countDistinct, whose
+    // expand-based plan doubles every row through the aggregation
+    // shuffle (the exact thing to avoid with a 100 TB fact table). The
+    // revenue sum is decimal-exact, so re-associating it across the
+    // pre-agg is value-identical.
+    val liByOrder = li.groupBy(col("l_orderkey"))
+      .agg(expr(
+        "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))")
+        .as("order_revenue"))
+    liByOrder.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)").as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"))
+        sum(col("order_revenue")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
