@@ -23,7 +23,7 @@ object Graft {
 
   // --- the reference pipeline (stages [2]-[4]) ---
   def syntheticBitacora(spark: org.apache.spark.sql.SparkSession,
-      n: Long, seed: Long = 42L): DataFrame =
+      n: Long, seed: Long): DataFrame =
     gen.SyntheticBitacora.generate(spark, n, seed)
   def kpi(bitacora: DataFrame, crossEngineExact: Boolean = false): DataFrame =
     ops.Kpi.bitacoraKpi(bitacora, crossEngineExact = crossEngineExact)
@@ -31,18 +31,20 @@ object Graft {
     report.Report.buildReport(kpi, umbralP90)
 
   // --- dedup ladder ---
+  // (tuning knobs deliberately NOT restated here: each delegate uses its
+  // operator's own defaults, so a tuned default can never silently drift
+  // between the facade and the implementation — drop to the operator
+  // object for the full parameter surface)
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.exactDedup(df, idCol, textCol)
-  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      numPerm: Int = 64, shingleN: Int = 3): DataFrame =
-    Dedup.minHashSignatures(df, idCol, textCol, numPerm, shingleN)
-  def lshCandidatePairs(signatures: DataFrame, idCol: String,
-      numPerm: Int = 64, bands: Int = 16, maxBucketSize: Int = 200): DataFrame =
-    Dedup.lshCandidatePairs(signatures, idCol, numPerm, bands, maxBucketSize)
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.minHashSignatures(df, idCol, textCol)
+  def lshCandidatePairs(signatures: DataFrame, idCol: String): DataFrame =
+    Dedup.lshCandidatePairs(signatures, idCol)
   def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.simHash(df, idCol, textCol)
-  def simHashNearDups(fp: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame =
-    Dedup.simHashNearDups(fp, idCol, maxHamming)
+  def simHashNearDups(fp: DataFrame, idCol: String): DataFrame =
+    Dedup.simHashNearDups(fp, idCol)
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double): DataFrame =
     Dedup.jaccardPairs(df, idCol, textCol, minJaccard)
@@ -52,12 +54,10 @@ object Graft {
   // --- similarity search ---
   def knn(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
     Similarity.bruteForceKnn(corpus, queries, k)
-  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int,
-      nPlanes: Int = 16): DataFrame =
-    Similarity.lshKnn(corpus, queries, k, nPlanes)
-  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 2): DataFrame =
-    Similarity.ivfKnn(corpus, queries, k, nCentroids, nProbe)
+  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    Similarity.lshKnn(corpus, queries, k)
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    Similarity.ivfKnn(corpus, queries, k)
   def cosineNearDups(corpus: DataFrame, minCosine: Double): DataFrame =
     Similarity.cosineNearDups(corpus, minCosine)
 

@@ -24,8 +24,12 @@ object Queries {
     Q("q04_report_global", QueriesKpi.reportGlobal, Some(QueriesKpi.reportGlobalSql)),
     Q("q05_normalize_endpoints", QueriesKpi.normalizeEndpoints,
       Some(QueriesKpi.normalizeEndpointsSql), bench = false),
+    // bench=false: the exact GLOBAL percentile gathers every raw value
+    // into one final aggregation buffer by design (it exists to quantify
+    // the p90-of-p90 approximation error) — not a scale-representative
+    // headline; q53 carries the approx-sketch bench story
     Q("q57_global_p90_exact", QueriesKpi.globalP90Exact,
-      Some(QueriesKpi.globalP90ExactSql)),
+      Some(QueriesKpi.globalP90ExactSql), bench = false),
 
     // --- Relational suite on the TPC-H-ish corpus ---
     Q("q10_pricing_summary", QueriesRelational.pricingSummary,

@@ -22,12 +22,21 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must not leave a STALE result from an earlier run
         // sitting where the checker would read it as current (it would
-        // mask the failure as a value mismatch — or worse, a false pass)
-        val dir = Paths.get(s"$outDir/$name")
-        if (Files.exists(dir)) {
-          import scala.jdk.CollectionConverters._
-          Files.walk(dir).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
+        // mask the failure as a value mismatch — or worse, a false pass).
+        // The cleanup itself must never escape this handler: one query's
+        // failure aborting the loop would zero the whole round.
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir)) {
+            val walk = Files.walk(dir)
+            try {
+              import scala.jdk.CollectionConverters._
+              walk.iterator().asScala.toSeq.reverse
+                .foreach(p => Files.deleteIfExists(p))
+            } finally walk.close()
+          }
+        } catch { case c: Throwable =>
+          System.err.println(s"[verify] $name stale-cleanup failed: ${c.getMessage}")
         }
       }
     }

@@ -81,9 +81,14 @@ class PropertySpec extends AnyFunSuite {
         .toDF("k", "t", "lid")
       val rDf = right.map { case (k, t) => (k, t, t * 1000.0 + k.hashCode % 7) }
         .toDF("k", "t", "v")
-      val got = graft.operators.AsOfJoin
+      val collected = graft.operators.AsOfJoin
         .asOf(lDf, rDf, "k", "t", "t", Seq("v"), strict)
         .select($"lid", $"v").collect()
+      // LEFT cardinality: exactly one output row per left row (a duplicate
+      // would vanish in the map below and escape the value checks)
+      assert(collected.length == left.size,
+        s"cardinality ${collected.length} != ${left.size} strict=$strict")
+      val got = collected
         .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Double])).toMap
       left.zipWithIndex.foreach { case ((k, t), i) =>
         val want = right
