@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashSignatureExpression, RollingHashExpression, SimHashExpression}
+import graft.functions.{CosineSimilarityExpression, HyperplaneBucketExpression, L2SqExpression, MinHashSignatureExpression, RollingHashExpression, SimHashExpression}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to plain SQL. Install at build time
@@ -20,6 +20,9 @@ import graft.functions.{MinHashSignatureExpression, RollingHashExpression, SimHa
   *    .MinHashSignatureExpression, codegen'd, zero-shuffle).
   *  - `simhash(tokens)` → LONG 64-bit SimHash fingerprint of a token
   *    array (graft.functions.SimHashExpression, codegen'd, zero-shuffle).
+  *  - `cosine_sim(a, b)` / `l2_sq(a, b)` → DOUBLE vector kernels over
+  *    ARRAY<DOUBLE> embeddings; `hyperplane_bucket(emb, nPlanes)` → LONG
+  *    LSH bucket (graft.functions.VectorExpressions, codegen'd).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -69,6 +72,25 @@ object GraftExtensions {
       { args: Seq[Expression] =>
         require(args.length == 1, "simhash(tokens) takes exactly 1 argument")
         SimHashExpression(args.head)
+      }),
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSimilarityExpression].getName, "cosine_sim"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "cosine_sim(a, b) takes exactly 2 arguments")
+        CosineSimilarityExpression(args.head, args(1))
+      }),
+    ("l2_sq",
+      new ExpressionInfo(classOf[L2SqExpression].getName, "l2_sq"),
+      { args: Seq[Expression] =>
+        require(args.length == 2, "l2_sq(a, b) takes exactly 2 arguments")
+        L2SqExpression(args.head, args(1))
+      }),
+    ("hyperplane_bucket",
+      new ExpressionInfo(classOf[HyperplaneBucketExpression].getName, "hyperplane_bucket"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "hyperplane_bucket(emb, nPlanes) takes exactly 2 arguments")
+        HyperplaneBucketExpression(args.head, intLit(args(1), "nPlanes", 1))
       }))
 
   /** Register on an already-built session (tests, REPLs). */

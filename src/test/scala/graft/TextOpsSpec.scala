@@ -203,6 +203,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("rolling_hash"), plan)
   }
 
+  test("vector kernels registered for SQL via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       l2_sq(array(0.0d, 3.0d), array(4.0d, 0.0d)) AS l,
+        |       hyperplane_bucket(array(1.0d, 2.0d), 8) AS b""".stripMargin)
+      .collect().head
+    assert(got.getAs[Double]("c") == 1.0)
+    assert(got.getAs[Double]("l") == 25.0)
+    assert(got.getAs[Long]("b") >= 0L && got.getAs[Long]("b") < 256L)
+  }
+
   test("cosine similarity column matches manual computation") {
     val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
     val got = df.select(VectorFunctions.cosineSimilarity($"a", $"b")).as[Double].collect().head
