@@ -31,7 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // shuffle/spill/checkpoint files on tmpfs when available: the container's
   // virtual disk has multi-second IO stalls under load that randomly
   // inflate query times; RAM is sized far above any local-mode spill this
-  // corpus makes. Skipped on hosts without /dev/shm (macOS, Windows).
-  if (file("/dev/shm").isDirectory) Seq("-Dspark.local.dir=/dev/shm/graft-spark")
+  // corpus makes. Gated on usable space, not bare existence — Docker caps
+  // /dev/shm at 64 MB by default, and spilling into a full tmpfs fails with
+  // confusing no-space-left errors. Skipped on macOS/Windows (no /dev/shm).
+  val shm = file("/dev/shm")
+  if (shm.isDirectory && shm.getUsableSpace > 8L * 1024 * 1024 * 1024)
+    Seq("-Dspark.local.dir=/dev/shm/graft-spark")
   else Seq.empty
 }

@@ -40,14 +40,15 @@ object GraftExtensions {
       "rolling_hash(str[, prime]) takes 1 or 2 arguments (prime must be a literal)")
   }
 
-  private def intLit(e: Expression, what: String, min: Int): Int = {
+  private def intLit(e: Expression, what: String, min: Int,
+      max: Int = Int.MaxValue): Int = {
     require(e.foldable, s"$what must be a literal")
     val v = e.eval() match {
       case n: Number => n.intValue()
       case other => throw new IllegalArgumentException(
         s"$what must be an integer literal, got: $other")
     }
-    require(v >= min, s"$what must be >= $min, got $v")
+    require(v >= min && v <= max, s"$what must be in [$min, $max], got $v")
     v
   }
 
@@ -90,7 +91,9 @@ object GraftExtensions {
       { args: Seq[Expression] =>
         require(args.length == 2,
           "hyperplane_bucket(emb, nPlanes) takes exactly 2 arguments")
-        HyperplaneBucketExpression(args.head, intLit(args(1), "nPlanes", 1))
+        // 63-plane ceiling: bucket bits live in one Long, so plane p > 63
+        // would wrap `1L << p` mod 64 and silently collide buckets
+        HyperplaneBucketExpression(args.head, intLit(args(1), "nPlanes", 1, 63))
       }))
 
   /** Register on an already-built session (tests, REPLs). */

@@ -382,13 +382,16 @@ object QueriesPipeline {
         expectedItems = 100000L)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"),
-        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        // cast to double post-sum: Spark's sum widens to DECIMAL(28,2) while
+        // DuckDB widens to DECIMAL(38,2), so the raw decimal hash-mismatches
+        // even when values agree (same canonicalization as q10/q12).
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag"))
   }
 
   val bloomSemiJoinSql: String =
     """SELECT l_returnflag, count(*) AS n_items,
-      |       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem
       |WHERE EXISTS (SELECT 1 FROM orders
       |              WHERE o_orderkey = l_orderkey

@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftbridge.SqlBridge.AbstractDataType
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial rolling hash (h = h·prime + byte, mod 2^64 via Long overflow)
@@ -16,8 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen span around the scan projection — measurably slower at scale).
   */
 case class RollingHashExpression(child: Expression, prime: Long)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  // analysis-time coercion: non-string children cast to string rather than
+  // ClassCastException-ing on executors
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
   // deterministic pure function of the child: lets Catalyst's

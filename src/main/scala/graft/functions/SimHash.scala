@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftbridge.SqlBridge.AbstractDataType
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** 64-bit SimHash fingerprint of a token array as ONE scalar expression —
   * majority vote of token-hash bits, occurrence-weighted (a token counted
@@ -18,8 +19,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * the fingerprint set iff strictly more tokens have bit j set than
   * clear (ties → 0, matching `sum > 0`).
   */
-case class SimHashExpression(child: Expression) extends UnaryExpression {
+case class SimHashExpression(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
+  // analysis-time input check: a non-array child would otherwise pass the
+  // analyzer and ClassCastException on executors
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash"
   override def foldable: Boolean = child.foldable

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.graftbridge.SqlBridge.AbstractDataType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native codegen'd kernels for the dense-vector hot loops.
   *
@@ -73,6 +74,8 @@ object VectorKernels {
     * Component-inner loop keeps each plane's accumulation order identical
     * to the per-plane left-to-right fold. */
   def hyperplaneBucket(emb: ArrayData, nPlanes: Int): Long = {
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"hyperplane_bucket: nPlanes must be in [1, 63], got $nPlanes")
     val t = emb.numElements()
     var c = 0
     while (c < t) { checkNotNull(emb, c, "hyperplane_bucket"); c += 1 }
@@ -103,7 +106,12 @@ object VectorKernels {
 }
 
 case class CosineSimilarityExpression(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  // analysis-time coercion: without this, cosine_sim(array(1,2), ...) over
+  // an int array passes the analyzer but getDouble reinterprets 4-byte
+  // slots as doubles — silently wrong numbers (int arrays now coerce).
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -116,7 +124,9 @@ case class CosineSimilarityExpression(left: Expression, right: Expression)
 }
 
 case class L2SqExpression(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "l2_sq"
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -129,7 +139,12 @@ case class L2SqExpression(left: Expression, right: Expression)
 }
 
 case class HyperplaneBucketExpression(child: Expression, nPlanes: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  // bucket bits live in one Long: plane p sets bit p, so more than 63
+  // planes would wrap `1L << p` mod 64 and silently collide buckets
+  require(nPlanes >= 1 && nPlanes <= 63,
+    s"nPlanes must be in [1, 63], got $nPlanes")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = LongType
   override def prettyName: String = "hyperplane_bucket"
   override def nullSafeEval(input: Any): Any =

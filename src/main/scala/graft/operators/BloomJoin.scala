@@ -27,12 +27,29 @@ object BloomJoin {
   /** Exact left-semi join of `left` on `leftKey` against `right.rightKey`,
     * bloom-prefiltered. Keys must be integral (LongType-compatible).
     *
+    * Broadcast lifetime: the sketch broadcast must outlive the RETURNED
+    * DataFrame (lazy — any later action re-evaluates the filter), so this
+    * method cannot destroy it. On a long-lived session issuing many bloom
+    * joins, either reuse one returned frame per key-set, or when a result
+    * is final, materialize it and release the block yourself:
+    * `val (df, bc) = bloomSemiJoinManaged(...); df.write...; bc.destroy()`.
+    *
     * @param expectedItems sizing for the sketch (≈ |distinct right keys|)
     * @param fpp           false-positive rate: space/selectivity trade */
   def bloomSemiJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long, fpp: Double = 0.01): DataFrame =
+    bloomSemiJoinManaged(left, right, leftKey, rightKey, expectedItems, fpp)._1
+
+  /** [[bloomSemiJoin]] plus the sketch broadcast handle, for callers who
+    * need to release the broadcast block (`bc.destroy()`) once the frame
+    * is materialized — see the lifetime note above. */
+  def bloomSemiJoinManaged(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      expectedItems: Long, fpp: Double = 0.01)
+      : (DataFrame, org.apache.spark.broadcast.Broadcast[BloomFilter]) = {
     val spark = left.sparkSession
     val filter: BloomFilter =
       right.stat.bloomFilter(rightKey, expectedItems, fpp)
@@ -41,7 +58,8 @@ object BloomJoin {
     // rename the build-side key before joining: a bare col(rightKey) would
     // be ambiguous whenever leftKey and rightKey share a name
     val keys = right.select(col(rightKey).as("__bloom_join_key"))
-    left.filter(mightContain(col(leftKey).cast("long")))
+    val out = left.filter(mightContain(col(leftKey).cast("long")))
       .join(keys, col(leftKey) === col("__bloom_join_key"), "left_semi")
+    (out, bc)
   }
 }
