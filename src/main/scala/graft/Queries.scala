@@ -66,6 +66,12 @@ object Queries {
       Some(QueriesRelational.pivotOrderPrioritiesSql)),
     Q("q26_grouping_sets", QueriesRelational.groupingSetsQuantities,
       Some(QueriesRelational.groupingSetsQuantitiesSql)),
+    Q("q27_cube_quantities", QueriesAnalytics.cubeQuantities,
+      Some(QueriesAnalytics.cubeQuantitiesSql)),
+    Q("q28_window_suite", QueriesAnalytics.windowSuite,
+      Some(QueriesAnalytics.windowSuiteSql)),
+    Q("q29_stats_summary", QueriesAnalytics.statsSummary,
+      Some(QueriesAnalytics.statsSummarySql)),
 
     // --- Training-data pipeline: dedup / similarity / text / sessions ---
     Q("q30_dedup_exact", QueriesText.dedupExact, Some(QueriesText.dedupExactSql)),
@@ -79,7 +85,8 @@ object Queries {
     Q("q36_lang_id", QueriesText.langId, Some(QueriesText.langIdSql)),
     Q("q37_text_quality", QueriesText.textQuality, Some(QueriesText.textQualitySql)),
     Q("q38_token_counts", QueriesText.tokenCounts, Some(QueriesText.tokenCountsSql)),
-    Q("q39_fingerprints", QueriesText.fingerprints, None),
+    Q("q39_fingerprints", QueriesText.fingerprints,
+      Some(QueriesText.fingerprintsSql)),
     Q("q40_sessionize", QueriesText.sessionize, Some(QueriesText.sessionizeSql)),
     Q("q41_knn_lsh", QueriesText.knnLsh, None),
     Q("q42_embedding_near_dups", QueriesText.embeddingNearDups,
@@ -110,7 +117,27 @@ object Queries {
     Q("q55_vocabulary", QueriesPipeline.vocabulary,
       Some(QueriesPipeline.vocabularySql)),
     Q("q56_corpus_prep", QueriesPipeline.corpusPrep,
-      Some(QueriesPipeline.corpusPrepSql))
+      Some(QueriesPipeline.corpusPrepSql)),
+
+    // --- Analytics wave 2: optimizer shapes + remaining dimensions ---
+    Q("q58_correlated_above_avg", QueriesAnalytics.correlatedAboveAvg,
+      Some(QueriesAnalytics.correlatedAboveAvgSql)),
+    Q("q59_parts_supply_star", QueriesAnalytics.partsSupplyStar,
+      Some(QueriesAnalytics.partsSupplyStarSql)),
+    Q("q60_trigram_repetition", QueriesAnalytics.trigramRepetition,
+      Some(QueriesAnalytics.trigramRepetitionSql)),
+    Q("q61_hourly_event_rollup", QueriesAnalytics.hourlyEventRollup,
+      Some(QueriesAnalytics.hourlyEventRollupSql)),
+    Q("q62_array_hof_stats", QueriesAnalytics.arrayHofStats,
+      Some(QueriesAnalytics.arrayHofStatsSql)),
+    Q("q63_argmax_top_order", QueriesAnalytics.argmaxTopOrder,
+      Some(QueriesAnalytics.argmaxTopOrderSql)),
+    Q("q64_unpivot_buckets", QueriesAnalytics.unpivotBuckets,
+      Some(QueriesAnalytics.unpivotBucketsSql)),
+    Q("q65_salted_skew_join", QueriesAnalytics.saltedSkewJoin,
+      Some(QueriesAnalytics.saltedSkewJoinSql)),
+    Q("q66_multimodal_meta", QueriesAnalytics.multimodalMeta,
+      Some(QueriesAnalytics.multimodalMetaSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -217,7 +217,10 @@ object QueriesText {
 
   // ------------------------------------------------------------------
   // q39 — rolling-hash document fingerprints (custom Catalyst Expression
-  // with codegen; rows-only — no 64-bit overflow loop in DuckDB SQL).
+  // with codegen). Oracle: DuckDB replays the mod-2^64 multiply-add loop
+  // in HUGEINT via list_reduce over the codepoints (== UTF-8 bytes — the
+  // corpus is ASCII), then converts the unsigned residue to the signed
+  // Long the JVM's overflow arithmetic produces.
   // ------------------------------------------------------------------
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
@@ -225,6 +228,21 @@ object QueriesText {
         RollingHashExpression.rollingHash(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
   }
+
+  val fingerprintsSql: String =
+    """WITH h0 AS (
+      |  SELECT doc_id,
+      |         list_reduce(
+      |           list_prepend(1125899906842597::HUGEINT,
+      |             list_transform(range(1, length(text) + 1),
+      |                            i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+      |           (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |                 THEN hu - 18446744073709551616::HUGEINT
+      |                 ELSE hu END AS BIGINT) AS fingerprint
+      |FROM h0 ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------------
   // q40 — gap sessionization of the event stream (30-minute gap).

@@ -54,4 +54,34 @@ object SkewSalt {
       .groupBy(keyCols.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
   }
+
+  /** Salted inner equi-join for a skewed FACT key against a medium build
+    * side that is too large to broadcast: the fact side spreads each key
+    * over `numSalts` subkeys, the build side is replicated once per salt,
+    * and the join runs on (key, salt) — so a hot key's rows land on
+    * `numSalts` reducers instead of one.
+    *
+    * The salt comes from `monotonically_increasing_id()` (nondeterministic
+    * across repartitions), but every fact row still meets exactly the one
+    * build replica carrying its salt, so the JOIN RESULT is identical to
+    * the unsalted join regardless of salt assignment (asserted in the
+    * spec and by q65's plain-join oracle).
+    *
+    * Cost model: replicates the build side `numSalts`× through the
+    * shuffle — worth it only when build ≪ fact (else prefer AQE's
+    * runtime skew-join splitting, which this operator makes explicit). */
+  def saltedJoin(
+      fact: DataFrame, build: DataFrame,
+      factKey: String, buildKey: String, numSalts: Int = 8): DataFrame = {
+    require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
+    val saltedFact = fact.withColumn("skew_salt",
+      pmod(monotonically_increasing_id(), lit(numSalts.toLong)))
+    val replicated = build.withColumn("skew_salt",
+      explode(sequence(lit(0L), lit(numSalts.toLong - 1))))
+    saltedFact
+      .join(replicated,
+        saltedFact(factKey) === replicated(buildKey) &&
+          saltedFact("skew_salt") === replicated("skew_salt"))
+      .drop("skew_salt")
+  }
 }
