@@ -106,6 +106,47 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("q58 correlated subquery decorrelates: aggregate + join, no per-row subquery") {
+    val plan = QueriesAnalytics.correlatedAboveAvg(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // Catalyst must rewrite the scalar subquery into a per-customer
+    // aggregate joined back — a surviving ScalarSubquery in the physical
+    // plan would mean one subquery execution per row
+    assert(!plan.contains("ScalarSubquery"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("q59 star join: all three dimensions broadcast, fact side never shuffles pre-agg") {
+    val plan = QueriesAnalytics.partsSupplyStar(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 3, plan)
+    // only exchanges: final agg partitioning + output sort (+ broadcasts)
+    assert(!plan.contains("Exchange hashpartitioning(l_"), plan)
+  }
+
+  test("q60 trigram stats are map-only before the output sort") {
+    val plan = QueriesAnalytics.trigramStats(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("q62 array HOFs run inside whole-stage codegen, no shuffle before sort") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val noSort = e.select(size(filter(col("embedding"), v => v > lit(0.0f))).as("n"))
+    val plan = noSort.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("q63 argmax-by-struct plans as one partial/final agg, no window sort") {
+    val plan = QueriesAnalytics.argmaxTopOrder(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // one hash-partitioned exchange for the agg + one range for the sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+  }
+
   test("IVF knn: perfect recall on planted exact duplicates, bounded candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 5)
