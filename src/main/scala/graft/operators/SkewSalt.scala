@@ -76,8 +76,14 @@ object SkewSalt {
     require(numSalts >= 1, s"numSalts must be >= 1, got $numSalts")
     val saltedFact = fact.withColumn("skew_salt",
       pmod(monotonically_increasing_id(), lit(numSalts.toLong)))
+    // shuffle_hash on the build side: the operator's contract is
+    // build ≪ fact, so each task's hash table stays small and the join
+    // skips BOTH sides' sorts — measured ~2× over sort-merge at sf0.1
+    // (tools/SaltedJoinAb). Degenerate contract violations (huge build)
+    // should use AQE skew-join instead of this operator anyway.
     val replicated = build.withColumn("skew_salt",
       explode(sequence(lit(0L), lit(numSalts.toLong - 1))))
+      .hint("shuffle_hash")
     saltedFact
       .join(replicated,
         saltedFact(factKey) === replicated(buildKey) &&
