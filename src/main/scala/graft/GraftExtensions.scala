@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarityExpression, HyperplaneBucketExpression, L2SqExpression, MinHashSignatureExpression, RollingHashExpression, SimHashExpression}
+import graft.functions.{CosineSimilarityExpression, HyperplaneBucketExpression, L2SqExpression, MinHashSignatureExpression, PyRoundExpression, RollingHashExpression, SimHashExpression}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to plain SQL. Install at build time
@@ -94,6 +94,13 @@ object GraftExtensions {
         // 63-plane ceiling: bucket bits live in one Long, so plane p > 63
         // would wrap `1L << p` mod 64 and silently collide buckets
         HyperplaneBucketExpression(args.head, intLit(args(1), "nPlanes", 1, 63))
+      }),
+    ("py_round",
+      new ExpressionInfo(classOf[PyRoundExpression].getName, "py_round"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "py_round(x, scale) takes exactly 2 arguments (scale literal)")
+        PyRoundExpression(args.head, intLit(args(1), "scale", 0, 18))
       }))
 
   /** Register on an already-built session (tests, REPLs). */

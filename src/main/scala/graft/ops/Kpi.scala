@@ -10,7 +10,7 @@ import org.apache.spark.sql.types._
   * Logical plan (one shuffle):
   *   scan → null-guard filter (P1) → key derivation (P2/P3) + lenient casts
   *   (P4-P6) → hash aggregate A1-A6 (partial+final around an Exchange on the
-  *   group key) → bround 2dp (P11, half-even like Python's round) → sort (O1).
+  *   group key) → py_round 2dp (P11, CPython-identical half-even) → sort (O1).
   *
   * Scale notes: the only non-streaming aggregate is the exact percentile
   * (`Percentile`, ObjectHashAggregate — buffers values per group, same cost
@@ -77,7 +77,8 @@ object Kpi {
     *
     * Two output modes:
     *  - faithful (default): reference contract — plain double avg, both
-    *    metrics `bround`ed to 2 dp half-even like Python's round (P11).
+    *    metrics rounded to 2 dp with CPython's exact-binary half-even
+    *    (`py_round`, P11).
     *  - crossEngineExact: no rounding; avg is computed from an exact
     *    DECIMAL(18,2) sum (elapsed values are 2-dp by contract) divided in
     *    double — every emitted double is then bit-identical across engines
@@ -96,8 +97,12 @@ object Kpi {
       if (crossEngineExact)
         sum(col("elapsed_ms").cast("decimal(18,2)")).cast("double") / count(lit(1))
       else avg(col("elapsed_ms"))
+    // py_round, not bround: Python rounds the exact binary double, bround
+    // rounds its shortest decimal repr — they disagree on values like
+    // 696.515 (see PyRoundExpression scaladoc; caught by the parity gate)
     val round2: Column => Column =
-      if (crossEngineExact) identity else (c => bround(c, 2))
+      if (crossEngineExact) identity
+      else (c => graft.functions.PyRoundExpression.pyRound(c, 2))
     normalized
       .groupBy(col("date_utc"), col("endpoint_base"))
       .agg(

@@ -2,6 +2,7 @@ package graft.report
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import graft.functions.PyRoundExpression.pyRound
 
 /** Stage [4] — the reporting query + HTML sink
   * (/root/reference/src/generar_reporte.py), reference-faithful tier:
@@ -24,12 +25,12 @@ object Report {
       .select(
         col("total_requests"),
         when(col("total_requests") > 0,
-          bround(col("total_2xx") * lit(100.0) / col("total_requests"), 2))
+          pyRound(col("total_2xx") * lit(100.0) / col("total_requests"), 2))
           .otherwise(0.0).as("pct_2xx"),
         when(col("total_requests") > 0,
-          bround(col("total_err") * lit(100.0) / col("total_requests"), 2))
+          pyRound(col("total_err") * lit(100.0) / col("total_requests"), 2))
           .otherwise(0.0).as("pct_err"),
-        bround(col("p90_raw"), 2).as("p90_global_aprox"))
+        pyRound(col("p90_raw"), 2).as("p90_global_aprox"))
 
   /** A9/A10/P9/P10/P11/O2 — per-endpoint table with weighted means, percent
     * columns, and the alerta_p90 threshold flag (generar_reporte.py:34-68,
@@ -48,11 +49,11 @@ object Report {
       .select(
         col("endpoint_base"), col("requests_total"), col("success_2xx"),
         col("client_4xx"), col("server_5xx"), col("parse_errors"),
-        bround(col("avg_w"), 2).as("avg_elapsed_ms"),
-        bround(col("p90_w"), 2).as("p90_elapsed_ms"),
-        bround(col("success_2xx") * lit(100.0) / col("requests_total"), 2).as("pct_2xx"),
-        bround((col("client_4xx") + col("server_5xx")) * lit(100.0) / col("requests_total"), 2).as("pct_err"),
-        when(bround(col("p90_w"), 2) > umbralP90, "SI").otherwise("NO").as("alerta_p90"))
+        pyRound(col("avg_w"), 2).as("avg_elapsed_ms"),
+        pyRound(col("p90_w"), 2).as("p90_elapsed_ms"),
+        pyRound(col("success_2xx") * lit(100.0) / col("requests_total"), 2).as("pct_2xx"),
+        pyRound((col("client_4xx") + col("server_5xx")) * lit(100.0) / col("requests_total"), 2).as("pct_err"),
+        when(pyRound(col("p90_w"), 2) > umbralP90, "SI").otherwise("NO").as("alerta_p90"))
       .orderBy(col("requests_total").desc, col("endpoint_base"))
   }
 

@@ -94,6 +94,34 @@ class KpiSpec extends AnyFunSuite {
     assert(kpi.getAs[Double]("avg_elapsed_ms") == 0.12)
   }
 
+  test("P11 py_round reproduces CPython round() on binary-vs-decimal tie cases") {
+    import graft.functions.PyRoundExpression
+    // ground truth from CPython 3.11: round(v, 2) — includes the cases where
+    // bround (decimal-string half-even) disagrees with Python (binary value):
+    // 696.515 is binary 696.51499…, 2.675 is 2.67499…, 1.005 is 1.00499…
+    val cases = Seq(
+      696.515 -> 696.51, 0.125 -> 0.12, 2.675 -> 2.67, 0.135 -> 0.14,
+      1.005 -> 1.0, 33.555 -> 33.55, -0.125 -> -0.12, -2.675 -> -2.67,
+      417.23 -> 417.23, 100.0 -> 100.0, 0.0 -> 0.0)
+    for ((in, want) <- cases)
+      assert(PyRoundExpression.round(in, 2) == want, s"py_round($in, 2)")
+    // bround demonstrably differs on the flagship case (this is WHY the
+    // faithful tier uses py_round):
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(696.515).toDF("x")
+    val b = df.select(org.apache.spark.sql.functions.bround($"x", 2)).as[Double].head()
+    assert(b == 696.52) // bround: decimal-string tie → up to even
+    val p = df.select(PyRoundExpression.pyRound($"x", 2)).as[Double].head()
+    assert(p == 696.51) // py_round: binary value below the tie → down
+    // NaN/Infinity pass through (BigDecimal would throw)
+    assert(PyRoundExpression.round(Double.NaN, 2).isNaN)
+    assert(PyRoundExpression.round(Double.PositiveInfinity, 2).isPosInfinity)
+    // and the SQL registration works
+    GraftExtensions.register(spark)
+    assert(spark.sql("SELECT py_round(696.515, 2) AS r").as[Double].head() == 696.51)
+  }
+
   test("A9 weighted re-aggregation identity: weighted mean of unrounded " +
       "daily means equals the endpoint-global mean") {
     val df = Tables.events(spark, "/root/testdata/sf0.001")
