@@ -30,13 +30,21 @@ object QueriesAnalytics {
   // -------------------------------------------------------------------
   def cubeQuantities(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    li.cube(col("l_returnflag"), col("l_linestatus"))
+    // re-aggregatable aggregates → cube over a pre-aggregated |flag×status|
+    // base instead of Expand-ing every fact row ×4 (same at-scale reasoning
+    // as q20's rollup; decimal sums re-associate exactly)
+    val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("b_qty"),
+        count(lit(1)).as("b_rows"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)))").as("b_price"))
+    base.cube(col("l_returnflag"), col("l_linestatus"))
       .agg(
         grouping(col("l_returnflag")).cast("int").as("g_flag"),
         grouping(col("l_linestatus")).cast("int").as("g_status"),
-        sum(col("l_quantity")).as("sum_qty"),
-        count(lit(1)).as("n_rows"),
-        decSum("l_extendedprice").as("sum_price"))
+        sum(col("b_qty")).as("sum_qty"),
+        sum(col("b_rows")).as("n_rows"),
+        sum(col("b_price")).cast("double").as("sum_price"))
       .select(
         col("g_flag"), col("g_status"),
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),

@@ -282,15 +282,26 @@ object QueriesRelational {
       |ORDER BY o_custkey""".stripMargin
 
   // -------------------------------------------------------------------
-  // q20 — rollup (grouping sets): subtotals + grand total.
+  // q20 — rollup (grouping sets): subtotals + grand total. All three
+  // aggregates are re-aggregatable (sums/counts), so the rollup runs on a
+  // pre-aggregated base of |flag×status| rows instead of Expand-ing every
+  // fact row ×3 through the partial aggregate: at 100 TB the Expand would
+  // triple the rows entering aggregation; the base-first form scans once,
+  // shuffles ~6 rows per partition, and the rollup itself is free.
+  // (Decimal sums re-associate exactly, so the result is bit-identical.)
   // -------------------------------------------------------------------
   def rollupQuantities(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    li.rollup(col("l_returnflag"), col("l_linestatus"))
+    val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity")).as("sum_qty"),
-        count(lit(1)).as("n_rows"),
-        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_price"))
+        sum(col("l_quantity")).as("b_qty"),
+        count(lit(1)).as("b_rows"),
+        expr("sum(CAST(l_extendedprice AS DECIMAL(18,2)))").as("b_price"))
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("b_qty")).as("sum_qty"),
+        sum(col("b_rows")).as("n_rows"),
+        sum(col("b_price")).cast("double").as("sum_price"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
