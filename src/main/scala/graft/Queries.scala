@@ -137,7 +137,9 @@ object Queries {
     Q("q65_salted_skew_join", QueriesAnalytics.saltedSkewJoin,
       Some(QueriesAnalytics.saltedSkewJoinSql)),
     Q("q66_multimodal_meta", QueriesAnalytics.multimodalMeta,
-      Some(QueriesAnalytics.multimodalMetaSql))
+      Some(QueriesAnalytics.multimodalMetaSql)),
+    Q("q67_rare_token_score", QueriesPipeline.rareTokenScore,
+      Some(QueriesPipeline.rareTokenScoreSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -317,6 +317,51 @@ object QueriesPipeline {
       |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin
 
   // ------------------------------------------------------------------
+  // q67 — rare-token scoring: each document scored by how many of its
+  // distinct terms are corpus-rare (document frequency ≤ 2) — the
+  // "hapax/rare-token ratio" quality signal (typo/garbage detector) a
+  // corpus filter runs next to q37's surface metrics. Two shuffles on
+  // `term` (the df aggregate and the join back — same key, so the
+  // exchange is reusable) + one on doc_id; counts are ints and the ratio
+  // is a ratio of ints, so the oracle is exact. `array_distinct` BEFORE
+  // the explode keeps within-doc duplicate terms off the shuffle.
+  // ------------------------------------------------------------------
+  def rareTokenScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val norm = TextFunctions.normalizeText(col("text"))
+    val toks = d.filter(length(norm) > 0)
+      .select(col("doc_id"),
+        explode(array_distinct(split(norm, " "))).as("term"))
+    // toks is one row per (doc, term) → count(*) IS document frequency
+    val df = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    toks.join(df, "term")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        count_if(col("df") <= 2).as("n_rare"))
+      .select(col("doc_id"), col("n_terms"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_terms").cast("double"))
+          .as("rare_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val rareTokenScoreSql: String = {
+    val norm = normSql("text")
+    s"""WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split($norm, ' ')) AS term
+      |  FROM documents WHERE length($norm) > 0
+      |), df AS (
+      |  SELECT term, count(*) AS df FROM toks GROUP BY term
+      |)
+      |SELECT doc_id, count(*) AS n_terms,
+      |       count(*) FILTER (WHERE df.df <= 2) AS n_rare,
+      |       CAST(count(*) FILTER (WHERE df.df <= 2) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS rare_ratio
+      |FROM toks JOIN df USING (term)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q56 — the corpus-preparation capstone: quality filter → exact dedup
   // → stratified sample → per-source stats, composed as ONE declarative
   // plan (the narrow stages fuse; the only shuffles are the dedup window
