@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarityExpression, HyperplaneBucketExpression, L2SqExpression, MinHashSignatureExpression, PyRoundExpression, RollingHashExpression, SimHashExpression}
+import graft.functions.{CosineSimilarityExpression, HyperplaneBucketExpression, L2SqExpression, MinHashSignatureExpression, MortonCodeExpression, PyRoundExpression, RollingHashExpression, SimHashExpression}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to plain SQL. Install at build time
@@ -23,6 +23,9 @@ import graft.functions.{CosineSimilarityExpression, HyperplaneBucketExpression, 
   *  - `cosine_sim(a, b)` / `l2_sq(a, b)` → DOUBLE vector kernels over
   *    ARRAY<DOUBLE> embeddings; `hyperplane_bucket(emb, nPlanes)` → LONG
   *    LSH bucket (graft.functions.VectorExpressions, codegen'd).
+  *  - `morton_code(a, b)` → LONG z-curve interleave of two 16-bit bucket
+  *    ordinals (graft.functions.MortonCodeExpression; the kernel of
+  *    operators.ZOrder's clustered layout).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
@@ -94,6 +97,13 @@ object GraftExtensions {
         // 63-plane ceiling: bucket bits live in one Long, so plane p > 63
         // would wrap `1L << p` mod 64 and silently collide buckets
         HyperplaneBucketExpression(args.head, intLit(args(1), "nPlanes", 1, 63))
+      }),
+    ("morton_code",
+      new ExpressionInfo(classOf[MortonCodeExpression].getName, "morton_code"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "morton_code(a, b) takes exactly 2 arguments (16-bit ordinals)")
+        MortonCodeExpression(args.head, args(1))
       }),
     ("py_round",
       new ExpressionInfo(classOf[PyRoundExpression].getName, "py_round"),

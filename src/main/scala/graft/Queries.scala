@@ -139,7 +139,9 @@ object Queries {
     Q("q66_multimodal_meta", QueriesAnalytics.multimodalMeta,
       Some(QueriesAnalytics.multimodalMetaSql)),
     Q("q67_rare_token_score", QueriesPipeline.rareTokenScore,
-      Some(QueriesPipeline.rareTokenScoreSql))
+      Some(QueriesPipeline.rareTokenScoreSql)),
+    Q("q68_zorder_layout", QueriesPipeline.zorderLayout,
+      Some(QueriesPipeline.zorderLayoutSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{BloomJoin, Sampling, TfIdf, TopK}
+import graft.operators.{BloomJoin, Sampling, TfIdf, TopK, ZOrder}
 
 /** Pipeline-utility queries (q45-q52): the selection / sizing / scrubbing
   * operations around the dedup+similarity core of a training-data pipeline
@@ -442,5 +442,41 @@ object QueriesPipeline {
       |              WHERE o_orderkey = l_orderkey
       |                AND o_orderpriority = '1-URGENT'
       |                AND o_totalprice > 200000.0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q68 — z-order layout round-trip: OPTIMIZE lineitem on the
+  // (l_extendedprice, l_quantity) z-curve (operators/ZOrder), then run a
+  // two-dimensional range filter over the re-laid-out files. The result
+  // is layout-invariant — the oracle is the SAME filter over the plain
+  // table — while the rewritten files give parquet min/max skipping on
+  // BOTH dimensions (a lexicographic sort only serves its leading
+  // column). ZOrderSpec asserts the clustering-power claim directly.
+  // ------------------------------------------------------------------
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_zorder_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+    ZOrder.zorderWrite(li, path, "l_extendedprice", "l_quantity", numFiles = 8)
+    spark.read.parquet(path)
+      .filter(col("l_quantity").between(5, 15) &&
+        col("l_extendedprice").between(10000, 30000))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val zorderLayoutSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_quantity BETWEEN 5 AND 15
+      |  AND l_extendedprice BETWEEN 10000 AND 30000
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }
