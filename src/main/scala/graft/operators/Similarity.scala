@@ -83,13 +83,20 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(embCol).cast("array<double>").as("emb"))
-    val fe = c.withColumn("features", array_to_vector(col("emb")))
+    // persist the featurized corpus across the k-means iterations: every
+    // iteration re-reads it, so without this each pass re-runs the scan +
+    // array_to_vector (at index-build scale you'd persist the training
+    // sample the same way — MEMORY_AND_DISK, released right after fit)
+    val fe = c.withColumn("features", array_to_vector(col("emb"))).cache()
     // coarse quantizer: random init (k-means|| costs extra full passes for
     // init quality IVF doesn't need) and a bounded iteration budget — cell
     // boundaries only gate candidate recall, not result correctness
     val model = new KMeans().setK(nCentroids).setSeed(42L)
       .setInitMode("random").setMaxIter(8).setTol(1e-3)
       .setFeaturesCol("features").setPredictionCol("cell").fit(fe)
+    // release after fit: the one-shot downstream transform re-derives its
+    // input from the scan; the cache existed for the 8 fit passes
+    fe.unpersist(blocking = false)
     val assigned = model.transform(fe).select(
       col("neighbor_id"), col("emb"), col("cell"))
     // centroid table as plain arrays, broadcast to rank probe cells per query
