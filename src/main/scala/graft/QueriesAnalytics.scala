@@ -246,7 +246,9 @@ object QueriesAnalytics {
   }
 
   def trigramRepetition(spark: SparkSession, sfDir: String): DataFrame =
-    trigramStats(Tables.documents(spark, sfDir), "doc_id", "text")
+    trigramStats(
+      Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
+      "doc_id", "text")
       .orderBy(col("doc_id"))
 
   val trigramRepetitionSql: String =
@@ -425,7 +427,9 @@ object QueriesAnalytics {
   // -------------------------------------------------------------------
   def multimodalMeta(spark: SparkSession, sfDir: String): DataFrame = {
     val payloads = operators.Multimodal.payloadFromText(
-      Tables.documents(spark, sfDir), "doc_id", "source", "text")
+      Tables.rebalance(
+        Tables.documents(spark, sfDir).select("doc_id", "source", "text")),
+      "doc_id", "source", "text")
     operators.Multimodal.decodeFeatures(payloads)
       .select(col("media_id"), col("width"), col("height"),
         col("channels"), col("format"), col("n_bytes"))

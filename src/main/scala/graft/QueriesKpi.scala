@@ -22,9 +22,16 @@ import graft.ops.{Kpi, Normalize}
   */
 object QueriesKpi {
 
-  /** The derived bitácora (string-typed, like the reference's JSONL scan). */
+  /** The derived bitácora (string-typed, like the reference's JSONL scan).
+    * Rebalanced before the JSON-parse/format projection: everything
+    * downstream to the KPI aggregate's partial side is per-row compute
+    * (JSON path eval, timestamp parse+reformat, lenient casts), which a
+    * coarse single-row-group scan would otherwise serialize on one core
+    * (see Tables.rebalance — a no-op on real multi-file inputs). */
   private def bitacoraFromEvents(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    val ev = Tables.rebalance(
+      Tables.events(spark, sfDir)
+        .select(col("ts"), col("event_type"), col("props"), col("value")))
     val k = get_json_object(col("props"), "$.k").cast("int")
     ev.select(
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp_utc"),

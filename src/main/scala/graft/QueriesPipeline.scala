@@ -152,7 +152,8 @@ object QueriesPipeline {
   // redact + count, aggregated per nation.
   // ------------------------------------------------------------------
   def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
-    val c = Tables.customer(spark, sfDir)
+    val c = Tables.rebalance(Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey"))
     // the corpus has no phone column: derive one from c_custkey with exact
     // integer arithmetic (identical in any engine), TPC-H phone shaped
     val ck = col("c_custkey")

@@ -46,7 +46,8 @@ object QueriesText {
   // q31 — near-exact dedup stats per source (normalized text).
   // ------------------------------------------------------------------
   def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+    val d = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("source", "text"))
     d.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -63,8 +64,12 @@ object QueriesText {
   // q32 — MinHash LSH candidate pairs (rows-only: xxhash64 family).
   // ------------------------------------------------------------------
   def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // rebalance before the signature projection: shingle+64-perm hashing
+    // is the CPU hot loop, and a single-row-group scan would pin it to
+    // one task (Tables.rebalance is a no-op on real multi-file inputs)
     val sigs = Dedup.minHashSignatures(
-      Tables.documents(spark, sfDir), "doc_id", "text")
+      Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
+      "doc_id", "text")
     Dedup.lshCandidatePairs(sigs, "doc_id")
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -73,7 +78,9 @@ object QueriesText {
   // q33 — SimHash fingerprints + near-dup pairs (rows-only).
   // ------------------------------------------------------------------
   def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = Dedup.simHash(Tables.documents(spark, sfDir), "doc_id", "text")
+    val fp = Dedup.simHash(
+      Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
+      "doc_id", "text")
     Dedup.simHashNearDups(fp, "doc_id", maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -133,7 +140,8 @@ object QueriesText {
   // q36 — heuristic language-ID (integer marker counts + argmax).
   // ------------------------------------------------------------------
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+    val d = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
     val scores = TextFunctions.langMarkers.map { case (lang, words) =>
       TextFunctions.stopwordHits(col("text"), words).as(s"s_$lang")
     }
@@ -165,7 +173,8 @@ object QueriesText {
   // q37 — quality metrics (integer-derived, oracle-exact).
   // ------------------------------------------------------------------
   def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+    val d = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
     d.select(col("doc_id"), TextFunctions.qualityMetrics(col("text")).as("q"))
       .select(col("doc_id"), col("q.n_tokens"), col("q.avg_token_len"),
         col("q.punct_count"), col("q.stopword_ratio"), col("q.quality_ok"))
@@ -202,7 +211,8 @@ object QueriesText {
   // q38 — token counting: whitespace + BPE-ish regex pre-tokenizer.
   // ------------------------------------------------------------------
   def tokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+    val d = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
     d.select(col("doc_id"),
         TextFunctions.tokenCountWs(col("text")).as("n_ws_tokens"),
         TextFunctions.tokenCountBpe(col("text")).as("n_bpe_tokens"))
@@ -294,7 +304,8 @@ object QueriesText {
   // ------------------------------------------------------------------
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = Dedup.minHashSignatures(
-      Tables.documents(spark, sfDir), "doc_id", "text")
+      Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
+      "doc_id", "text")
     val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
       .filter(col("est_jaccard") >= 0.7)
     graft.operators.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
@@ -351,7 +362,9 @@ object QueriesText {
   // ------------------------------------------------------------------
   def multimodalStats(spark: SparkSession, sfDir: String): DataFrame = {
     val payloads = Multimodal.payloadFromText(
-      Tables.documents(spark, sfDir), "doc_id", "source", "text")
+      Tables.rebalance(
+        Tables.documents(spark, sfDir).select("doc_id", "source", "text")),
+      "doc_id", "source", "text")
     Multimodal.featureStats(Multimodal.decodeFeatures(payloads))
   }
 }

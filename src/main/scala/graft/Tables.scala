@@ -35,6 +35,27 @@ object Tables {
     raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** Round-robin rebalance for CPU-heavy narrow stages downstream of a
+    * coarse scan.
+    *
+    * Parquet can only split a scan at row-group boundaries, so a
+    * single-row-group file is ONE task no matter how many cores exist —
+    * locally that serializes hash/tokenize-heavy pipelines (minhash over
+    * the corpus: ~32× slowdown) on one core. When compute-per-row
+    * dominates, paying one narrow-column shuffle to spread rows across
+    * `defaultParallelism` tasks is the right trade — Spark's own AQE
+    * rebalancing makes the same call for skewed post-shuffle stages.
+    *
+    * Conditional on the ACTUAL scan parallelism: on a real cluster the
+    * input arrives as many files/row-groups, the partition count already
+    * ≥ cores, and this is a no-op — it never adds a shuffle at scale.
+    * Call it AFTER projecting down to the columns the stage needs, so
+    * the exchange carries no dead bytes. */
+  def rebalance(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")
