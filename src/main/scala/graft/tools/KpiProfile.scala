@@ -32,6 +32,9 @@ object KpiProfile {
     time("scan only")(noop(ev))
     val k = get_json_object(col("props"), "$.k").cast("int")
     time("scan + json k")(noop(ev.select(col("ts"), k.as("k"), col("value"))))
+    val k2 = from_json(col("props"),
+      org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k")
+    time("scan + from_json k")(noop(ev.select(col("ts"), k2.as("k"), col("value"))))
     val bit = ev.select(
       date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp_utc"),
       concat(lit("/"), col("event_type"), lit("?k="), k).as("endpoint"),
