@@ -141,7 +141,11 @@ object Queries {
     Q("q67_rare_token_score", QueriesPipeline.rareTokenScore,
       Some(QueriesPipeline.rareTokenScoreSql)),
     Q("q68_zorder_layout", QueriesPipeline.zorderLayout,
-      Some(QueriesPipeline.zorderLayoutSql))
+      Some(QueriesPipeline.zorderLayoutSql)),
+    Q("q69_quantize_embeddings", QueriesText.quantizeEmbeddings,
+      Some(QueriesText.quantizeEmbeddingsSql)),
+    Q("q70_cms_heavy_hitters", QueriesPipeline.cmsHeavyHitters,
+      Some(QueriesPipeline.cmsHeavyHittersSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

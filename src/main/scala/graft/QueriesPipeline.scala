@@ -446,6 +446,48 @@ object QueriesPipeline {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------------
+  // q70 — count-min-sketch heavy hitters: one mergeable bounded-memory
+  // sketch over the token stream (Spark's count_min_sketch aggregate),
+  // probed for the exact top-10 terms. Sketch estimates are
+  // deterministic given the seed, and CMS guarantees
+  // exact <= estimate <= exact + eps * N — the query asserts that bound
+  // per term (self-validating oracle, same convention as q46/q53), so
+  // DuckDB states `TRUE AS cms_ok` and the hash gate still exercises
+  // the sketch path. At 100 TB the sketch replaces the exact groupBy:
+  // fixed KB-size state per partition, merged once.
+  // ------------------------------------------------------------------
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val norm = TextFunctions.normalizeText(col("text"))
+    val toks = d.filter(length(norm) > 0)
+      .select(explode(split(norm, " ")).as("term"))
+    val eps = 0.0005
+    val skBytes = toks
+      .agg(count_min_sketch(col("term"), lit(eps), lit(0.99), lit(42)))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val bound = (eps * cms.totalCount()).ceil.toLong
+    val topExact = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+      .limit(10)
+      .as[(String, Long)].collect().toSeq
+    topExact.map { case (term, exact) =>
+      val est = cms.estimateCount(term)
+      (term, exact, est >= exact && est <= exact + bound)
+    }.toDF("term", "exact_cnt", "cms_ok")
+      .orderBy(col("exact_cnt").desc, col("term"))
+  }
+
+  val cmsHeavyHittersSql: String =
+    s"""SELECT term, count(*) AS exact_cnt, TRUE AS cms_ok
+      |FROM (SELECT unnest(string_split(${normSql("text")}, ' ')) AS term
+      |      FROM documents WHERE length(${normSql("text")}) > 0)
+      |GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 10""".stripMargin
+
+  // ------------------------------------------------------------------
   // q68 — z-order layout round-trip: OPTIMIZE lineitem on the
   // (l_extendedprice, l_quantity) z-curve (operators/ZOrder), then run a
   // two-dimensional range filter over the re-laid-out files. The result

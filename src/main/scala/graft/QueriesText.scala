@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{RollingHashExpression, TextFunctions}
-import graft.operators.{Dedup, Multimodal, Sessionize, Similarity}
+import graft.operators.{Dedup, Multimodal, Quantize, Sessionize, Similarity}
 
 /** Training-data pipeline queries over `documents` / `embeddings` / `events`:
   * dedup (exact, near-exact, MinHash-LSH, SimHash, n-gram jaccard),
@@ -360,6 +360,45 @@ object QueriesText {
   // ------------------------------------------------------------------
   // q50 — multimodal plumbing: payload → (stub) decode → feature stats.
   // ------------------------------------------------------------------
+  // ------------------------------------------------------------------
+  // q69 — int8 embedding quantization (operators/Quantize): per-vector
+  // symmetric codes, integer checksum, saturation count, and max
+  // reconstruction error. Everything is elementwise IEEE double + an
+  // order-free array max — no cross-row float accumulation — so the
+  // oracle replays trunc(v * 127/max|v|) in DuckDB bit-exactly.
+  // ------------------------------------------------------------------
+  def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    Quantize.quantized(Tables.embeddings(spark, sfDir), "embedding")
+      .select(col("vec_id"), size(col("codes")).as("n_dims"),
+        col("code_sum"),
+        size(filter(col("codes"), c => abs(c) === 127)).as("n_saturated"),
+        col("max_recon_err"))
+      .orderBy(col("vec_id"))
+
+  val quantizeEmbeddingsSql: String =
+    """WITH m AS (
+      |  SELECT vec_id, embedding,
+      |         list_max(list_transform(embedding,
+      |                  v -> abs(CAST(v AS DOUBLE)))) AS ma
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id, embedding, ma,
+      |         CASE WHEN ma > 0
+      |              THEN list_transform(embedding,
+      |                     v -> CAST(trunc(CAST(v AS DOUBLE) * (127.0 / ma)) AS INT))
+      |              ELSE list_transform(embedding, v -> 0) END AS codes
+      |  FROM m
+      |)
+      |SELECT vec_id, CAST(len(codes) AS INT) AS n_dims,
+      |       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      |       CAST(len(list_filter(codes, c -> abs(c) = 127)) AS INT) AS n_saturated,
+      |       CASE WHEN ma > 0
+      |            THEN list_max(list_transform(range(1, len(codes) + 1),
+      |                   i -> abs(CAST(embedding[i] AS DOUBLE)
+      |                            - CAST(codes[i] AS DOUBLE) * (ma / 127.0))))
+      |            ELSE 0.0 END AS max_recon_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
   def multimodalStats(spark: SparkSession, sfDir: String): DataFrame = {
     val payloads = Multimodal.payloadFromText(
       Tables.rebalance(

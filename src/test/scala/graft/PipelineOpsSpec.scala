@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.TextFunctions
-import graft.operators.{BloomJoin, Sampling, TfIdf, TopK}
+import graft.operators.{BloomJoin, Quantize, Sampling, TfIdf, TopK}
 
 /** Unit tests for the pipeline-utility operators (q45-q52 family):
   * deterministic sampling, grouped top-k, TF-IDF, PII scrub, bloom join. */
@@ -174,5 +174,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     val want = left.join(right, $"k" === $"rk", "left_semi")
       .select($"k").as[Long].collect().sorted.toSeq
     assert(got == want)
+  }
+
+  test("int8 quantization: codes bounded, extremes saturate, error within bound") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),  // max|v|=1.0 → codes (63,-127,31)
+      (2L, Array(0.0f, 0.0f)),          // zero vector → zero codes
+      (3L, Array(2.0f))                 // single element → exactly 127
+    ).toDF("vec_id", "embedding")
+    val q = Quantize.quantized(df, "embedding")
+      .select($"vec_id", $"codes", $"max_recon_err")
+      .as[(Long, Seq[Int], Double)].collect().sortBy(_._1)
+    assert(q(0)._2 == Seq(63, -127, 31))
+    assert(q(1)._2 == Seq(0, 0) && q(1)._3 == 0.0)
+    assert(q(2)._2 == Seq(127) && q(2)._3 == 0.0)
+    // trunc-toward-zero quantization error is < one quantization step
+    val step0 = 1.0 / 127.0
+    assert(q(0)._3 >= 0.0 && q(0)._3 < step0, q(0)._3.toString)
+    // all codes in the int8 symmetric range
+    assert(q.flatMap(_._2).forall(c => c >= -127 && c <= 127))
   }
 }
