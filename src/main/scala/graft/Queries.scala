@@ -145,7 +145,11 @@ object Queries {
     Q("q69_quantize_embeddings", QueriesText.quantizeEmbeddings,
       Some(QueriesText.quantizeEmbeddingsSql)),
     Q("q70_cms_heavy_hitters", QueriesPipeline.cmsHeavyHitters,
-      Some(QueriesPipeline.cmsHeavyHittersSql))
+      Some(QueriesPipeline.cmsHeavyHittersSql)),
+    Q("q71_column_profile", QueriesPipeline.columnProfile,
+      Some(QueriesPipeline.columnProfileSql)),
+    Q("q72_upsert_latest", QueriesPipeline.upsertLatest,
+      Some(QueriesPipeline.upsertLatestSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

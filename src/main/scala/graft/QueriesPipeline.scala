@@ -446,6 +446,71 @@ object QueriesPipeline {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------------
+  // q71 — ANALYZE-style column profiling (operators/Profile): one
+  // aggregate pass emitting per-column null/distinct/min/max stats
+  // long-form — the catalog stats job feeding CBO and data-quality
+  // monitors. Profiled columns are string/integer so the min/max string
+  // rendering is engine-independent (doubles/timestamps format
+  // differently across engines and stay out of the oracle surface).
+  // ------------------------------------------------------------------
+  def columnProfile(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Profile.columnProfile(
+      Tables.orders(spark, sfDir),
+      Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
+      .withColumnRenamed("column", "col_name")
+      .orderBy(col("col_name"))
+
+  val columnProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+        |       count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+        |       count(DISTINCT $c) AS n_distinct,
+        |       CAST(min($c) AS VARCHAR) AS min_str,
+        |       CAST(max($c) AS VARCHAR) AS max_str
+        |FROM orders""".stripMargin
+    Seq("o_custkey", "o_orderpriority", "o_orderstatus").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ------------------------------------------------------------------
+  // q72 — latest-wins upsert (operators/Upsert): MERGE INTO / SCD-1
+  // semantics over plain parquet. A batch of per-customer updates
+  // (newest order sets the balance) folds into the customer snapshot:
+  // window picks winners, one key join applies them, untouched rows
+  // pass through. The balance is carried, never summed, so doubles
+  // cross engines bit-exactly.
+  // ------------------------------------------------------------------
+  def upsertLatest(spark: SparkSession, sfDir: String): DataFrame = {
+    val snap = Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+    val updates = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("c_custkey"),
+        col("o_totalprice").as("c_acctbal"),
+        col("o_orderdate"), col("o_orderkey"))
+    operators.Upsert.applyLatest(snap, updates, "c_custkey",
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc),
+        Seq("c_acctbal"))
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+        col("was_updated"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val upsertLatestSql: String =
+    """WITH w AS (
+      |  SELECT o_custkey AS c_custkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |), u AS (SELECT c_custkey, o_totalprice FROM w WHERE rn = 1)
+      |SELECT c.c_custkey,
+      |       CASE WHEN u.c_custkey IS NOT NULL THEN u.o_totalprice
+      |            ELSE c.c_acctbal END AS c_acctbal,
+      |       c.c_mktsegment,
+      |       u.c_custkey IS NOT NULL AS was_updated
+      |FROM customer c LEFT JOIN u USING (c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------------------
   // q70 — count-min-sketch heavy hitters: one mergeable bounded-memory
   // sketch over the token stream (Spark's count_min_sketch aggregate),
   // probed for the exact top-10 terms. Sketch estimates are

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Latest-wins upsert — the MERGE INTO / SCD-1 semantic without a table
+  * format: fold a batch of keyed updates into a snapshot, keeping the
+  * newest update per key (total version order required for determinism)
+  * and passing through untouched snapshot rows.
+  *
+  * Scale shape: one window shuffle on the update batch (usually ≪ the
+  * snapshot) to pick winners, then one key-shuffle join against the
+  * snapshot — both on the same key, so a bucketed/pre-partitioned
+  * snapshot joins without moving. This is exactly what a lakehouse MERGE
+  * compiles to; no row-level mutation is needed. */
+object Upsert {
+
+  /** Reduce `updates` to one winner per `key` by `versionOrder`
+    * (DESCENDING precedence list — first column is the newest-wins
+    * criterion; include a unique tiebreaker for determinism). */
+  def latestPerKey(updates: DataFrame, key: String,
+      versionOrder: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(versionOrder: _*)
+    updates.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Apply `updates` to `snapshot`: rows with a matching update take the
+    * update's values for `setCols` (which must exist in both frames);
+    * everything else passes through. Adds `was_updated`. */
+  def applyLatest(snapshot: DataFrame, updates: DataFrame, key: String,
+      versionOrder: Seq[Column], setCols: Seq[String]): DataFrame = {
+    val winners = latestPerKey(updates, key, versionOrder)
+      .select(col(key) +: lit(true).as("__u_hit") +:
+        setCols.map(c => col(c).as(s"__u_$c")): _*)
+    val joined = snapshot.join(winners, Seq(key), "left")
+    // the match marker (not the value) decides precedence, so an update
+    // that explicitly sets NULL still wins over the snapshot value
+    val merged = snapshot.columns.map {
+      case c if setCols.contains(c) =>
+        when(col("__u_hit"), col(s"__u_$c")).otherwise(col(c)).as(c)
+      case c => col(c)
+    }
+    joined.select(merged :+
+      coalesce(col("__u_hit"), lit(false)).as("was_updated"): _*)
+  }
+}

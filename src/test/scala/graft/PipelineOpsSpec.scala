@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.TextFunctions
-import graft.operators.{BloomJoin, Quantize, Sampling, TfIdf, TopK}
+import graft.operators.{BloomJoin, Profile, Quantize, Sampling, TfIdf, TopK, Upsert}
 
 /** Unit tests for the pipeline-utility operators (q45-q52 family):
   * deterministic sampling, grouped top-k, TF-IDF, PII scrub, bloom join. */
@@ -193,5 +193,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q(0)._3 >= 0.0 && q(0)._3 < step0, q(0)._3.toString)
     // all codes in the int8 symmetric range
     assert(q.flatMap(_._2).forall(c => c >= -127 && c <= 127))
+  }
+
+  test("upsert: latest wins, explicit-null update wins, untouched rows pass") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq(
+      (1L, Some("new1"), 10L), (1L, Some("old1"), 5L), // key 1: version 10 wins
+      (2L, None: Option[String], 7L)                   // key 2: update SETS null
+    ).toDF("k", "v", "ver")
+    val got = Upsert.applyLatest(snap, updates, "k",
+        Seq(col("ver").desc), Seq("v"))
+      .select($"k", $"v", $"was_updated")
+      .as[(Long, Option[String], Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, Some("new1"), true),  // newest version, not first-seen
+      (2L, None, true),          // null SET beats snapshot value
+      (3L, Some("c"), false)))   // untouched pass-through
+  }
+
+  test("column profile counts nulls/distincts and renders extremes") {
+    val df = Seq(
+      (Some(5), "x"), (None, "y"), (Some(5), "y"), (Some(9), "z")
+    ).toDF("num", "s")
+    val p = Profile.columnProfile(df, Seq("num", "s"))
+      .as[(String, Long, Long, Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(p == Seq(
+      ("num", 4L, 1L, 2L, "5", "9"),   // nulls excluded from distinct/min/max
+      ("s", 4L, 0L, 3L, "x", "z")))
   }
 }
