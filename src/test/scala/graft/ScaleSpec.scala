@@ -82,6 +82,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"$exchanges exchanges:\n$plan")
   }
 
+  test("q72 upsert: rank pushdown trims winners pre-shuffle; snapshot joins in place") {
+    val plan = QueriesPipeline.upsertLatest(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // WindowGroupLimit = per-partition top-1 BEFORE the window exchange
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // exactly ONE hash exchange (the update batch's window); the snapshot
+    // side joins in place via the broadcast winners
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"$hashEx hash exchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("partitioned corpus layout: filters prune partition directories") {
     val outPath = java.nio.file.Files.createTempDirectory("graft_part")
     val out = outPath.toString
