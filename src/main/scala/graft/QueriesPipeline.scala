@@ -455,7 +455,8 @@ object QueriesPipeline {
   // ------------------------------------------------------------------
   def columnProfile(spark: SparkSession, sfDir: String): DataFrame =
     operators.Profile.columnProfile(
-      Tables.orders(spark, sfDir),
+      Tables.rebalance(Tables.orders(spark, sfDir)
+        .select("o_custkey", "o_orderpriority", "o_orderstatus")),
       Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
       .withColumnRenamed("column", "col_name")
       .orderBy(col("col_name"))

@@ -368,7 +368,10 @@ object QueriesText {
   // oracle replays trunc(v * 127/max|v|) in DuckDB bit-exactly.
   // ------------------------------------------------------------------
   def quantizeEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
-    Quantize.quantized(Tables.embeddings(spark, sfDir), "embedding")
+    Quantize.quantized(
+      Tables.rebalance(
+        Tables.embeddings(spark, sfDir).select("vec_id", "embedding")),
+      "embedding")
       .select(col("vec_id"), size(col("codes")).as("n_dims"),
         col("code_sum"),
         size(filter(col("codes"), c => abs(c) === 127)).as("n_saturated"),
