@@ -92,4 +92,17 @@ object Graft {
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, gapSeconds: Long): DataFrame =
     Sessionize.userSessionStats(events, userCol, tsCol, idCol, gapSeconds)
+  def upsert(snapshot: DataFrame, updates: DataFrame, key: String,
+      versionOrder: Seq[Column], setCols: Seq[String]): DataFrame =
+    Upsert.applyLatest(snapshot, updates, key, versionOrder, setCols)
+
+  // --- embeddings / layout / stats utilities ---
+  def quantizeInt8(df: DataFrame, embCol: String): DataFrame =
+    Quantize.quantized(df, embCol)
+  def zorderWrite(df: DataFrame, path: String, dimA: String, dimB: String,
+      numFiles: Int): Unit =
+    ZOrder.zorderWrite(df, path, dimA, dimB, numFiles)
+  def columnProfile(df: DataFrame, cols: Seq[String],
+      approxDistinct: Boolean = false): DataFrame =
+    Profile.columnProfile(df, cols, approxDistinct)
 }
