@@ -195,6 +195,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q.flatMap(_._2).forall(c => c >= -127 && c <= 127))
   }
 
+  test("int8 quantization: empty and null vectors degrade, not crash") {
+    val df = Seq(
+      (1L, Some(Array.empty[Float])),      // empty embedding
+      (2L, None: Option[Array[Float]]),    // null embedding
+      (3L, Some(Array(1.0f)))
+    ).toDF("vec_id", "embedding")
+    val q = Quantize.quantized(df, "embedding")
+      .select($"vec_id", $"codes", $"code_sum")
+      .as[(Long, Option[Seq[Int]], Option[Long])].collect().sortBy(_._1)
+    assert(q(0)._2 == Some(Seq.empty) && q(0)._3 == Some(0L)) // empty → empty codes
+    assert(q(1)._2.isEmpty && q(1)._3.isEmpty)                // null propagates
+    assert(q(2)._2 == Some(Seq(127)))
+  }
+
   test("upsert: latest wins, explicit-null update wins, untouched rows pass") {
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val updates = Seq(
