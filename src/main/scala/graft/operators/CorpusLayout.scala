@@ -28,4 +28,17 @@ object CorpusLayout {
     * columns; filters on them prune directories, asserted in spec). */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write `df` bucketed + sorted on a join key: two tables bucketed the
+    * same way join with ZERO exchange on that key (asserted in ScaleSpec)
+    * — the co-located-join layout for a fact table that is joined on the
+    * same key repeatedly. Catalog-backed (`saveAsTable`) because bucket
+    * metadata lives in the table catalog, not the files. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
 }

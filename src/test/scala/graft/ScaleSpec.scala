@@ -14,10 +14,10 @@ class ScaleSpec extends AnyFunSuite {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh")
     val o = Tables.orders(spark, "/root/testdata/sf0.001")
     val c = Tables.customer(spark, "/root/testdata/sf0.001")
-    o.write.mode("overwrite").option("path", s"$wh/orders_b")
-      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
-    c.write.mode("overwrite").option("path", s"$wh/customer_b")
-      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    graft.operators.CorpusLayout.writeBucketed(
+      o, "orders_b", s"$wh/orders_b", "o_custkey", 8)
+    graft.operators.CorpusLayout.writeBucketed(
+      c, "customer_b", s"$wh/customer_b", "c_custkey", 8)
     // disable auto-broadcast so the join would otherwise need a shuffle
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
