@@ -149,7 +149,8 @@ object Queries {
     Q("q71_column_profile", QueriesPipeline.columnProfile,
       Some(QueriesPipeline.columnProfileSql)),
     Q("q72_upsert_latest", QueriesPipeline.upsertLatest,
-      Some(QueriesPipeline.upsertLatestSql))
+      Some(QueriesPipeline.upsertLatestSql)),
+    Q("q73_knn_int8", QueriesText.knnInt8, Some(QueriesText.knnInt8Sql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

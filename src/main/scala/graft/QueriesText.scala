@@ -402,6 +402,55 @@ object QueriesText {
       |            ELSE 0.0 END AS max_recon_err
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q73 — top-k search over the int8 codes (the search half of q69's
+  // quantize→search path). Integer dot products (terms ≤ 127², 128-dim
+  // sums ≪ 2^53) stay EXACT through the double cosine math, so unlike
+  // float-embedding cosine this ANN tier is bit-reproducible and the
+  // DuckDB oracle replays it hash-exactly.
+  // ------------------------------------------------------------------
+  def knnInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.rebalance(
+      Tables.embeddings(spark, sfDir).select("vec_id", "embedding"))
+    Similarity.int8Knn(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("qcos"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val knnInt8Sql: String =
+    """WITH m AS (
+      |  SELECT vec_id,
+      |         list_max(list_transform(embedding,
+      |                  v -> abs(CAST(v AS DOUBLE)))) AS ma,
+      |         embedding
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id,
+      |         CASE WHEN ma > 0
+      |              THEN list_transform(embedding,
+      |                     v -> CAST(trunc(CAST(v AS DOUBLE) * (127.0 / ma)) AS INT))
+      |              ELSE list_transform(embedding, v -> 0) END AS codes
+      |  FROM m
+      |), scored AS (
+      |  SELECT qv.vec_id AS qid, cv.vec_id AS neighbor_id,
+      |         CASE WHEN list_sum(list_transform(cv.codes, c -> c * c)) > 0
+      |               AND list_sum(list_transform(qv.codes, c -> c * c)) > 0
+      |              THEN CAST(list_sum(list_transform(range(1, len(cv.codes) + 1),
+      |                          i -> cv.codes[i] * qv.codes[i])) AS DOUBLE)
+      |                   / sqrt(CAST(list_sum(list_transform(cv.codes, c -> c * c)) AS DOUBLE)
+      |                          * CAST(list_sum(list_transform(qv.codes, c -> c * c)) AS DOUBLE))
+      |              ELSE 0.0 END AS qcos
+      |  FROM q cv CROSS JOIN (SELECT * FROM q WHERE vec_id < 10) qv
+      |  WHERE cv.vec_id <> qv.vec_id
+      |), ranked AS (
+      |  SELECT qid, neighbor_id, qcos,
+      |         row_number() OVER (PARTITION BY qid
+      |                            ORDER BY qcos DESC, neighbor_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT qid, rank, neighbor_id, qcos FROM ranked WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   def multimodalStats(spark: SparkSession, sfDir: String): DataFrame = {
     val payloads = Multimodal.payloadFromText(
       Tables.rebalance(

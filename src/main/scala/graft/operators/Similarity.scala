@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
@@ -37,6 +37,40 @@ object Similarity {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.select(col("qid"), col("neighbor_id"), col("cosine"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Top-k cosine over int8-QUANTIZED codes (operators/Quantize) — the
+    * search half of the quantize→search path: 4x less data scanned per
+    * probe and integer dot products. Every dot term is ≤ 127² and a
+    * 128-dim sum stays far below 2^53, so the integer arithmetic is
+    * EXACT even through double cosine math — unlike float-embedding
+    * cosine, the result is bit-reproducible cross-engine and q73
+    * hash-checks it against a DuckDB replay. Zero vectors (all-zero
+    * codes) score cosine 0. Same output shape as [[bruteForceKnn]]. */
+  def int8Knn(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    def codes(df: DataFrame, idAs: String, codesAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+        Quantize.int8Codes(col(embCol)).as(codesAs))
+    val dot = aggregate(
+      zip_with(col("c_codes"), col("q_codes"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v.cast("long")).cast("double")
+    def norm2(c: Column): Column = aggregate(
+      transform(c, v => v * v), lit(0L), (acc, v) => acc + v.cast("long"))
+      .cast("double")
+    val scored = codes(corpus, "neighbor_id", "c_codes")
+      .crossJoin(broadcast(codes(queries, "qid", "q_codes")))
+      .filter(col("neighbor_id") =!= col("qid"))
+      .select(col("qid"), col("neighbor_id"),
+        when(norm2(col("c_codes")) > 0 && norm2(col("q_codes")) > 0,
+          dot / sqrt(norm2(col("c_codes")) * norm2(col("q_codes"))))
+          .otherwise(0.0).as("qcos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    scored.select(col("qid"), col("neighbor_id"), col("qcos"),
         row_number().over(w).as("rank"))
       .filter(col("rank") <= k)
   }

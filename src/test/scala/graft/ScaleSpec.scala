@@ -159,6 +159,19 @@ class ScaleSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
   }
 
+  test("int8 knn recalls most of the float brute-force top-5") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = topSet(Similarity.bruteForceKnn(emb, queries, k = 5))
+    val quant = topSet(Similarity.int8Knn(emb, queries, k = 5))
+    // 7-bit codes perturb near-tie orderings but must keep the bulk of
+    // the neighborhood: recall@5 >= 60% on random vectors
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 = $recall")
+  }
+
   test("IVF knn: perfect recall on planted exact duplicates, bounded candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 5)
