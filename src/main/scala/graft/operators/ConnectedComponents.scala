@@ -25,13 +25,25 @@ object ConnectedComponents {
     *                  propagation is duplicate-insensitive, so the edge
     *                  `distinct()` shuffle only trims join width — skip it
     *                  when the producer already paid for it
+    * @param smallGraphEdges  size-adaptive cutover, same logic as a
+    *                  broadcast-join threshold: at or below this many
+    *                  directed edges the whole graph is collected and
+    *                  solved with driver-side union-find (exact same
+    *                  labels, microseconds instead of one Spark job per
+    *                  label-hop); above it, distributed min-label
+    *                  iteration. Dedup graphs are usually tiny relative
+    *                  to the corpus — pay the iteration machinery only
+    *                  when the edge list genuinely doesn't fit. The edge
+    *                  count is read from the already-materialized edge
+    *                  cache, so the probe adds no extra pass.
     * @return (node: long, component: long) — component = min node id in
     *         the node's connected component; isolated nodes absent from
     *         `pairs` are (by definition) their own component and are not
     *         emitted. */
   def components(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIterations: Int = 20, distinctPairs: Boolean = false): DataFrame = {
+      maxIterations: Int = 20, distinctPairs: Boolean = false,
+      smallGraphEdges: Long = 4L << 20): DataFrame = {
     val undirected = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(pairs.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
@@ -41,6 +53,14 @@ object ConnectedComponents {
     val edges = (if (distinctPairs) undirected else undirected.distinct())
       .repartition(col("b"))
       .cache()
+    if (edges.count() <= smallGraphEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      edges.unpersist(false)
+      return spark.createDataset(unionFindMinLabels(es).toSeq)
+        .toDF("node", "comp")
+    }
     // convergence probe: per-node labels only ever DECREASE under min-label
     // propagation, so the label vector changed iff its exact sum changed —
     // one decimal-exact agg over already-checkpointed data replaces a
@@ -82,6 +102,33 @@ object ConnectedComponents {
           "(graph label-hop diameter exceeds the budget); raise maxIterations — " +
           "returning partial labels would silently under-merge clusters")
     labels
+  }
+
+  /** Driver-side union-find with path compression over a collected edge
+    * list; labels = min node id per component (identical to the
+    * distributed fixed point). O(E α(E)) — microseconds at the
+    * small-graph threshold. */
+  private def unionFindMinLabels(
+      edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root)
+        root = parent.getOrElse(root, root)
+      var cur = x // path compression
+      while (parent.getOrElse(cur, cur) != root) {
+        val next = parent.getOrElse(cur, cur); parent(cur) = root; cur = next
+      }
+      root
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // second pass: every touched node labeled with its root (= min id,
+    // because unions always point the larger root at the smaller)
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.iterator.map(n => n -> find(n)).toMap
   }
 
   /** Dedup decision table from near-dup pairs: every node mapped to the

@@ -72,6 +72,24 @@ object ProfileMain {
       graft.QueriesText.minhashPairs(spark, sfDir).write
         .format("noop").mode("overwrite").save()
     }
+    // --- q44 stages: verified pairs + connected components ---
+    val pairs = time("q44 pairs >= 0.7 (materialize)") {
+      val p = Dedup.lshCandidatePairs(
+          Dedup.minHashSignatures(docs, "doc_id", "text"), "doc_id")
+        .filter(col("est_jaccard") >= 0.7).localCheckpoint()
+      println("  verified pairs: " + p.count())
+      p
+    }
+    time("q44 connected components + cluster agg") {
+      graft.operators.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
+        .groupBy(col("representative"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("full q44 (current impl)") {
+      graft.QueriesText.dedupClusters(spark, sfDir).write
+        .format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -7,8 +7,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  /** Default path (small graphs take driver-side union-find). */
   private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] =
     ConnectedComponents.components(pairs.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  /** Forced distributed min-label iteration (threshold 0). */
+  private def compsDist(pairs: Seq[(Long, Long)],
+      maxIterations: Int = 20): Map[Long, Long] =
+    ConnectedComponents.components(pairs.toDF("a", "b"), "a", "b",
+        maxIterations = maxIterations, smallGraphEdges = 0L)
       .as[(Long, Long)].collect().toMap
 
   test("chain collapses to one component, separate pair stays separate") {
@@ -18,9 +26,15 @@ class ConnectedComponentsSpec extends AnyFunSuite {
 
   test("long chain converges (diameter > 2 hops)") {
     val chain = (0L until 12L).sliding(2).map(s => (s(1), s.head)).toSeq
-    val got = comps(chain)
+    val got = compsDist(chain)
     assert(got.values.toSet == Set(0L))
     assert(got.keySet == (0L until 12L).toSet)
+  }
+
+  test("driver union-find and distributed iteration agree") {
+    val edges = Seq((1L, 2L), (2L, 3L), (9L, 4L), (4L, 7L), (100L, 50L),
+      (50L, 51L), (51L, 100L), (200L, 200L))
+    assert(comps(edges) == compsDist(edges))
   }
 
   test("star + triangle + self-referencing edges") {
@@ -34,7 +48,7 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val chain = (0L until 30L).sliding(2).map(s => (s(1), s.head)).toSeq
     val e = intercept[IllegalStateException] {
       ConnectedComponents.components(chain.toDF("a", "b"), "a", "b",
-        maxIterations = 2).collect()
+        maxIterations = 2, smallGraphEdges = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
