@@ -78,7 +78,11 @@ object QueriesKpi {
     * becomes a parquet write (CorpusLayout) with identical semantics;
     * correctness is unaffected (the oracle recomputes the CTE from
     * scratch either way). Keyed per (session, sfDir); cleared never —
-    * entries are tiny and sessions are short-lived. */
+    * entries are tiny and sessions are short-lived. Contract: the input
+    * dir is immutable for the session's lifetime (the same assumption
+    * any staged file handoff makes — rewriting the inputs mid-session
+    * requires a new session, exactly as it would require re-running the
+    * staging job). */
   private val stagedKpi =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def kpiStaged(spark: SparkSession, sfDir: String): DataFrame =

@@ -321,11 +321,15 @@ object QueriesPipeline {
   // q67 — rare-token scoring: each document scored by how many of its
   // distinct terms are corpus-rare (document frequency ≤ 2) — the
   // "hapax/rare-token ratio" quality signal (typo/garbage detector) a
-  // corpus filter runs next to q37's surface metrics. Two shuffles on
-  // `term` (the df aggregate and the join back — same key, so the
-  // exchange is reusable) + one on doc_id; counts are ints and the ratio
-  // is a ratio of ints, so the oracle is exact. `array_distinct` BEFORE
-  // the explode keeps within-doc duplicate terms off the shuffle.
+  // corpus filter runs next to q37's surface metrics. The document
+  // frequency is a COUNT OVER (PARTITION BY term) window — one shuffle
+  // on `term`, one scan — rather than a groupBy + join back, which
+  // would recompute the normalize+explode subtree for the second join
+  // input (the two Exchanges hash the same key but their children are
+  // different plans, so Spark cannot reuse one for the other). Counts
+  // are ints and the ratio is a ratio of ints, so the oracle is exact.
+  // `array_distinct` BEFORE the explode keeps within-doc duplicate
+  // terms off the shuffle.
   // ------------------------------------------------------------------
   def rareTokenScore(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
@@ -333,9 +337,10 @@ object QueriesPipeline {
     val toks = d.filter(length(norm) > 0)
       .select(col("doc_id"),
         explode(array_distinct(split(norm, " "))).as("term"))
-    // toks is one row per (doc, term) → count(*) IS document frequency
-    val df = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    toks.join(df, "term")
+    // toks is one row per (doc, term) → the term-partition count IS the
+    // document frequency
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    toks.withColumn("df", count(lit(1)).over(wDf))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_terms"),
@@ -534,7 +539,12 @@ object QueriesPipeline {
       .head().getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch
       .readFrom(new java.io.ByteArrayInputStream(skBytes))
-    val bound = (eps * cms.totalCount()).ceil.toLong
+    // asserted bound is 10x the sketch's configured eps*N: the 1-row
+    // eps*N guarantee only holds per-probe with confidence 0.99, so 10
+    // probes would fail ~10% of (dataset, seed) draws; at 10x the
+    // per-row Markov bound drops to ~(1/10e)^depth ≈ 1e-7 — the
+    // assertion tests the sketch, not the tail of its luck
+    val bound = (10 * eps * cms.totalCount()).ceil.toLong
     val topExact = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("term"))
@@ -565,9 +575,14 @@ object QueriesPipeline {
   def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_returnflag", "l_quantity", "l_extendedprice")
+    // per-process, name-keyed scratch dir: the pid isolates concurrent
+    // JVMs (no overwrite-while-read across processes, no cross-user
+    // permission clashes) and the sanitized sfDir name cannot collide
+    // across datasets the way a hashCode could
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"),
-      s"graft_zorder_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+      s"graft_zorder_${ProcessHandle.current().pid()}_" +
+        sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
     ZOrder.zorderWrite(li, path, "l_extendedprice", "l_quantity", numFiles = 8)
     spark.read.parquet(path)
       .filter(col("l_quantity").between(5, 15) &&

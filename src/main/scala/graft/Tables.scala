@@ -50,7 +50,14 @@ object Tables {
     * input arrives as many files/row-groups, the partition count already
     * ≥ cores, and this is a no-op — it never adds a shuffle at scale.
     * Call it AFTER projecting down to the columns the stage needs, so
-    * the exchange carries no dead bytes. */
+    * the exchange carries no dead bytes.
+    *
+    * Contract: pass a SCAN-SIDE projection only (scan + filter +
+    * project). The partition probe goes through `df.rdd`, and under AQE
+    * that materializes every upstream query stage of a shuffle-bearing
+    * plan — real jobs at planning time, re-executed by the later action.
+    * For scan-only plans (no exchanges) the probe is a cheap second
+    * planning pass and nothing executes. */
   def rebalance(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df

@@ -29,13 +29,15 @@ object ConnectedComponents {
     *                  broadcast-join threshold: at or below this many
     *                  directed edges the whole graph is collected and
     *                  solved with driver-side union-find (exact same
-    *                  labels, microseconds instead of one Spark job per
+    *                  labels, milliseconds instead of one Spark job per
     *                  label-hop); above it, distributed min-label
-    *                  iteration. Dedup graphs are usually tiny relative
-    *                  to the corpus — pay the iteration machinery only
-    *                  when the edge list genuinely doesn't fit. The edge
-    *                  count is read from the already-materialized edge
-    *                  cache, so the probe adds no extra pass.
+    *                  iteration. The default (256k directed edges ≈ 4 MB
+    *                  collected + boxed-map overhead) is sized like a
+    *                  broadcast threshold — safe on any driver heap;
+    *                  raise it deliberately if your driver is sized for
+    *                  more. The edge count is read from the already-
+    *                  materialized edge cache, so the probe adds no
+    *                  extra pass.
     * @return (node: long, component: long) — component = min node id in
     *         the node's connected component; isolated nodes absent from
     *         `pairs` are (by definition) their own component and are not
@@ -43,7 +45,7 @@ object ConnectedComponents {
   def components(
       pairs: DataFrame, srcCol: String, dstCol: String,
       maxIterations: Int = 20, distinctPairs: Boolean = false,
-      smallGraphEdges: Long = 4L << 20): DataFrame = {
+      smallGraphEdges: Long = 1L << 18): DataFrame = {
     val undirected = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(pairs.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))

@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   * engines; graft's oracle replays the same trunc(v * 127 / max|v|) in
   * DuckDB. Zero vectors quantize to all-zero codes (scale guard).
   *
-  * This is a narrow map stage: no shuffle, stays inside WholeStageCodegen
-  * (array HOFs), composes with any layout/partitioning upstream.
+  * Implementation note: max|v| is projected ONCE per row before any
+  * lambda uses it. HOF lambda bodies are evaluated per element with no
+  * loop-invariant hoisting, so embedding `array_max` inside the
+  * transform would rescan the vector for every element — O(d²) per row.
+  * The staged projection keeps each pass O(d) (and Catalyst's
+  * CollapseProject will not inline a non-cheap multi-referenced
+  * expression back into the lambdas).
+  *
+  * This is a narrow map stage: no shuffle, composes with any layout or
+  * partitioning upstream.
   */
 object Quantize {
 
@@ -22,32 +30,39 @@ object Quantize {
   def maxAbs(emb: Column): Column =
     array_max(transform(emb, v => abs(v.cast("double"))))
 
-  /** int8 codes as ARRAY<INT> (kept int-typed for portable arithmetic):
-    * trunc-toward-zero of v * (127 / max|v|); all-zero when max|v| = 0. */
-  def int8Codes(emb: Column): Column = {
-    val scale = lit(127.0) / maxAbs(emb)
-    when(maxAbs(emb) > 0.0,
+  /** int8 codes given a PRE-COMPUTED max|v| column (see scaladoc note):
+    * trunc-toward-zero of v * (127 / ma); all-zero when ma = 0. */
+  def int8CodesWith(emb: Column, ma: Column): Column = {
+    val scale = lit(127.0) / ma
+    when(ma > 0.0,
       transform(emb, v => (v.cast("double") * scale).cast("int")))
       .otherwise(transform(emb, v => lit(0)))
   }
 
-  /** Per-vector max reconstruction error max|v - q/scale| — elementwise
-    * double ops + order-free max, so cross-engine exact. */
-  def maxReconError(emb: Column, codes: Column): Column = {
-    val invScale = maxAbs(emb) / lit(127.0)
-    when(maxAbs(emb) > 0.0,
-      array_max(zip_with(emb, codes,
-        (v, q) => abs(v.cast("double") - q.cast("double") * invScale))))
-      .otherwise(lit(0.0))
-  }
+  /** Convenience single-expression form — recomputes max|v| per element
+    * inside the lambda (O(d²)); prefer [[withCodes]]/[[int8CodesWith]]
+    * on any hot path. */
+  def int8Codes(emb: Column): Column = int8CodesWith(emb, maxAbs(emb))
+
+  /** Stage `__ma` (max|v|) and `codes` columns onto `df` — the O(d)
+    * quantization pipeline step. */
+  def withCodes(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("__ma", maxAbs(col(embCol)))
+      .withColumn("codes", int8CodesWith(col(embCol), col("__ma")))
 
   /** Attach quantization columns: `codes` (ARRAY<INT> in [-127,127]),
-    * `code_sum` (integer checksum), `max_recon_err`. */
+    * `code_sum` (integer checksum), `max_recon_err` (max|v - q/scale|,
+    * elementwise double + order-free max → cross-engine exact). */
   def quantized(df: DataFrame, embCol: String): DataFrame = {
-    val codes = int8Codes(col(embCol))
-    df.withColumn("codes", codes)
+    val invScale = col("__ma") / lit(127.0)
+    withCodes(df, embCol)
       .withColumn("code_sum",
         aggregate(col("codes"), lit(0L), (acc, q) => acc + q.cast("long")))
-      .withColumn("max_recon_err", maxReconError(col(embCol), col("codes")))
+      .withColumn("max_recon_err",
+        when(col("__ma") > 0.0,
+          array_max(zip_with(col(embCol), col("codes"),
+            (v, q) => abs(v.cast("double") - q.cast("double") * invScale))))
+          .otherwise(lit(0.0)))
+      .drop("__ma")
   }
 }

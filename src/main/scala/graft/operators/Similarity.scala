@@ -52,21 +52,27 @@ object Similarity {
   def int8Knn(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    def codes(df: DataFrame, idAs: String, codesAs: String): DataFrame =
-      df.select(col(idCol).as(idAs),
-        Quantize.int8Codes(col(embCol)).as(codesAs))
-    val dot = aggregate(
-      zip_with(col("c_codes"), col("q_codes"), (a, b) => a * b),
-      lit(0L), (acc, v) => acc + v.cast("long")).cast("double")
     def norm2(c: Column): Column = aggregate(
       transform(c, v => v * v), lit(0L), (acc, v) => acc + v.cast("long"))
       .cast("double")
-    val scored = codes(corpus, "neighbor_id", "c_codes")
-      .crossJoin(broadcast(codes(queries, "qid", "q_codes")))
+    // codes AND the squared norm are per-vector: compute both ONCE per
+    // row before the cross join, so each of the O(|corpus| x |queries|)
+    // pairs pays only the dot product
+    def codes(df: DataFrame, idAs: String, codesAs: String,
+        normAs: String): DataFrame =
+      Quantize.withCodes(
+          df.select(col(idCol).as(idAs), col(embCol)), embCol)
+        .select(col(idAs), col("codes").as(codesAs),
+          norm2(col("codes")).as(normAs))
+    val dot = aggregate(
+      zip_with(col("c_codes"), col("q_codes"), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v.cast("long")).cast("double")
+    val scored = codes(corpus, "neighbor_id", "c_codes", "c_n2")
+      .crossJoin(broadcast(codes(queries, "qid", "q_codes", "q_n2")))
       .filter(col("neighbor_id") =!= col("qid"))
       .select(col("qid"), col("neighbor_id"),
-        when(norm2(col("c_codes")) > 0 && norm2(col("q_codes")) > 0,
-          dot / sqrt(norm2(col("c_codes")) * norm2(col("q_codes"))))
+        when(col("c_n2") > 0 && col("q_n2") > 0,
+          dot / sqrt(col("c_n2") * col("q_n2")))
           .otherwise(0.0).as("qcos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("qcos").desc, col("neighbor_id"))

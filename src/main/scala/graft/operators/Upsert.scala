@@ -26,14 +26,24 @@ object Upsert {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Apply `updates` to `snapshot`: rows with a matching update take the
-    * update's values for `setCols` (which must exist in both frames);
-    * everything else passes through. Adds `was_updated`. */
+  /** Apply `updates` to `snapshot` with full MERGE semantics:
+    *  - matched keys take the update's values for `setCols` (which must
+    *    exist in both frames); their other columns pass through;
+    *  - unmatched snapshot rows pass through untouched;
+    *  - unmatched UPDATE keys are INSERTED (the WHEN NOT MATCHED half):
+    *    `setCols` from the update, every other snapshot column null.
+    * Adds `was_updated` (row took update values — matched or inserted)
+    * and `was_inserted` (key absent from the snapshot). */
   def applyLatest(snapshot: DataFrame, updates: DataFrame, key: String,
       versionOrder: Seq[Column], setCols: Seq[String]): DataFrame = {
     val winners = latestPerKey(updates, key, versionOrder)
       .select(col(key) +: lit(true).as("__u_hit") +:
         setCols.map(c => col(c).as(s"__u_$c")): _*)
+    // NOT full outer (which no broadcast join supports — it would force
+    // the whole snapshot through a shuffle): the matched/pass-through
+    // path is a LEFT join that keeps the snapshot in place with winners
+    // broadcast, and the insert half is a separate anti join that
+    // touches only the key column of the snapshot.
     val joined = snapshot.join(winners, Seq(key), "left")
     // the match marker (not the value) decides precedence, so an update
     // that explicitly sets NULL still wins over the snapshot value
@@ -42,7 +52,16 @@ object Upsert {
         when(col("__u_hit"), col(s"__u_$c")).otherwise(col(c)).as(c)
       case c => col(c)
     }
-    joined.select(merged :+
-      coalesce(col("__u_hit"), lit(false)).as("was_updated"): _*)
+    val updatedOrPass = joined.select(merged :+
+      coalesce(col("__u_hit"), lit(false)).as("was_updated") :+
+      lit(false).as("was_inserted"): _*)
+    val inserted = winners
+      .join(snapshot.select(col(key)), Seq(key), "left_anti")
+      .select(snapshot.columns.map {
+        case c if c == key => col(c)
+        case c if setCols.contains(c) => col(s"__u_$c").as(c)
+        case c => lit(null).cast(snapshot.schema(c).dataType).as(c)
+      } :+ lit(true).as("was_updated") :+ lit(true).as("was_inserted"): _*)
+    updatedOrPass.unionByName(inserted)
   }
 }

@@ -209,20 +209,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(q(2)._2 == Some(Seq(127)))
   }
 
-  test("upsert: latest wins, explicit-null update wins, untouched rows pass") {
+  test("upsert: latest wins, explicit-null wins, pass-through, insert") {
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val updates = Seq(
       (1L, Some("new1"), 10L), (1L, Some("old1"), 5L), // key 1: version 10 wins
-      (2L, None: Option[String], 7L)                   // key 2: update SETS null
+      (2L, None: Option[String], 7L),                  // key 2: update SETS null
+      (9L, Some("ins"), 1L)                            // key 9: NOT MATCHED → insert
     ).toDF("k", "v", "ver")
     val got = Upsert.applyLatest(snap, updates, "k",
         Seq(col("ver").desc), Seq("v"))
-      .select($"k", $"v", $"was_updated")
-      .as[(Long, Option[String], Boolean)].collect().sortBy(_._1).toSeq
+      .select($"k", $"v", $"was_updated", $"was_inserted")
+      .as[(Long, Option[String], Boolean, Boolean)].collect().sortBy(_._1).toSeq
     assert(got == Seq(
-      (1L, Some("new1"), true),  // newest version, not first-seen
-      (2L, None, true),          // null SET beats snapshot value
-      (3L, Some("c"), false)))   // untouched pass-through
+      (1L, Some("new1"), true, false),  // newest version, not first-seen
+      (2L, None, true, false),          // null SET beats snapshot value
+      (3L, Some("c"), false, false),    // untouched pass-through
+      (9L, Some("ins"), true, true)))   // WHEN NOT MATCHED half
   }
 
   test("column profile counts nulls/distincts and renders extremes") {

@@ -87,11 +87,15 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     // WindowGroupLimit = per-partition top-1 BEFORE the window exchange
     assert(plan.contains("WindowGroupLimit"), plan)
-    // exactly ONE hash exchange (the update batch's window); the snapshot
-    // side joins in place via the broadcast winners
+    // two hash exchanges in the STATIC plan — the update path's winners
+    // window and the insert path's copy of it, which are canonically
+    // identical so AQE's stage reuse executes the shuffle once. The
+    // snapshot's full rows never hash-shuffle: winners broadcast into
+    // the left join, snapshot KEYS broadcast into the anti join.
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(hashEx == 1, s"$hashEx hash exchanges:\n$plan")
+    assert(hashEx <= 2, s"$hashEx hash exchanges:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("partitioned corpus layout: filters prune partition directories") {
