@@ -326,10 +326,15 @@ object QueriesPipeline {
   // on `term`, one scan — rather than a groupBy + join back, which
   // would recompute the normalize+explode subtree for the second join
   // input (the two Exchanges hash the same key but their children are
-  // different plans, so Spark cannot reuse one for the other). Counts
-  // are ints and the ratio is a ratio of ints, so the oracle is exact.
-  // `array_distinct` BEFORE the explode keeps within-doc duplicate
-  // terms off the shuffle.
+  // different plans, so Spark cannot reuse one for the other). The
+  // trade: WindowExec buffers each term's partition (spilling past
+  // spark.sql.windowExec.buffer.spill.threshold), so a mega-hot term
+  // (stopword in 10^8+ docs) makes its task the straggler; at that
+  // scale switch to groupBy + join over a MATERIALIZED toks (one
+  // checkpoint write instead of a recompute) — stated here, not
+  // silently assumed. Counts are ints and the ratio is a ratio of
+  // ints, so the oracle is exact. `array_distinct` BEFORE the explode
+  // keeps within-doc duplicate terms off the shuffle.
   // ------------------------------------------------------------------
   def rareTokenScore(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
@@ -497,10 +502,14 @@ object QueriesPipeline {
         Seq(col("o_orderdate").desc, col("o_orderkey").desc),
         Seq("c_acctbal"))
       .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
-        col("was_updated"))
+        col("was_updated"), col("was_inserted"))
       .orderBy(col("c_custkey"))
   }
 
+  // FULL OUTER in the oracle so the WHEN NOT MATCHED half is checked on
+  // any dataset — on referentially-intact TPC-H data the insert branch
+  // is empty on both sides, on trimmed/custom data both engines must
+  // emit the same inserted rows
   val upsertLatestSql: String =
     """WITH w AS (
       |  SELECT o_custkey AS c_custkey, o_totalprice,
@@ -508,24 +517,25 @@ object QueriesPipeline {
       |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
       |  FROM orders
       |), u AS (SELECT c_custkey, o_totalprice FROM w WHERE rn = 1)
-      |SELECT c.c_custkey,
+      |SELECT coalesce(c.c_custkey, u.c_custkey) AS c_custkey,
       |       CASE WHEN u.c_custkey IS NOT NULL THEN u.o_totalprice
       |            ELSE c.c_acctbal END AS c_acctbal,
       |       c.c_mktsegment,
-      |       u.c_custkey IS NOT NULL AS was_updated
-      |FROM customer c LEFT JOIN u USING (c_custkey)
+      |       u.c_custkey IS NOT NULL AS was_updated,
+      |       c.c_custkey IS NULL AS was_inserted
+      |FROM customer c FULL OUTER JOIN u USING (c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
   // ------------------------------------------------------------------
   // q70 — count-min-sketch heavy hitters: one mergeable bounded-memory
   // sketch over the token stream (Spark's count_min_sketch aggregate),
   // probed for the exact top-10 terms. Sketch estimates are
-  // deterministic given the seed, and CMS guarantees
-  // exact <= estimate <= exact + eps * N — the query asserts that bound
-  // per term (self-validating oracle, same convention as q46/q53), so
-  // DuckDB states `TRUE AS cms_ok` and the hash gate still exercises
-  // the sketch path. At 100 TB the sketch replaces the exact groupBy:
-  // fixed KB-size state per partition, merged once.
+  // deterministic given the seed; the query asserts
+  // exact <= estimate <= exact + 10*eps*N per term (self-validating
+  // oracle, same convention as q46/q53 — see the bound note below for
+  // why 10x), so DuckDB states `TRUE AS cms_ok` and the hash gate still
+  // exercises the sketch path. At 100 TB the sketch replaces the exact
+  // groupBy: fixed KB-size state per partition, merged once.
   // ------------------------------------------------------------------
   def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -563,6 +573,30 @@ object QueriesPipeline {
       |      FROM documents WHERE length(${normSql("text")}) > 0)
       |GROUP BY term ORDER BY exact_cnt DESC, term LIMIT 10""".stripMargin
 
+  /** Scratch dir keyed by (process, dataset): stable within a JVM (one
+    * dir per dataset, overwritten per invocation), isolated across
+    * JVMs, and deleted on clean JVM exit. */
+  private val scratchCleanups =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def scratchDir(prefix: String, keySource: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(keySource.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"${prefix}_${ProcessHandle.current().pid()}_$digest")
+    val path = dir.getAbsolutePath
+    if (scratchCleanups.putIfAbsent(path, true) == null)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }))
+    path
+  }
+
   // ------------------------------------------------------------------
   // q68 — z-order layout round-trip: OPTIMIZE lineitem on the
   // (l_extendedprice, l_quantity) z-curve (operators/ZOrder), then run a
@@ -575,14 +609,13 @@ object QueriesPipeline {
   def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_returnflag", "l_quantity", "l_extendedprice")
-    // per-process, name-keyed scratch dir: the pid isolates concurrent
-    // JVMs (no overwrite-while-read across processes, no cross-user
-    // permission clashes) and the sanitized sfDir name cannot collide
-    // across datasets the way a hashCode could
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_zorder_${ProcessHandle.current().pid()}_" +
-        sfDir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+    // per-process, content-keyed scratch dir: the pid isolates
+    // concurrent JVMs (no overwrite-while-read across processes, no
+    // cross-user permission clashes); the md5 of the RAW sfDir cannot
+    // collide across datasets the way a sanitized name or hashCode
+    // could. The dir is removed by a JVM shutdown hook (registered once
+    // per path) so repeated runs don't grow tmpdir without bound.
+    val path = scratchDir("graft_zorder", sfDir)
     ZOrder.zorderWrite(li, path, "l_extendedprice", "l_quantity", numFiles = 8)
     spark.read.parquet(path)
       .filter(col("l_quantity").between(5, 15) &&

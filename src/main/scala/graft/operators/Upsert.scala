@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * and passing through untouched snapshot rows.
   *
   * Scale shape: one window shuffle on the update batch (usually ≪ the
-  * snapshot) to pick winners, then one key-shuffle join against the
-  * snapshot — both on the same key, so a bucketed/pre-partitioned
-  * snapshot joins without moving. This is exactly what a lakehouse MERGE
-  * compiles to; no row-level mutation is needed. */
+  * snapshot) to pick winners — rank-pushdown (WindowGroupLimit) trims
+  * each map partition to its per-key top-1 before that exchange — then
+  * TWO snapshot touches: a left join applying winners (broadcast while
+  * winners fit the threshold, key-shuffle beyond it — where a bucketed
+  * snapshot joins without moving) and an anti join of winners against
+  * the snapshot's KEY COLUMN for the WHEN NOT MATCHED inserts (key
+  * column broadcast at small scale; a key-only shuffle at 100 TB). This
+  * is what a lakehouse MERGE compiles to; no row-level mutation is
+  * needed. */
 object Upsert {
 
   /** Reduce `updates` to one winner per `key` by `versionOrder`
