@@ -29,6 +29,17 @@ object CorpusLayout {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read a corpus whose parquet batches were written with EVOLVING
+    * schemas (columns added over time — the normal life of a long-lived
+    * corpus dir): `mergeSchema` unions all file schemas; rows from
+    * batches that predate a column read it as null. Off by default in
+    * Spark because schema-merging footer reads cost a pass over every
+    * file's metadata — that cost is the price of correctness here, so
+    * this helper states it in its name instead of flipping a global
+    * conf. */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", true).parquet(path)
+
   /** Write `df` bucketed + sorted on a join key: two tables bucketed the
     * same way join with ZERO exchange on that key (asserted in ScaleSpec)
     * — the co-located-join layout for a fact table that is joined on the

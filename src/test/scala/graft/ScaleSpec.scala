@@ -98,6 +98,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("evolved-schema corpus read: old batches null-fill new columns") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    try {
+      // batch 1: original schema; batch 2: adds a `lang` column
+      Seq((1L, "a")).toDF("doc_id", "text")
+        .write.parquet(s"$dir/batch=1")
+      Seq((2L, "b", "en")).toDF("doc_id", "text", "lang")
+        .write.parquet(s"$dir/batch=2")
+      val got = graft.operators.CorpusLayout.readEvolved(spark, dir)
+        .select($"doc_id", $"lang")
+        .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, None), (2L, Some("en"))))
+      // the plain reader picks ONE file's schema and would drop `lang`
+      // for some read orders — the helper exists precisely for this
+      assert(graft.operators.CorpusLayout.readEvolved(spark, dir)
+        .columns.contains("lang"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively(): Unit
+    }
+  }
+
   test("partitioned corpus layout: filters prune partition directories") {
     val outPath = java.nio.file.Files.createTempDirectory("graft_part")
     val out = outPath.toString
