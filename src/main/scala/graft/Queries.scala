@@ -150,7 +150,9 @@ object Queries {
       Some(QueriesPipeline.columnProfileSql)),
     Q("q72_upsert_latest", QueriesPipeline.upsertLatest,
       Some(QueriesPipeline.upsertLatestSql)),
-    Q("q73_knn_int8", QueriesText.knnInt8, Some(QueriesText.knnInt8Sql))
+    Q("q73_knn_int8", QueriesText.knnInt8, Some(QueriesText.knnInt8Sql)),
+    Q("q74_keep_best_dedup", QueriesText.keepBestDedup,
+      Some(QueriesText.keepBestDedupSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -403,6 +403,37 @@ object QueriesText {
       |FROM q ORDER BY vec_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // q74 — keep-BEST dedup (Dedup.keepBestGroups): one winner per
+  // normalized-text cluster chosen by raw length (the variant with the
+  // most original formatting), ties to the smallest id — max(struct)
+  // argmax through a partial/final hash aggregate, no window sort
+  // (q63's at-scale argument). Digest, ids, counts, and the char-length
+  // quality are all integer/string-exact cross-engine.
+  // ------------------------------------------------------------------
+  def keepBestDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val norm = TextFunctions.normalizeText(col("text"))
+    Dedup.keepBestGroups(d, "doc_id",
+        md5(norm.cast("binary")), length(col("text")).cast("long"))
+      .orderBy(col("digest"))
+  }
+
+  val keepBestDedupSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, md5(${normSql("text")}) AS digest,
+      |         CAST(length(text) AS BIGINT) AS q
+      |  FROM documents
+      |), r AS (
+      |  SELECT digest, doc_id, q,
+      |         row_number() OVER (PARTITION BY digest
+      |                            ORDER BY q DESC, doc_id) AS rn,
+      |         count(*) OVER (PARTITION BY digest) AS dup_count
+      |  FROM t
+      |)
+      |SELECT digest, doc_id AS keep_id, dup_count, q AS best_quality
+      |FROM r WHERE rn = 1 ORDER BY digest""".stripMargin
+
+  // ------------------------------------------------------------------
   // q73 — top-k search over the int8 codes (the search half of q69's
   // quantize→search path). Integer dot products (terms ≤ 127², 128-dim
   // sums ≪ 2^53) stay EXACT through the double cosine math, so unlike

@@ -49,6 +49,30 @@ object Dedup {
       .drop("dd_rn")
   }
 
+  /** Keep-BEST dedup decision: one winner per duplicate cluster chosen
+    * by a quality criterion (descending), not by min id — what a real
+    * corpus dedup wants (keep the best copy; min-id keeps an arbitrary
+    * one). Implemented as `max(struct(quality, -id))` through an
+    * ordinary partial/final hash aggregate — map-side combine shrinks
+    * every partition to one candidate per cluster BEFORE the shuffle,
+    * where a window formulation would shuffle and sort every row (q63's
+    * at-scale argmax argument). Ties on quality break to the SMALLEST
+    * id via the negated-id struct field.
+    *
+    * @param clusterKey  cluster identity column (e.g. a normalized-text
+    *                    digest for near-exact clusters)
+    * @param quality     numeric column, higher = better copy
+    * @return (cluster digest column named `digest`, keep_id, dup_count,
+    *         best_quality) */
+  def keepBestGroups(df: DataFrame, idCol: String, clusterKey: Column,
+      quality: Column): DataFrame =
+    df.groupBy(clusterKey.as("digest"))
+      .agg(
+        max(struct(quality.as("q"), (-col(idCol)).as("negid"))).as("best"),
+        count(lit(1)).as("dup_count"))
+      .select(col("digest"), (-col("best.negid")).as("keep_id"),
+        col("dup_count"), col("best.q").as("best_quality"))
+
   // ------------------------------------------------------------------
   // 3. MinHash + LSH
   // ------------------------------------------------------------------

@@ -221,4 +221,18 @@ class TextOpsSpec extends AnyFunSuite {
     val want = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
     assert(math.abs(got - want) < 1e-12)
   }
+
+  test("keep-best dedup: quality wins, ties break to smallest id") {
+    val df = Seq(
+      (1L, "k1", 10L), (2L, "k1", 30L), (3L, "k1", 30L), // 2 & 3 tie on quality
+      (7L, "k2", 5L)
+    ).toDF("id", "ckey", "q")
+    val got = graft.operators.Dedup
+      .keepBestGroups(df, "id", col("ckey"), col("q"))
+      .select($"digest", $"keep_id", $"dup_count", $"best_quality")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("k1", 2L, 3L, 30L),  // best quality 30; tie → min id 2, NOT min id 1
+      ("k2", 7L, 1L, 5L)))
+  }
 }
