@@ -198,6 +198,19 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall@5 = $recall")
   }
 
+  test("LSH knn recovers planted exact duplicates at rank 1") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    // identical vectors fall in the SAME hyperplane bucket with
+    // certainty, so the planted copy must be every query's rank-1 at
+    // cosine 1.0 — the deterministic slice of a probabilistic operator
+    val planted = queries.select(($"vec_id" + 100000L).as("vec_id"),
+      $"embedding", $"label")
+    val rank1 = Similarity.lshKnn(emb.unionByName(planted), queries, k = 1)
+      .select($"qid", $"neighbor_id").as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach(q => assert(rank1(q) == q + 100000L, s"q=$q"))
+  }
+
   test("IVF knn: perfect recall on planted exact duplicates, bounded candidates") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 5)
