@@ -290,7 +290,7 @@ object QueriesAnalytics {
   }
 
   val hourlyEventRollupSql: String =
-    """SELECT epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_epoch,
+    """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
       |       event_type,
       |       count(*) AS n_events,
       |       count(DISTINCT user_id) AS n_users,

@@ -141,10 +141,21 @@ object Dedup {
       struct(lit(b).as("band"),
         xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
     }
+    // The plan references the signature projection THREE times (band
+    // explode + the two est-jaccard joins); signatures are the CPU hot
+    // loop of the whole pipeline (64 hashes × every shingle), so persist
+    // them instead of recomputing per reference. MEMORY_AND_DISK: a
+    // signature row is ~0.5 KB (64 longs), so even 10^9 docs spill
+    // gracefully rather than OOM. The cache is keyed on the analyzed
+    // plan, so repeated runs of the same pipeline (and sibling queries
+    // over the same corpus) share one entry rather than stacking.
+    val sigRows = signatures
+      .select(col(idCol).cast("long").as("id"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids ride the band shuffle as longs (bounded_collect_longs is
     // long-typed; integral id columns are required, like ConnectedComponents)
-    val buckets = signatures
-      .select(col(idCol).cast("long").as("id"), explode(array(bandCols: _*)).as("bb"))
+    val buckets = sigRows
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
     // gather each bucket's ids with a HARD memory ceiling: the custom
     // bounded_collect_longs aggregate stores at most maxBucketSize longs
@@ -165,10 +176,9 @@ object Dedup {
       .select(explode(combos).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    val sigs = signatures.select(col(idCol), col("sig"))
     pairs
-      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .join(sigRows.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigRows.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)),
