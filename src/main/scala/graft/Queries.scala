@@ -152,7 +152,19 @@ object Queries {
       Some(QueriesPipeline.upsertLatestSql)),
     Q("q73_knn_int8", QueriesText.knnInt8, Some(QueriesText.knnInt8Sql)),
     Q("q74_keep_best_dedup", QueriesText.keepBestDedup,
-      Some(QueriesText.keepBestDedupSql))
+      Some(QueriesText.keepBestDedupSql)),
+
+    // --- Corpus-prep wave 2: sequence-level training-data operators ---
+    Q("q75_full_outer_reconcile", QueriesRelational.fullOuterReconcile,
+      Some(QueriesRelational.fullOuterReconcileSql)),
+    Q("q76_decontaminate", QueriesCorpus.decontaminate,
+      Some(QueriesCorpus.decontaminateSql)),
+    Q("q77_dup_block_ratio", QueriesCorpus.dupBlockRatio,
+      Some(QueriesCorpus.dupBlockRatioSql)),
+    Q("q78_chunk_windows", QueriesCorpus.chunkWindows,
+      Some(QueriesCorpus.chunkWindowsSql)),
+    Q("q79_pack_sequences", QueriesCorpus.packSequences,
+      Some(QueriesCorpus.packSequencesSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunking, Decontaminate}
+
+/** Corpus-preparation wave 2: the sequence-level operators between a
+  * cleaned document corpus and model-ready training batches — train/eval
+  * decontamination, repeated-block quality signals, context-window
+  * chunking, and concat-and-split sequence packing. All DuckDB-oracled:
+  * the shared tokenization is the same
+  * `string_split(lower(trim(regexp_replace(text,'\s+',' '))), ' ')`
+  * convention as q60's trigrams, so both engines see identical tokens.
+  */
+object QueriesCorpus {
+
+  /** DuckDB CTE producing (doc_id, t = token list) for every document —
+    * the cross-engine tokenization contract. */
+  private val toksCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents
+      |  WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q76 — train/eval decontamination: every 10th document plays the eval
+  // benchmark; the report flags training docs sharing any word 8-gram
+  // with it. Eval grams broadcast — the training side never shuffles
+  // until the final per-doc agg.
+  // -------------------------------------------------------------------
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 10 === 0)
+    Decontaminate.overlapReport(train, eval_, "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""$toksCte,
+      |grams AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id,
+      |           unnest(CASE WHEN len(t) >= 8
+      |             THEN list_transform(range(1, len(t) - 8 + 2),
+      |                                 i -> array_to_string(list_slice(t, i, i + 7), ' '))
+      |             ELSE [array_to_string(t, ' ')] END) AS gram
+      |    FROM toks)),
+      |eval_grams AS (
+      |  SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+      |hits AS (
+      |  SELECT g.doc_id, count(*) AS n_overlap
+      |  FROM grams g JOIN eval_grams e USING (gram)
+      |  WHERE g.doc_id % 10 <> 0
+      |  GROUP BY g.doc_id)
+      |SELECT d.doc_id,
+      |       coalesce(h.n_overlap, 0) AS n_overlap,
+      |       coalesce(h.n_overlap, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 10 <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q77 — duplicated-block ratio (Gopher/C4 repeated-chunk signal):
+  // 10-token blocks, corpus-wide block frequency, per-doc dup fraction.
+  // -------------------------------------------------------------------
+  def dupBlockRatio(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    Chunking.dupBlockStats(docs, "doc_id", "text", blockTokens = 10)
+      .orderBy(col("doc_id"))
+  }
+
+  val dupBlockRatioSql: String =
+    s"""$toksCte,
+      |blocks AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t) + 1, 10),
+      |                i -> array_to_string(list_slice(t, i, i + 9), ' '))) AS block
+      |  FROM toks),
+      |freq AS (SELECT block, count(*) AS block_df FROM blocks GROUP BY block)
+      |SELECT b.doc_id, count(*) AS n_blocks,
+      |       count(*) FILTER (WHERE f.block_df > 1) AS n_dup_blocks,
+      |       CAST(count(*) FILTER (WHERE f.block_df > 1) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS dup_ratio
+      |FROM blocks b JOIN freq f USING (block)
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q78 — context-window chunking: 32-token windows, stride 16 (50%
+  // overlap). Pure narrow explode — zero shuffles before the output sort.
+  // -------------------------------------------------------------------
+  def chunkWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    Chunking.tokenWindows(docs, "doc_id", "text",
+        windowTokens = 32, stride = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val chunkWindowsSql: String =
+    s"""$toksCte,
+      |w AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t) + 1, 16)) AS s
+      |  FROM toks)
+      |SELECT doc_id,
+      |       CAST((s - 1) // 16 AS INT) AS chunk_idx,
+      |       CAST(least(32, len(t) - s + 1) AS INT) AS n_tokens,
+      |       array_to_string(list_slice(t, s, s + 31), ' ') AS chunk_text
+      |FROM w ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q79 — concat-and-split sequence packing: documents head-to-tail in
+  // doc_id order, cut every 256 tokens. The running offset is the
+  // two-level prefix sum (range subtotals broadcast as bases) — no
+  // global single-task window anywhere in the plan.
+  // -------------------------------------------------------------------
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    Chunking.packSequences(docs, "doc_id", "text", binTokens = 256)
+      .orderBy(col("doc_id"))
+  }
+
+  val packSequencesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |         CAST(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+      |              ELSE len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
+      |              END AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_tokens,
+      |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      |  FROM d)
+      |SELECT doc_id, n_tokens, start_offset,
+      |       start_offset // 256 AS first_bin,
+      |       (start_offset + greatest(n_tokens, 1) - 1) // 256 AS last_bin,
+      |       ((start_offset + greatest(n_tokens, 1) - 1) // 256)
+      |         - (start_offset // 256) + 1 AS n_bins
+      |FROM s ORDER BY doc_id""".stripMargin
+}

@@ -484,4 +484,53 @@ object QueriesRelational {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       |ORDER BY g_flag, g_status, returnflag, linestatus""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q75 — FULL OUTER join (the one join type the suite lacked):
+  // reconcile each customer's order activity across two eras. Customers
+  // active in only one era surface with zeros on the other side — the
+  // reconciliation semantics an inner/left join would silently drop.
+  // Both sides aggregate BEFORE the join (1500 rows/side, not 15000), so
+  // the full-outer shuffle carries pre-aggregated rows; at scale this is
+  // the standard "aggregate then reconcile" shape and the join keys are
+  // co-partitioned by the groupBy shuffles that feed them (Exchange
+  // reuse — no third shuffle).
+  // -------------------------------------------------------------------
+  def fullOuterReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    def era(pred: org.apache.spark.sql.Column, tag: String): DataFrame =
+      o.filter(pred).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as(s"n_$tag"), decSum("o_totalprice").as(s"spend_$tag"))
+    val early = era(col("o_orderdate") < lit("1998-01-01"), "early")
+    val late  = era(col("o_orderdate") >= lit("1998-01-01"), "late")
+    early.join(late, Seq("o_custkey"), "full_outer")
+      .select(
+        col("o_custkey"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("spend_early"), lit(0.0)).as("spend_early"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        coalesce(col("spend_late"), lit(0.0)).as("spend_late"))
+      .withColumn("delta_orders", col("n_late") - col("n_early"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val fullOuterReconcileSql: String =
+    """WITH early AS (
+      |  SELECT o_custkey, count(*) AS n_early,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_early
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY o_custkey),
+      |late AS (
+      |  SELECT o_custkey, count(*) AS n_late,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend_late
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |  GROUP BY o_custkey)
+      |SELECT coalesce(e.o_custkey, l.o_custkey) AS o_custkey,
+      |       coalesce(n_early, 0) AS n_early,
+      |       coalesce(spend_early, 0.0) AS spend_early,
+      |       coalesce(n_late, 0) AS n_late,
+      |       coalesce(spend_late, 0.0) AS spend_late,
+      |       coalesce(n_late, 0) - coalesce(n_early, 0) AS delta_orders
+      |FROM early e FULL OUTER JOIN late l USING (o_custkey)
+      |ORDER BY o_custkey""".stripMargin
 }

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Training-chunk preparation: the operators that turn a cleaned document
+  * corpus into model-ready sequences. The reference repo stops at row-level
+  * KPIs; these cover the next pipeline stage a large-scale training-data
+  * pipeline needs (see README.md:175-178's `Staging → Fact` framing — here
+  * the "fact" is the training sequence).
+  *
+  *  - [[tokenWindows]]   — overlapping token windows (context-window
+  *                         chunking with stride, RAG/pretrain chunking).
+  *  - [[packSequences]]  — concat-and-split sequence packing: documents
+  *                         laid head-to-tail in id order, cut every
+  *                         `binTokens` tokens. The global running offset is
+  *                         computed as a two-level prefix sum (per-range
+  *                         subtotals broadcast back as offsets), NOT a
+  *                         global single-partition window — at 100 TB a
+  *                         `Window.orderBy` with no partitionBy collapses
+  *                         all rows into ONE task; the two-level form keeps
+  *                         every stage parallel at any corpus size.
+  *  - [[dupBlockStats]]  — per-document duplicated-block ratio (the
+  *                         Gopher/C4-style "repeated chunk" quality
+  *                         signal, computed corpus-wide).
+  *
+  * All three are pure DataFrame compositions — explode / groupBy / window
+  * over bucketed keys, no UDFs, no driver loops.
+  */
+object Chunking {
+
+  /** Normalized whitespace tokens; empty array for blank/null text (split
+    * alone would yield `[""]` — a phantom token). */
+  private def toks(textCol: Column): Column = {
+    val norm = TextFunctions.normalizeText(textCol)
+    when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, " "))
+  }
+
+  /** Overlapping token windows per document: window `windowTokens` wide,
+    * advancing `stride` tokens (stride < window ⇒ overlap). Emits one row
+    * per window: (id, chunk_idx, n_tokens, chunk_text). The final windows
+    * may be shorter than `windowTokens` (every token appears in ≥1 window;
+    * a `filter(n_tokens === windowTokens)` drops tails when fixed-size
+    * batches are required).
+    *
+    * Narrow + explode only — no shuffle at all; at scale the output
+    * inherits the input partitioning and is typically written
+    * partitioned/bucketed downstream. */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, stride: Int): DataFrame = {
+    require(windowTokens > 0 && stride > 0,
+      s"windowTokens=$windowTokens and stride=$stride must be positive")
+    val t = toks(col(textCol))
+    df.select(col(idCol), t.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as("start"),
+        col("toks"))
+      .select(
+        col(idCol),
+        (col("start") / stride).cast("int").as("chunk_idx"),
+        least(lit(windowTokens), size(col("toks")) - col("start"))
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(windowTokens)))
+          .as("chunk_text"))
+  }
+
+  /** Concat-and-split sequence packing: documents are laid head-to-tail in
+    * ascending `idCol` order and the stream is cut every `binTokens`
+    * tokens. Emits per document: token count, global start offset, the
+    * first/last bin it lands in, and how many bins it spans (how many cut
+    * points cross it).
+    *
+    * The running offset is an exclusive prefix sum over id order. Scale
+    * topology: `numRanges` contiguous id ranges (NTILE over an id sort
+    * would itself need a global window — ranges come from fixed id
+    * arithmetic instead, after one cheap min/max agg). Per-range subtotals
+    * (≤ `numRanges` rows) are summed driver-side into per-range base
+    * offsets and broadcast-joined back; within a range the offset is an
+    * ordinary partitioned window. Every stage is parallel in the number of
+    * ranges — no single-task sort point, unlike `Window.orderBy(id)` with
+    * no partition key.
+    *
+    * Assumes roughly uniform ids (dense surrogate keys); wildly skewed id
+    * spaces should pre-map ids. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      binTokens: Int, numRanges: Int = 256): DataFrame = {
+    require(binTokens > 0, s"binTokens=$binTokens must be positive")
+    val docs = df.select(col(idCol).cast("long").as("id"),
+      coalesce(TextFunctions.tokenCountWs(col(textCol)), lit(0))
+        .cast("long").as("n_tokens"))
+    val Array(minId, maxId) = docs
+      .agg(min(col("id")), max(col("id"))).collect()(0) match {
+        case r if r.isNullAt(0) => Array(0L, 0L) // empty corpus
+        case r                  => Array(r.getLong(0), r.getLong(1))
+      }
+    val span = math.max(maxId - minId + 1, 1L)
+    val width = math.max(span / numRanges, 1L)
+    val ranged = docs.withColumn("rg",
+      least(((col("id") - minId) / width).cast("long"), lit(numRanges - 1L)))
+    // per-range subtotals: ≤ numRanges rows — driver-side exclusive scan
+    // is exact and trivially cheap at any corpus size
+    val totals = ranged.groupBy(col("rg"))
+      .agg(sum(col("n_tokens")).as("rg_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((-1L, 0L)) {
+      case ((_, acc), (rg, tok)) => (rg, acc + tok)
+    }.tail.map { case (rg, cum) => (rg, cum) }
+    val baseByRange = offsets.zip(totals).map {
+      case ((rg, cumIncl), (_, tok)) => (rg, cumIncl - tok)
+    }
+    val base = df.sparkSession.createDataFrame(baseByRange.toSeq)
+      .toDF("rg", "rg_base")
+    val w = Window.partitionBy(col("rg")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(base), Seq("rg"))
+      .withColumn("start_offset",
+        col("rg_base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        col("start_offset"),
+        // DIV, not /: integer floor division stays exact past 2^53 tokens
+        // (double division would round the quotient on petabyte corpora)
+        expr(s"start_offset DIV $binTokens").as("first_bin"),
+        expr(s"(start_offset + greatest(n_tokens, 1L) - 1) DIV $binTokens")
+          .as("last_bin"))
+      .withColumn("n_bins", (col("last_bin") - col("first_bin") + 1).cast("long"))
+  }
+
+  /** Per-document duplicated-block ratio: split each document into
+    * consecutive `blockTokens`-token blocks (non-overlapping; the short
+    * tail block counts too), count each block's occurrences across the
+    * WHOLE corpus, and report what fraction of a document's blocks appear
+    * more than once corpus-wide — the repeated-chunk quality signal used
+    * to demote boilerplate-heavy documents.
+    *
+    * Two shuffles: block-frequency groupBy + the join back to blocks (the
+    * join key is the block text; at 100 TB pass `hashBlocks=true` to ride
+    * both shuffles on an 8-byte xxhash64 instead of full block strings —
+    * same result modulo 2^-64 collisions, which the oracle-checked tier
+    * keeps off). */
+  def dupBlockStats(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 10, hashBlocks: Boolean = false): DataFrame = {
+    require(blockTokens > 0, s"blockTokens=$blockTokens must be positive")
+    val t = toks(col(textCol))
+    val blocks = df
+      .select(col(idCol), t.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(blockTokens)))
+          .as("start"),
+        col("toks"))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(blockTokens)))
+          .as("block"))
+      .select(col(idCol),
+        (if (hashBlocks) xxhash64(col("block")) else col("block")).as("block"))
+    val freq = blocks.groupBy(col("block")).agg(count(lit(1)).as("block_df"))
+    blocks.join(freq, Seq("block"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count_if(col("block_df") > 1).as("n_dup_blocks"))
+      .withColumn("dup_ratio",
+        col("n_dup_blocks").cast("double") / col("n_blocks").cast("double"))
+  }
+}

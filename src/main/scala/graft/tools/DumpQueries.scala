@@ -23,6 +23,15 @@ object DumpQueries {
         .write.mode("overwrite").parquet(s"$outDir/$n")
       println(s"[dump] wrote $outDir/$n")
     }
+    // matching oracle subset so tools/check_oracle.py works on the dump dir
+    val oracles = names.flatMap(n => Queries.oracleSql.get(n).map(n -> _))
+    val json = oracles.map { case (k, v) =>
+      "\"" + k + "\": " + com.fasterxml.jackson.databind.json.JsonMapper
+        .builder().build().writeValueAsString(v)
+    }.mkString("{\n", ",\n", "\n}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Chunking, Decontaminate}
+
+/** Unit tests for the sequence-level corpus-prep operators: overlapping
+  * token windows, concat-and-split packing (two-level prefix sum vs the
+  * global-window reference), duplicated-block ratio, and train/eval
+  * decontamination. */
+class CorpusPrepSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("tokenWindows: stride/overlap geometry, short tail, blank doc dropped") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than window
+      (3L, "   ")                                     // blank: no windows
+    ).toDF("doc_id", "text")
+    val w = Chunking.tokenWindows(df, "doc_id", "text",
+        windowTokens = 4, stride = 3)
+      .orderBy($"doc_id", $"chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    // doc 1: starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    assert(w.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0, 4, "t1 t2 t3 t4"),
+      (1L, 1, 4, "t4 t5 t6 t7"),
+      (1L, 2, 4, "t7 t8 t9 t10"),
+      (1L, 3, 1, "t10")))
+    assert(w.filter(_._1 == 2L).toSeq == Seq((2L, 0, 3, "a b c")))
+    assert(!w.exists(_._1 == 3L))
+  }
+
+  test("packSequences: two-level prefix sum ≡ global window; bin spans exact") {
+    // ids deliberately sparse + unordered input; numRanges=3 forces real
+    // cross-range base offsets (the two-level path, not one big range)
+    val docs = Seq(
+      (7L, (1 to 5).map(_ => "w").mkString(" ")),   // 5 tokens
+      (2L, (1 to 12).map(_ => "w").mkString(" ")),  // 12
+      (30L, (1 to 9).map(_ => "w").mkString(" ")),  // 9
+      (15L, "one two"),                             // 2
+      (16L, "")                                     // blank: 0 tokens
+    ).toDF("doc_id", "text")
+    val got = Chunking.packSequences(docs, "doc_id", "text",
+        binTokens = 8, numRanges = 3)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // reference: plain global window (fine at test size)
+    val n = coalesce(graft.functions.TextFunctions.tokenCountWs($"text"), lit(0))
+      .cast("long")
+    val gw = Window.orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = docs.select($"doc_id", n.as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum($"n_tokens").over(gw), lit(0L)))
+      .select($"doc_id", $"n_tokens", $"start_offset",
+        expr("start_offset DIV 8").as("first_bin"),
+        expr("(start_offset + greatest(n_tokens, 1L) - 1) DIV 8").as("last_bin"))
+      .withColumn("n_bins", $"last_bin" - $"first_bin" + 1)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == want.toSeq)
+    // spot-check the packing semantics: doc 2 (12 tokens at offset 0)
+    // crosses the first cut point → spans bins 0-1
+    assert(got.find(_._1 == 2L).get == ((2L, 12L, 0L, 0L, 1L, 2L)))
+  }
+
+  test("dupBlockStats: planted shared block found; hashed tier ≡ string tier") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // one full block
+    val df = Seq(
+      (1L, shared + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      (2L, shared + " " + (1 to 10).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Chunking.dupBlockStats(df, "doc_id", "text", blockTokens = 10)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 2L, 0L)))
+    val hashed = Chunking.dupBlockStats(df, "doc_id", "text", blockTokens = 10,
+        hashBlocks = true)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hashed.toSeq == got.toSeq)
+  }
+
+  test("decontamination: planted 8-gram leak flagged, clean docs zero, " +
+      "short doc matches whole-text") {
+    val leak = (1 to 8).map(i => s"q$i").mkString(" ")
+    val train = Seq(
+      (1L, "filler " + leak + " more filler words here"), // contains the leak
+      (2L, (1 to 20).map(i => s"x$i").mkString(" ")),     // clean
+      (3L, "tiny doc")                                    // short, matches eval 3
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, "prefix " + leak + " suffix"),
+      (101L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlapReport(train, eval_, "doc_id", "text", n = 8)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(t => (t._1, t._3)).toSeq ==
+      Seq((1L, true), (2L, false), (3L, true)))
+    assert(got.find(_._1 == 1L).get._2 >= 1L)
+  }
+
+  test("decontamination plan: eval gram set broadcast, train side not shuffled " +
+      "before the per-doc agg") {
+    val train = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
+    val eval_ = Seq((2L, "a b c d e f g h")).toDF("doc_id", "text")
+    val plan = Decontaminate.overlapReport(train, eval_, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast join for the eval gram set, got:\n$plan")
+  }
+}
