@@ -27,7 +27,7 @@ object QueriesPipeline {
   // ------------------------------------------------------------------
   // per-source rates over the corpus's src0..src19 strata; src17-19 left
   // out of the map on purpose (the allowlist drops unknown strata)
-  private val sampleRates: Map[String, Double] =
+  private[graft] val sampleRates: Map[String, Double] =
     (0 until 17).map(i => s"src$i" -> (0.1 + 0.04 * i)).toMap
 
   /** The rate allowlist as DuckDB SQL — shared by q45 and q56 so the two
@@ -210,7 +210,10 @@ object QueriesPipeline {
   // query-param extraction, aggregated per host.
   // ------------------------------------------------------------------
   def urlAnatomy(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    // rebalance: JSON-path + 3 URI parses per row is CPU-bound work that a
+    // single-row-group scan would serialize on one core (q36/q56 pattern)
+    val ev = Tables.rebalance(
+      Tables.events(spark, sfDir).select("props", "event_type", "user_id"))
     val k = get_json_object(col("props"), "$.k").cast("int")
     val url = concat(lit("https://api-"), col("event_type"),
       lit(".example.com/v1/"), col("event_type"),
@@ -380,7 +383,10 @@ object QueriesPipeline {
   // whole pipeline is oracle-checked end-to-end.
   // ------------------------------------------------------------------
   def corpusPrep(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.documents(spark, sfDir)
+    // rebalance: the quality stage is several regex/split passes per doc —
+    // CPU-bound on a single-row-group scan (same reasoning as q51/q36)
+    val d = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "text"))
     val quality = d
       .withColumn("q", TextFunctions.qualityMetrics(col("text")))
       .filter(col("q.quality_ok"))
