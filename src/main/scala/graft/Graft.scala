@@ -96,6 +96,19 @@ object Graft {
       versionOrder: Seq[Column], setCols: Seq[String]): DataFrame =
     Upsert.applyLatest(snapshot, updates, key, versionOrder, setCols)
 
+  // --- sequence-level corpus prep ---
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int, stride: Int): DataFrame =
+    Chunking.tokenWindows(df, idCol, textCol, windowTokens, stride)
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      binTokens: Int): DataFrame =
+    Chunking.packSequences(df, idCol, textCol, binTokens)
+  def dupBlockStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Chunking.dupBlockStats(df, idCol, textCol)
+  def decontaminate(train: DataFrame, eval_ : DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    Decontaminate.overlapReport(train, eval_, idCol, textCol)
+
   // --- embeddings / layout / stats utilities ---
   def quantizeInt8(df: DataFrame, embCol: String): DataFrame =
     Quantize.quantized(df, embCol)

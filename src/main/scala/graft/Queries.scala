@@ -164,7 +164,9 @@ object Queries {
     Q("q78_chunk_windows", QueriesCorpus.chunkWindows,
       Some(QueriesCorpus.chunkWindowsSql)),
     Q("q79_pack_sequences", QueriesCorpus.packSequences,
-      Some(QueriesCorpus.packSequencesSql))
+      Some(QueriesCorpus.packSequencesSql)),
+    Q("q80_domain_reweight", QueriesCorpus.domainReweight,
+      Some(QueriesCorpus.domainReweightSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

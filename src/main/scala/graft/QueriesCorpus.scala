@@ -123,6 +123,60 @@ object QueriesCorpus {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------
+  // q80 — domain reweighting: resample sources toward target weights
+  // w_i ∝ (source index + 1). The weight is DERIVED from the source name
+  // in both engines ((idx+1)/210 in one double division), so no literal
+  // table can drift between them; the sample itself is the q45 Lehmer
+  // draw against rate = min(1, w·N/n_s). The per-source report shows the
+  // mix moving: before = uniform 5%, after ≈ proportional to idx+1.
+  // -------------------------------------------------------------------
+  def domainReweight(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir).select("doc_id", "source")
+    // src0..src19 → w_i = (i+1)/210 (sums to 1 over the 20 sources);
+    // single integer→double division, bit-identical to the oracle's
+    val weights = (0 until 20)
+      .map(i => s"src$i" -> ((i + 1).toDouble / 210.0)).toMap
+    val rates = operators.Sampling.reweightRates(d, "source", weights)
+    val after = operators.Sampling
+      .domainReweightSample(d, "source", "doc_id", rates)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+    // achieved_share over the ≤|strata|-row report table: the empty
+    // window partition is fine here — the frame is the RESULT, not data
+    val wAll = Window.partitionBy()
+    rates.join(after, Seq("source"), "left")
+      .select(col("source"), col("n_before"), col("rate"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .withColumn("achieved_share",
+        col("n_after").cast("double") /
+          sum(col("n_after")).over(wAll).cast("double"))
+      .orderBy(col("source"))
+  }
+
+  val domainReweightSql: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_before FROM documents GROUP BY source),
+      |n AS (SELECT count(*) AS n_total FROM documents),
+      |r AS (
+      |  SELECT source, n_before,
+      |         least(1.0,
+      |           (CAST(CAST(substr(source, 4) AS INT) + 1 AS DOUBLE) / 210.0)
+      |             * CAST(n_total AS DOUBLE) / CAST(n_before AS DOUBLE)) AS rate
+      |  FROM c CROSS JOIN n),
+      |s AS (
+      |  SELECT d.source, count(*) AS n_after
+      |  FROM documents d JOIN r USING (source)
+      |  WHERE CAST(((doc_id * 48271) % 2147483647) * 48271 % 2147483647 AS DOUBLE)
+      |          / 2147483647.0 < r.rate
+      |  GROUP BY d.source)
+      |SELECT r.source, r.n_before, r.rate,
+      |       coalesce(s.n_after, 0) AS n_after,
+      |       CAST(coalesce(s.n_after, 0) AS DOUBLE)
+      |         / CAST((SELECT sum(n_after) FROM s) AS DOUBLE) AS achieved_share
+      |FROM r LEFT JOIN s USING (source)
+      |ORDER BY r.source""".stripMargin
+
   val packSequencesSql: String =
     """WITH d AS (
       |  SELECT doc_id,

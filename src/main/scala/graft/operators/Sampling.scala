@@ -56,6 +56,43 @@ object Sampling {
     df.filter(lehmerU(col(keyCol)) < rate)
   }
 
+  /** Per-stratum sampling rates that steer the corpus mix toward target
+    * weights — domain reweighting (Pile/DoReMi-style): a stratum holding
+    * share `n_s/N` of the corpus but assigned target weight `w_s` keeps
+    * `rate_s = min(1, w_s·N / n_s)` of its rows (downsample-only; a
+    * stratum already under target keeps everything — deterministic
+    * sampling cannot mint new rows).
+    *
+    * Two tiny jobs over one stats pass: the per-stratum counts aggregate
+    * (≤ |strata| rows) and its total. At 100 TB the counts pass is the
+    * only full scan and is typically served from existing table stats or
+    * a staged profile (q71) rather than recomputed per run.
+    *
+    * @return (strataCol, n_before: long, rate: double) — strata absent
+    *         from `weights` are dropped (allowlist, as
+    *         [[stratifiedLehmerSample]]) */
+  def reweightRates(df: DataFrame, strataCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_before"))
+    val nTotal = df.count()
+    val wdf = df.sparkSession.createDataFrame(weights.toSeq)
+      .toDF(strataCol, "w")
+    counts.join(broadcast(wdf), Seq(strataCol))
+      .select(col(strataCol), col("n_before"),
+        least(lit(1.0),
+          col("w") * lit(nTotal.toDouble) / col("n_before").cast("double"))
+          .as("rate"))
+  }
+
+  /** Apply [[reweightRates]]: broadcast the rate table and keep each row
+    * iff its Lehmer draw clears its stratum's rate — the corpus side is a
+    * broadcast-join + filter, no shuffle at any scale. */
+  def domainReweightSample(df: DataFrame, strataCol: String, keyCol: String,
+      rates: DataFrame): DataFrame =
+    df.join(broadcast(rates.select(col(strataCol), col("rate"))), Seq(strataCol))
+      .filter(lehmerU(col(keyCol)) < col("rate"))
+      .drop("rate")
+
   /** Content-keyed variant: stable under id reassignment (dedup-safe). */
   def contentHashSample(df: DataFrame, textCol: String, rate: Double): DataFrame = {
     // xxhash64 ∈ [Long.Min, Long.Max]; shift into [0,1) without overflow

@@ -106,6 +106,39 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1L).get._2 >= 1L)
   }
 
+  test("domain reweighting: rates hit min(1, w·N/n); sample moves the mix " +
+      "and is repartition-invariant") {
+    import graft.operators.Sampling
+    // skewed corpus: a=60 rows, b=30, c=10; targets: equal thirds
+    val rows = (0 until 60).map(i => (i.toLong, "a")) ++
+      (100 until 130).map(i => (i.toLong, "b")) ++
+      (200 until 210).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "src")
+    val w = Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3)
+    val rates = Sampling.reweightRates(df, "src", w)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // a: over-represented → 100/(3*60); b: 100/(3*30); c: under target → 1.0
+    assert(math.abs(rates("a")._2 - 100.0 / 180) < 1e-12)
+    assert(math.abs(rates("b")._2 - 100.0 / 90) > 0 || rates("b")._2 == 1.0)
+    assert(rates("b")._2 == 1.0 && rates("c")._2 == 1.0)
+    val ratesDf = Sampling.reweightRates(df, "src", w)
+    val sampled = Sampling.domainReweightSample(df, "src", "id", ratesDf)
+    val bySrc = sampled.groupBy($"src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b and c keep everything (rate 1); a shrinks toward a third of N
+    assert(bySrc("b") == 30L && bySrc("c") == 10L)
+    assert(bySrc("a") < 60L && bySrc("a") > 10L)
+    // pure function of (id, rate): invariant under repartition
+    val repart = Sampling.domainReweightSample(
+      df.repartition(7), "src", "id", ratesDf)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(repart == sampled.select($"id").as[Long].collect().sorted.toSeq)
+    // allowlist: a stratum missing from the weights map is dropped
+    val partial = Sampling.reweightRates(df, "src", w - "c")
+    assert(Sampling.domainReweightSample(df, "src", "id", partial)
+      .filter($"src" === "c").count() == 0L)
+  }
+
   test("decontamination plan: eval gram set broadcast, train side not shuffled " +
       "before the per-doc agg") {
     val train = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
