@@ -106,6 +106,19 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1L).get._2 >= 1L)
   }
 
+  test("packSequences plan: no single-partition exchange (the scale claim — " +
+      "a global Window.orderBy would show SinglePartition)") {
+    val docs = (1 to 100).map(i => (i.toLong, s"w$i word text here"))
+      .toDF("doc_id", "text")
+    val plan = graft.operators.Chunking
+      .packSequences(docs, "doc_id", "text", binTokens = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"prefix sum must not funnel through one partition:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"range base offsets should broadcast:\n$plan")
+  }
+
   test("domain reweighting: rates hit min(1, w·N/n); sample moves the mix " +
       "and is repartition-invariant") {
     import graft.operators.Sampling
