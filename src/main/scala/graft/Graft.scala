@@ -108,6 +108,12 @@ object Graft {
   def decontaminate(train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String): DataFrame =
     Decontaminate.overlapReport(train, eval_, idCol, textCol)
+  def incrementalLshCandidatePairs(newSigs: DataFrame, oldSigs: DataFrame,
+      idCol: String): DataFrame =
+    Dedup.incrementalLshCandidatePairs(newSigs, oldSigs, idCol)
+  def corpusDiff(prev: DataFrame, next: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    CorpusDiff.diff(prev, next, idCol, textCol)
 
   // --- embeddings / layout / stats utilities ---
   def quantizeInt8(df: DataFrame, embCol: String): DataFrame =

@@ -166,7 +166,10 @@ object Queries {
     Q("q79_pack_sequences", QueriesCorpus.packSequences,
       Some(QueriesCorpus.packSequencesSql)),
     Q("q80_domain_reweight", QueriesCorpus.domainReweight,
-      Some(QueriesCorpus.domainReweightSql))
+      Some(QueriesCorpus.domainReweightSql)),
+    Q("q81_incremental_dedup", QueriesCorpus.incrementalDedup, None),
+    Q("q82_corpus_diff", QueriesCorpus.corpusDiff,
+      Some(QueriesCorpus.corpusDiffSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

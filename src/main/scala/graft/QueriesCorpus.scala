@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Chunking, Decontaminate}
+import graft.operators.{Chunking, CorpusDiff, Decontaminate, Dedup}
 
 /** Corpus-preparation wave 2: the sequence-level operators between a
   * cleaned document corpus and model-ready training batches — train/eval
@@ -176,6 +176,78 @@ object QueriesCorpus {
       |         / CAST((SELECT sum(n_after) FROM s) AS DOUBLE) AS achieved_share
       |FROM r LEFT JOIN s USING (source)
       |ORDER BY r.source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q81 — incremental dedup verdict: every 5th document arrives as the
+  // "new batch"; the rest are the historical corpus whose signatures are
+  // already on disk. Candidates touch the batch only (new×old, new×new —
+  // never old×old), so per-batch cost is O(batch + collisions). Verdict:
+  // a new doc is a duplicate if any candidate at est_jaccard ≥ 0.7 hits
+  // history, or hits an earlier (smaller-id) doc in its own batch.
+  // Rows-only (xxhash band buckets have no DuckDB equivalent); the spec
+  // carries the cross-batch semantics on planted duplicates.
+  // -------------------------------------------------------------------
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+    val newSigs = sigs.filter(col("doc_id") % 5 === 0)
+    val oldSigs = sigs.filter(col("doc_id") % 5 =!= 0)
+    val hits = Dedup
+      .incrementalLshCandidatePairs(newSigs, oldSigs, "doc_id")
+      .filter(col("est_jaccard") >= 0.7)
+      // duplicate-vs: history always counts; within-batch only the later
+      // (larger-id) member is the duplicate — id_a < id_b is canonical
+      .select(when(col("vs_old"), col("id_a")).otherwise(col("id_b")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_matches"))
+    newSigs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_matches"), lit(0L)).as("n_dup_matches"))
+      .withColumn("is_dup", col("n_dup_matches") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
+  // q82 — corpus snapshot diff: next = current corpus minus every 7th
+  // doc (removed), with every 11th surviving doc's text revised
+  // (changed) and five synthetic documents appended (added). The diff
+  // joins 16-byte digests, never bodies; the summary is one row per
+  // status. Fully oracle-checked — both engines md5 the same UTF-8.
+  // -------------------------------------------------------------------
+  def corpusDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val next = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+    CorpusDiff.diffSummary(d, next, "doc_id", "text")
+      .orderBy(col("status"))
+  }
+
+  val corpusDiffSql: String =
+    """WITH p AS (SELECT doc_id, md5(text) AS dp FROM documents),
+      |nx AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents WHERE doc_id < 5),
+      |n2 AS (SELECT doc_id, md5(text) AS dn FROM nx),
+      |j AS (
+      |  SELECT coalesce(p.doc_id, n2.doc_id) AS doc_id,
+      |         CASE WHEN dp IS NULL THEN 'added'
+      |              WHEN dn IS NULL THEN 'removed'
+      |              WHEN dp = dn THEN 'unchanged'
+      |              ELSE 'changed' END AS status
+      |  FROM p FULL OUTER JOIN n2 USING (doc_id))
+      |SELECT status, count(*) AS n_docs,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
 
   val packSequencesSql: String =
     """WITH d AS (

@@ -185,6 +185,81 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") / numPerm).as("est_jaccard"))
   }
 
+  /** Incremental LSH candidates for batch ingestion: near-dup pairs that
+    * TOUCH the new batch — (new, old) and (new, new) — without ever
+    * re-pairing the existing corpus against itself. This is the
+    * production dedup flow: the historical signature table is computed
+    * once (and appended to); each arriving batch only pays for its own
+    * bands plus the bucket overlap with history, so per-batch cost is
+    * O(batch + collisions), not O(corpus²) — at a 100 TB corpus with a
+    * 100 GB daily batch, re-running [[lshCandidatePairs]] on the union
+    * would redo ~1000× the needed work every day.
+    *
+    * Mechanics: both sides band-hash into the same bucket space; each
+    * (band, bucket) gathers its new and old ids into SEPARATE bounded
+    * lists, emits new×new pairs (canonical `id_a < id_b`) and new×old
+    * pairs (`id_a` = new, `id_b` = old — roles preserved so the caller
+    * can apply keep-old-representative policy). A bucket whose either
+    * list overflows `maxBucketSize` is dropped whole, same mega-bucket
+    * rule (and same rescue: its members still meet in their other
+    * bands). Jaccard estimates come from one signature re-join against
+    * the union, exactly as the batch operator.
+    *
+    * @param newSigs,oldSigs [[minHashSignatures]] outputs (same numPerm);
+    *        id spaces must be disjoint (they are different corpus rows)
+    * @return (id_a, id_b, est_jaccard, vs_old: boolean) */
+  def incrementalLshCandidatePairs(
+      newSigs: DataFrame, oldSigs: DataFrame, idCol: String,
+      numPerm: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 200): DataFrame = {
+    require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    val rows = numPerm / bands
+    val tagged = newSigs.select(col(idCol).cast("long").as("id"), col("sig"),
+        lit(true).as("is_new"))
+      .union(oldSigs.select(col(idCol).cast("long").as("id"), col("sig"),
+        lit(false).as("is_new")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+    val buckets = tagged
+      .select(col("id"), col("is_new"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("is_new"), col("bb.band"), col("bb.bucket"))
+    import graft.functions.BoundedCollectLongs.boundedCollectLongs
+    // the aggregate skips NULLs, so the when() filters split the bucket's
+    // ids by side inside ONE grouping pass (no second shuffle)
+    val gathered = buckets.groupBy(col("band"), col("bucket"))
+      .agg(
+        boundedCollectLongs(when(col("is_new"), col("id")), maxBucketSize)
+          .as("new_ids"),
+        boundedCollectLongs(when(!col("is_new"), col("id")), maxBucketSize)
+          .as("old_ids"))
+      .filter(col("new_ids").isNotNull && col("old_ids").isNotNull &&
+        size(col("new_ids")) >= 1)
+    val newIds = array_distinct(sort_array(col("new_ids")))
+    val oldIds = array_distinct(sort_array(col("old_ids")))
+    val newNew = flatten(transform(newIds, (x, i) =>
+      transform(slice(newIds, i + 2, size(newIds)),
+        y => struct(x.as("id_a"), y.as("id_b"), lit(false).as("vs_old")))))
+    val newOld = flatten(transform(newIds, x =>
+      transform(oldIds,
+        y => struct(x.as("id_a"), y.as("id_b"), lit(true).as("vs_old")))))
+    val pairs = gathered
+      .select(explode(concat(newNew, newOld)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.vs_old"))
+      .distinct()
+    val sigs = tagged.select(col("id"), col("sig"))
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numPerm).as("est_jaccard"),
+        col("vs_old"))
+  }
+
   /** Exact word-level jaccard |A∩B| / |A∪B| over distinct tokens, via a
     * token-equality join.
     *

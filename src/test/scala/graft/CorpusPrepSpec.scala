@@ -152,6 +152,51 @@ class CorpusPrepSpec extends AnyFunSuite {
       .filter($"src" === "c").count() == 0L)
   }
 
+  test("incremental LSH: finds new-vs-old and new-vs-new dups, never re-pairs " +
+      "history; agrees with the batch operator minus old-old pairs") {
+    import graft.operators.Dedup
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"word$i").mkString(" ") + " wordX"
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    // old: 1 (base), 2 (dup of base), 3 (unrelated); new: 10 (dup of base),
+    // 11 (dup of 10), 12 (unrelated)
+    val old_ = Seq((1L, base), (2L, base), (3L, other)).toDF("doc_id", "text")
+    val new_ = Seq((10L, nearDup), (11L, nearDup), (12L, (1 to 40).map(i => s"qqq$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val oldSigs = Dedup.minHashSignatures(old_, "doc_id", "text")
+    val newSigs = Dedup.minHashSignatures(new_, "doc_id", "text")
+    val inc = Dedup.incrementalLshCandidatePairs(newSigs, oldSigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // every pair touches the new batch; the old-old dup (1,2) never appears
+    assert(inc.nonEmpty)
+    assert(inc.forall { case (a, b, _, vsOld) =>
+      if (vsOld) a >= 10L && b < 10L else a >= 10L && b >= 10L && a < b })
+    assert(inc.exists { case (a, b, j, vsOld) => a == 10L && b == 1L && vsOld && j > 0.5 })
+    assert(inc.exists { case (a, b, j, vsOld) => a == 10L && b == 11L && !vsOld && j > 0.9 })
+    assert(!inc.exists { case (a, b, _, _) => a == 12L || b == 12L })
+    // equivalence: batch pairs over the union, restricted to pairs touching
+    // a new id, = the incremental pair set (ids here; estimates identical
+    // by construction — same signatures)
+    val unionSigs = oldSigs.unionByName(newSigs)
+    val batch = Dedup.lshCandidatePairs(unionSigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= 10L || b >= 10L }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val incSet = inc.map { case (a, b, _, _) =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    assert(incSet == batch)
+  }
+
+  test("corpus diff: added/removed/changed/unchanged statuses exact") {
+    import graft.operators.CorpusDiff
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val next = Seq((2L, "beta"), (3L, "gamma EDITED"), (9L, "delta")).toDF("doc_id", "text")
+    val got = CorpusDiff.diff(prev, next, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 9L -> "added"))
+  }
+
   test("decontamination plan: eval gram set broadcast, train side not shuffled " +
       "before the per-doc agg") {
     val train = Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text")
