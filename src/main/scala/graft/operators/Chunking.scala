@@ -101,7 +101,8 @@ object Chunking {
     val span = math.max(maxId - minId + 1, 1L)
     val width = math.max(span / numRanges, 1L)
     val ranged = docs.withColumn("rg",
-      least(((col("id") - minId) / width).cast("long"), lit(numRanges - 1L)))
+      // DIV: same exact-integer-division rule as the bin math below
+      least(expr(s"(id - ${minId}L) DIV ${width}L"), lit(numRanges - 1L)))
     // per-range subtotals: ≤ numRanges rows — driver-side exclusive scan
     // is exact and trivially cheap at any corpus size
     val totals = ranged.groupBy(col("rg"))

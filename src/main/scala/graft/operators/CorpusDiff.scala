@@ -24,13 +24,18 @@ object CorpusDiff {
     * are unique per snapshot (corpus primary key). */
   def diff(prev: DataFrame, next: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val p = prev.select(col(idCol), md5(col(textCol).cast("binary")).as("d_prev"))
-    val n = next.select(col(idCol), md5(col(textCol).cast("binary")).as("d_next"))
+    // presence flags, not digest-IS-NULL: md5(NULL text) is NULL, so a row
+    // present with null content would otherwise masquerade as absent
+    val p = prev.select(col(idCol), md5(col(textCol).cast("binary")).as("d_prev"),
+      lit(true).as("in_prev"))
+    val n = next.select(col(idCol), md5(col(textCol).cast("binary")).as("d_next"),
+      lit(true).as("in_next"))
     p.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("d_prev").isNull, "added")
-          .when(col("d_next").isNull, "removed")
-          .when(col("d_prev") === col("d_next"), "unchanged")
+        when(col("in_prev").isNull, "added")
+          .when(col("in_next").isNull, "removed")
+          // null-safe equality: null text on both sides is 'unchanged'
+          .when(col("d_prev") <=> col("d_next"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

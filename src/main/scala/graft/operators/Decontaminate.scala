@@ -20,19 +20,20 @@ import graft.functions.TextFunctions
   */
 object Decontaminate {
 
-  /** Distinct word `n`-grams per document: (id, gram). Documents shorter
-    * than `n` tokens contribute their whole text as one gram (same short-
-    * doc rule as [[Dedup.shingles]] — a 3-token doc can still be an exact
-    * eval leak). */
+  /** Distinct word `n`-grams per document: (id, gram), via
+    * [[Dedup.shingles]] (one tokenization contract for both operators).
+    * Documents shorter than `n` tokens contribute their whole text as one
+    * gram (a 3-token doc can still be an exact eval leak); BLANK documents
+    * contribute nothing — without the filter, a blank train doc and a
+    * blank eval doc would "share" the phantom empty-string gram and
+    * report false contamination. */
   def docGrams(df: DataFrame, idCol: String, textCol: String, n: Int)
       : DataFrame = {
     require(n > 0, s"n=$n must be positive")
-    val tokens = split(TextFunctions.normalizeText(col(textCol)), " ")
-    val grams = when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", tokens)))
-    df.select(col(idCol), explode(grams).as("gram")).distinct()
+    val nonBlank = df.filter(
+      length(TextFunctions.normalizeText(col(textCol))) > 0)
+    Dedup.shingles(nonBlank, idCol, textCol, n, dedup = true)
+      .withColumnRenamed("shingle", "gram")
   }
 
   /** Contamination report over the FULL training set: one row per training

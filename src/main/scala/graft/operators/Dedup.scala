@@ -77,6 +77,18 @@ object Dedup {
   // 3. MinHash + LSH
   // ------------------------------------------------------------------
 
+  /** Fail fast on non-integral ids: the long cast in the LSH operators
+    * would turn them into NULLs the bounded aggregate skips — an empty
+    * result, silently. */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$op requires an integral id column, $idCol is $other " +
+          "(map string/UUID ids to longs first, e.g. via xxhash64 + a lookup table)")
+    }
+
   /** Word n-gram shingles per (id, shingle) pair. `dedup=true` adds a
     * distinct (a full shuffle) — NOT needed for MinHash, where min() is
     * duplicate-insensitive; only ask for it when set semantics matter. */
@@ -127,15 +139,7 @@ object Dedup {
       numPerm: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 200): DataFrame = {
     require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
-    // fail fast on non-integral ids: the long cast below would turn them
-    // into NULLs the bounded aggregate skips — an empty result, silently
-    signatures.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
-      case other => throw new IllegalArgumentException(
-        s"lshCandidatePairs requires an integral id column, $idCol is $other " +
-          "(map string/UUID ids to longs first, e.g. via xxhash64 + a lookup table)")
-    }
+    requireIntegralId(signatures, idCol, "lshCandidatePairs")
     val rows = numPerm / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -148,7 +152,10 @@ object Dedup {
     // signature row is ~0.5 KB (64 longs), so even 10^9 docs spill
     // gracefully rather than OOM. The cache is keyed on the analyzed
     // plan, so repeated runs of the same pipeline (and sibling queries
-    // over the same corpus) share one entry rather than stacking.
+    // over the same corpus) share one entry rather than stacking. The
+    // entry lives until session end (no safe point to unpersist inside a
+    // lazy plan); sessions juggling many distinct corpora can reclaim
+    // storage with spark.catalog.clearCache().
     val sigRows = signatures
       .select(col(idCol).cast("long").as("id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -213,11 +220,15 @@ object Dedup {
       numPerm: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 200): DataFrame = {
     require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    requireIntegralId(newSigs, idCol, "incrementalLshCandidatePairs")
+    requireIntegralId(oldSigs, idCol, "incrementalLshCandidatePairs")
     val rows = numPerm / bands
     val tagged = newSigs.select(col(idCol).cast("long").as("id"), col("sig"),
         lit(true).as("is_new"))
       .union(oldSigs.select(col(idCol).cast("long").as("id"), col("sig"),
         lit(false).as("is_new")))
+      // same cache policy + lifetime as lshCandidatePairs' sigRows (see
+      // comment there): plan-keyed, session-lived, clearCache() to evict
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

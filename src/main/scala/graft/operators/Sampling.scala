@@ -73,15 +73,22 @@ object Sampling {
     *         [[stratifiedLehmerSample]]) */
   def reweightRates(df: DataFrame, strataCol: String,
       weights: Map[String, Double]): DataFrame = {
+    // ONE corpus pass: the per-stratum counts aggregate is collected
+    // (≤ |strata| rows) and the total derived from it driver-side — a
+    // df.count() here would re-scan the whole corpus for a number the
+    // counts already contain
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_before"))
-    val nTotal = df.count()
-    val wdf = df.sparkSession.createDataFrame(weights.toSeq)
-      .toDF(strataCol, "w")
-    counts.join(broadcast(wdf), Seq(strataCol))
-      .select(col(strataCol), col("n_before"),
-        least(lit(1.0),
-          col("w") * lit(nTotal.toDouble) / col("n_before").cast("double"))
-          .as("rate"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val nTotal = counts.map(_._2).sum
+    // min(1, w·N/n) in driver doubles: multiply-then-divide, the same two
+    // IEEE ops in the same order as the SQL-side least(1.0, w*N/n) — the
+    // literal rates are bit-identical to an engine-side computation
+    val rateRows = counts.flatMap { case (s, n) =>
+      weights.get(s).map(w =>
+        (s, n, math.min(1.0, w * nTotal.toDouble / n.toDouble)))
+    }.toSeq
+    df.sparkSession.createDataFrame(rateRows)
+      .toDF(strataCol, "n_before", "rate")
   }
 
   /** Apply [[reweightRates]]: broadcast the rate table and keep each row

@@ -1,10 +1,11 @@
-package graft
+package graft.tools
 
+import graft.Queries
 import org.apache.spark.sql.SparkSession
 
 /** Debug helper: dump the named queries' results to parquet so they can
   * be diffed against a local DuckDB oracle run without a full Verify
-  * sweep. Usage: runMain graft.DumpQueries <sfDir> <outDir> <name...> */
+  * sweep. Usage: runMain graft.tools.DumpQueries <sfDir> <outDir> <name...> */
 object DumpQueries {
   def main(args: Array[String]): Unit = {
     val sfDir  = args(0)

@@ -130,9 +130,9 @@ class CorpusPrepSpec extends AnyFunSuite {
     val w = Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3)
     val rates = Sampling.reweightRates(df, "src", w)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    // a: over-represented → 100/(3*60); b: 100/(3*30); c: under target → 1.0
-    assert(math.abs(rates("a")._2 - 100.0 / 180) < 1e-12)
-    assert(math.abs(rates("b")._2 - 100.0 / 90) > 0 || rates("b")._2 == 1.0)
+    // a: over-represented → 100/(3·60); b and c: uncapped rate would be
+    // ≥ 1 (100/90, 100/30) so both clamp to exactly 1.0
+    assert(rates("a")._2 == (1.0 / 3) * 100.0 / 60.0)
     assert(rates("b")._2 == 1.0 && rates("c")._2 == 1.0)
     val ratesDf = Sampling.reweightRates(df, "src", w)
     val sampled = Sampling.domainReweightSample(df, "src", "id", ratesDf)
