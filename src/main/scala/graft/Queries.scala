@@ -169,7 +169,12 @@ object Queries {
       Some(QueriesCorpus.domainReweightSql)),
     Q("q81_incremental_dedup", QueriesCorpus.incrementalDedup, None),
     Q("q82_corpus_diff", QueriesCorpus.corpusDiff,
-      Some(QueriesCorpus.corpusDiffSql))
+      Some(QueriesCorpus.corpusDiffSql)),
+    // bench=false: the exact global decile agg deliberately gathers every
+    // token count into one percentile buffer (q57's rationale) — the
+    // scale path swaps in percentile_approx, which q53 already benches
+    Q("q83_quality_deciles", QueriesCorpus.qualityDeciles,
+      Some(QueriesCorpus.qualityDecilesSql), bench = false)
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -249,6 +249,54 @@ object QueriesCorpus {
       |       min(doc_id) AS min_id, max(doc_id) AS max_id
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q83 — curriculum binning: exact global token-count deciles (one
+  // 8-bytes-per-row stats agg), cutpoints broadcast back, every document
+  // classified map-side — the corpus never shuffles on its way to a bin.
+  // decile d = 1 + #cutpoints strictly below the doc's token count, so
+  // ties land in the lower bin in both engines. Spark's exact
+  // `percentile` interpolates exactly like DuckDB's quantile_cont (the
+  // q01/q57-verified (n−1)·p rule); at 100 TB swap the cutpoint agg to
+  // `percentile_approx` (the q53 pattern) — the classify side is
+  // unchanged.
+  // -------------------------------------------------------------------
+  def qualityDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.rebalance(
+        Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCountWs(col("text")).as("n_tokens"))
+    val cuts = d.agg(
+      percentile(col("n_tokens"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    d.crossJoin(broadcast(cuts))
+      .withColumn("decile",
+        (lit(1) + aggregate(col("cuts"), lit(0), (acc, c) =>
+          acc + when(col("n_tokens").cast("double") > c, 1).otherwise(0)))
+          .cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("decile"))
+  }
+
+  val qualityDecilesSql: String = {
+    val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    val ntok = s"CASE WHEN length($norm) = 0 THEN 0 " +
+      s"ELSE CAST(len(string_split($norm, ' ')) AS INT) END"
+    s"""WITH t AS (SELECT doc_id, $ntok AS n_tokens FROM documents),
+      |c AS (SELECT quantile_cont(n_tokens,
+      |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM t),
+      |b AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(1 + len(list_filter(cuts,
+      |           x -> CAST(n_tokens AS DOUBLE) > x)) AS INT) AS decile
+      |  FROM t CROSS JOIN c)
+      |SELECT decile, count(*) AS n_docs,
+      |       min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+      |FROM b GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   val packSequencesSql: String =
     """WITH d AS (
       |  SELECT doc_id,
