@@ -52,14 +52,23 @@ object Decontaminate {
   def overlapReport(train: DataFrame, eval_ : DataFrame,
       idCol: String, textCol: String, n: Int = 8,
       broadcastEval: Boolean = true): DataFrame = {
-    val trainGrams = docGrams(train, idCol, textCol, n)
+    // train side stays RAW (duplicate grams and all): probing the
+    // broadcast eval set first means only HITS reach the distinct-count
+    // shuffle — a per-doc distinct() before the join would hash-shuffle
+    // every gram of the full training corpus just to dedup rows the
+    // probe is about to discard (the .explain that motivated this showed
+    // that shuffle dominating the plan)
+    val trainGrams = Dedup.shingles(
+        train.filter(length(TextFunctions.normalizeText(col(textCol))) > 0),
+        idCol, textCol, n, dedup = false)
+      .withColumnRenamed("shingle", "gram")
     val evalGrams0 = docGrams(eval_, idCol, textCol, n)
       .select(col("gram")).distinct()
     val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
     val hits = trainGrams
       .join(evalGrams, Seq("gram"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_overlap"))
+      .agg(countDistinct(col("gram")).as("n_overlap"))
     train.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
