@@ -391,7 +391,11 @@ object QueriesPipeline {
       .withColumn("q", TextFunctions.qualityMetrics(col("text")))
       .filter(col("q.quality_ok"))
       .select(col("doc_id"), col("source"), col("text"), col("q.n_tokens").as("n_tokens"))
-    val deduped = operators.Dedup.exactDedup(quality, "doc_id", "text")
+    // projected dedup: downstream stages use only (doc_id, source,
+    // n_tokens), so the dedup window shuffles digests + metadata — the
+    // document bodies never leave the scan stage
+    val deduped = operators.Dedup.exactDedupProjected(
+      quality, "doc_id", "text", keep = Seq("source", "n_tokens"))
     val sampled = operators.Sampling.stratifiedLehmerSample(
       deduped, "source", "doc_id", sampleRates)
     sampled.groupBy(col("source"))

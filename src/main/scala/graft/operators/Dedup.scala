@@ -49,6 +49,25 @@ object Dedup {
       .drop("dd_rn")
   }
 
+  /** [[exactDedup]] with an explicit column contract: the window shuffle
+    * carries ONLY (digest, keep columns) — the text body is hashed and
+    * DROPPED before the exchange. When the survivors' text isn't needed
+    * downstream (stats, sampling, id selection — the common corpus-prep
+    * case), this turns a shuffle of document bodies into a shuffle of
+    * 16-byte digests plus the metadata actually used; at corpus scale
+    * that's the difference between moving the corpus and moving its
+    * index. Same keep-min-id semantics as [[exactDedup]]. */
+  def exactDedupProjected(df: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dd_digest")).orderBy(col(idCol))
+    df.select((Seq(col(idCol)) ++ keep.map(col) :+
+        md5(col(textCol).cast("binary")).as("dd_digest")): _*)
+      .withColumn("dd_rn", row_number().over(w))
+      .filter(col("dd_rn") === 1)
+      .drop("dd_rn", "dd_digest")
+  }
+
   /** Keep-BEST dedup decision: one winner per duplicate cluster chosen
     * by a quality criterion (descending), not by min id — what a real
     * corpus dedup wants (keep the best copy; min-id keeps an arbitrary

@@ -187,6 +187,35 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(incSet == batch)
   }
 
+  test("exactDedupProjected ≡ exactDedup on kept columns; text absent from " +
+      "the window shuffle") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (1L, "aaa", "s1", 3), (2L, "bbb", "s1", 5),
+      (3L, "aaa", "s2", 3), (4L, "aaa", "s1", 3)
+    ).toDF("doc_id", "text", "source", "n_tokens")
+    val want = Dedup.exactDedup(df, "doc_id", "text")
+      .select($"doc_id", $"source", $"n_tokens")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val proj = Dedup.exactDedupProjected(df, "doc_id", "text",
+      keep = Seq("source", "n_tokens"))
+    val got = proj.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == want && got.map(_._1) == Set(1L, 2L))
+    // the exchange feeding the window carries the digest, never the text:
+    // inspect the shuffle's OUTPUT attributes structurally (string-form
+    // plans show md5(text) inside the scan-side project, which is fine)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = proj.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val shuffles = sp.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(e => !e.output.exists(_.name == "text")),
+      s"text column must not ride the dedup shuffle:\n$sp")
+  }
+
   test("corpus diff: added/removed/changed/unchanged statuses exact") {
     import graft.operators.CorpusDiff
     val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
