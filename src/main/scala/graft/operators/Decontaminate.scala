@@ -27,12 +27,14 @@ object Decontaminate {
     * contribute nothing — without the filter, a blank train doc and a
     * blank eval doc would "share" the phantom empty-string gram and
     * report false contamination. */
-  def docGrams(df: DataFrame, idCol: String, textCol: String, n: Int)
-      : DataFrame = {
+  /** @param dedup distinct (id, gram) pairs when true; raw occurrences
+    *        when false (for consumers that dedup later, cheaper) */
+  def docGrams(df: DataFrame, idCol: String, textCol: String, n: Int,
+      dedup: Boolean = true): DataFrame = {
     require(n > 0, s"n=$n must be positive")
     val nonBlank = df.filter(
       length(TextFunctions.normalizeText(col(textCol))) > 0)
-    Dedup.shingles(nonBlank, idCol, textCol, n, dedup = true)
+    Dedup.shingles(nonBlank, idCol, textCol, n, dedup = dedup)
       .withColumnRenamed("shingle", "gram")
   }
 
@@ -58,10 +60,7 @@ object Decontaminate {
     // every gram of the full training corpus just to dedup rows the
     // probe is about to discard (the .explain that motivated this showed
     // that shuffle dominating the plan)
-    val trainGrams = Dedup.shingles(
-        train.filter(length(TextFunctions.normalizeText(col(textCol))) > 0),
-        idCol, textCol, n, dedup = false)
-      .withColumnRenamed("shingle", "gram")
+    val trainGrams = docGrams(train, idCol, textCol, n, dedup = false)
     val evalGrams0 = docGrams(eval_, idCol, textCol, n)
       .select(col("gram")).distinct()
     val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0

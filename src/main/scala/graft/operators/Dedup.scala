@@ -96,6 +96,22 @@ object Dedup {
   // 3. MinHash + LSH
   // ------------------------------------------------------------------
 
+  /** The LSH banding contract, in ONE place: band `b` keys on
+    * `xxhash64(sig[b·rows+1 .. b·rows+rows])`. Batch candidate pairs,
+    * incremental batch dedup, and the streaming screen
+    * ([[graft.streaming.StreamingOps.nearDupStream]]/`bandBuckets`) all
+    * derive buckets from this helper — bucket identity across them is
+    * load-bearing (a stream probe only ever hits a history bucket built
+    * with bit-identical banding). */
+  private[graft] def bandStructs(numPerm: Int, bands: Int): Seq[Column] = {
+    require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
+    val rows = numPerm / bands
+    (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+    }
+  }
+
   /** Fail fast on non-integral ids: the long cast in the LSH operators
     * would turn them into NULLs the bounded aggregate skips — an empty
     * result, silently. */
@@ -157,13 +173,8 @@ object Dedup {
       signatures: DataFrame, idCol: String,
       numPerm: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 200): DataFrame = {
-    require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
     requireIntegralId(signatures, idCol, "lshCandidatePairs")
-    val rows = numPerm / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-    }
+    val bandCols = bandStructs(numPerm, bands)
     // The plan references the signature projection THREE times (band
     // explode + the two est-jaccard joins); signatures are the CPU hot
     // loop of the whole pipeline (64 hashes × every shingle), so persist
@@ -238,10 +249,8 @@ object Dedup {
       newSigs: DataFrame, oldSigs: DataFrame, idCol: String,
       numPerm: Int = 64, bands: Int = 16,
       maxBucketSize: Int = 200): DataFrame = {
-    require(numPerm % bands == 0, s"bands=$bands must divide numPerm=$numPerm")
     requireIntegralId(newSigs, idCol, "incrementalLshCandidatePairs")
     requireIntegralId(oldSigs, idCol, "incrementalLshCandidatePairs")
-    val rows = numPerm / bands
     val tagged = newSigs.select(col(idCol).cast("long").as("id"), col("sig"),
         lit(true).as("is_new"))
       .union(oldSigs.select(col(idCol).cast("long").as("id"), col("sig"),
@@ -249,10 +258,7 @@ object Dedup {
       // same cache policy + lifetime as lshCandidatePairs' sigRows (see
       // comment there): plan-keyed, session-lived, clearCache() to evict
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-    }
+    val bandCols = bandStructs(numPerm, bands)
     val buckets = tagged
       .select(col("id"), col("is_new"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("is_new"), col("bb.band"), col("bb.bucket"))

@@ -80,19 +80,19 @@ object StreamingOps {
   def nearDupStream(
       docs: DataFrame, idCol: String, tsCol: String, textCol: String,
       historyBuckets: DataFrame,
-      numPerm: Int = 64, bands: Int = 16,
+      numPerm: Int = 64, bands: Int = 16, shingleN: Int = 3,
       watermark: String = "1 hour"): DataFrame = {
     val tokens = split(graft.functions.TextFunctions.normalizeText(col(textCol)), " ")
-    val rows = numPerm / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-    }
+    // banding MUST be bit-identical to the history side: one shared
+    // helper (validates bands | numPerm), and shingleN is a parameter —
+    // a stream signing with a different shingle space than the history
+    // table would silently report every document clean
+    val bandCols = graft.operators.Dedup.bandStructs(numPerm, bands)
     docs
       .withWatermark(tsCol, watermark)
       .select(col(idCol), col(tsCol),
         graft.functions.MinHashSignatureExpression
-          .minhashSig(tokens, numPerm, 3).as("sig"))
+          .minhashSig(tokens, numPerm, shingleN).as("sig"))
       .select(col(idCol), col(tsCol),
         explode(array(bandCols: _*)).as("bb"))
       .select(col(idCol), col(tsCol), col("bb.band"), col("bb.bucket"))
@@ -108,11 +108,7 @@ object StreamingOps {
     * output). Rebuild on corpus append (or union incrementally). */
   def bandBuckets(signatures: DataFrame,
       numPerm: Int = 64, bands: Int = 16): DataFrame = {
-    val rows = numPerm / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-    }
+    val bandCols = graft.operators.Dedup.bandStructs(numPerm, bands)
     signatures
       .select(explode(array(bandCols: _*)).as("bb"))
       .select(col("bb.band"), col("bb.bucket"))

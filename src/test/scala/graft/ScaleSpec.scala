@@ -84,6 +84,10 @@ class ScaleSpec extends AnyFunSuite {
     val keyedExchanges =
       "Exchange (hash|range)partitioning".r.findAllIn(plan).length
     assert(keyedExchanges <= 3, s"$keyedExchanges keyed exchanges:\n$plan")
+    // and nothing may collapse the pipeline into one task — the failure
+    // mode the old count-all-exchanges bound also caught
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition stage leaked into corpusPrep:\n$plan")
   }
 
   test("q72 upsert: rank pushdown trims winners pre-shuffle; snapshot joins in place") {
