@@ -37,6 +37,9 @@ object Graft {
   // object for the full parameter surface)
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.exactDedup(df, idCol, textCol)
+  def exactDedupProjected(df: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String]): DataFrame =
+    Dedup.exactDedupProjected(df, idCol, textCol, keep)
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame =
     Dedup.minHashSignatures(df, idCol, textCol)
   def lshCandidatePairs(signatures: DataFrame, idCol: String): DataFrame =

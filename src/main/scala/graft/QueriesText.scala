@@ -48,16 +48,21 @@ object QueriesText {
   def dedupNormalized(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.rebalance(
       Tables.documents(spark, sfDir).select("source", "text"))
+    // distinct-count DIGESTS, not texts: countDistinct's expand/partial-
+    // distinct shuffle then carries 32-byte hex instead of document-sized
+    // normalized strings — same count (md5 collisions aside, which both
+    // engines share since they hash identical bytes)
     d.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        countDistinct(TextFunctions.normalizeText(col("text"))).as("n_distinct_norm"))
+        countDistinct(md5(TextFunctions.normalizeText(col("text")).cast("binary")))
+          .as("n_distinct_norm"))
       .orderBy(col("source"))
   }
 
   val dedupNormalizedSql: String =
     s"""SELECT source, count(*) AS n_docs,
-      |       count(DISTINCT ${normSql("text")}) AS n_distinct_norm
+      |       count(DISTINCT md5(${normSql("text")})) AS n_distinct_norm
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
