@@ -174,7 +174,9 @@ object Queries {
     // token count into one percentile buffer (q57's rationale) — the
     // scale path swaps in percentile_approx, which q53 already benches
     Q("q83_quality_deciles", QueriesCorpus.qualityDeciles,
-      Some(QueriesCorpus.qualityDecilesSql), bench = false)
+      Some(QueriesCorpus.qualityDecilesSql), bench = false),
+    Q("q84_semantic_dedup", QueriesCorpus.semanticDedup,
+      Some(QueriesCorpus.semanticDedupSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -250,6 +250,59 @@ object QueriesCorpus {
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
   // -------------------------------------------------------------------
+  // q84 — semantic-dedup capstone, FULLY oracle-checked: exact-cosine
+  // near-dup pairs (q42's planted corpus and threshold) → transitive
+  // closure → cluster table. This gives the connected-components path an
+  // oracle for the first time: DuckDB computes the same clusters with a
+  // recursive-CTE transitive closure and takes min-reachable-id as the
+  // representative — near-dup clusters are small by construction, so the
+  // closure's pair blowup is bounded. (q44 remains rows-only because its
+  // PAIRS come from xxhash LSH buckets; here the pairs themselves are
+  // oracle-expressible.)
+  // -------------------------------------------------------------------
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(planted)
+    val pairs = operators.Similarity.cosineNearDups(corpus, minCosine = 0.99)
+      .select(col("id_a"), col("id_b"))
+    operators.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
+      .groupBy(col("representative"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(col("id")).as("max_member"))
+      .orderBy(col("representative"))
+  }
+
+  val semanticDedupSql: String =
+    """WITH c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+      |  WHERE vec_id < 20),
+      |p AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM c a, c b
+      |  WHERE a.vec_id < b.vec_id
+      |    AND list_cosine_similarity(a.emb, b.emb) >= 0.99),
+      |e AS (SELECT id_a AS a, id_b AS b FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |closure AS (
+      |  WITH RECURSIVE reach(src, dst) AS (
+      |    SELECT a, b FROM e
+      |    UNION
+      |    SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+      |  SELECT * FROM reach),
+      |lab AS (
+      |  SELECT src AS id, least(src, min(dst)) AS representative
+      |  FROM closure GROUP BY src)
+      |SELECT representative,
+      |       count(*) AS cluster_size,
+      |       max(id) AS max_member
+      |FROM lab GROUP BY representative ORDER BY representative""".stripMargin
+
+  // -------------------------------------------------------------------
   // q83 — curriculum binning: exact global token-count deciles (one
   // 8-bytes-per-row stats agg), cutpoints broadcast back, every document
   // classified map-side — the corpus never shuffles on its way to a bin.
