@@ -176,7 +176,9 @@ object Queries {
     Q("q83_quality_deciles", QueriesCorpus.qualityDeciles,
       Some(QueriesCorpus.qualityDecilesSql), bench = false),
     Q("q84_semantic_dedup", QueriesCorpus.semanticDedup,
-      Some(QueriesCorpus.semanticDedupSql))
+      Some(QueriesCorpus.semanticDedupSql)),
+    Q("q85_gap_fill_hourly", QueriesCorpus.gapFillHourly,
+      Some(QueriesCorpus.gapFillHourlySql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -250,6 +250,45 @@ object QueriesCorpus {
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
   // -------------------------------------------------------------------
+  // q85 — time-series gap fill: the event stream resampled onto a dense
+  // per-type hourly grid (absent buckets surface as explicit gap rows —
+  // the reference's KPI CSV silently omits them), with last-observation-
+  // carried-forward sums. Grid is generated, never shuffled; the LOCF
+  // window partitions by event type.
+  // -------------------------------------------------------------------
+  def gapFillHourly(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Resample
+      .hourlyGapFill(Tables.events(spark, sfDir), "event_type", "ts", "value")
+      .select(col("event_type"),
+        unix_timestamp(col("h")).as("hour_epoch"),
+        col("n_events"), col("is_gap"), col("sum_value"), col("filled_sum"))
+      .orderBy(col("event_type"), col("hour_epoch"))
+
+  val gapFillHourlySql: String =
+    """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |h AS (
+      |  SELECT date_trunc('hour', ts) AS h, event_type,
+      |         count(*) AS n_events,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM ev GROUP BY 1, 2),
+      |span AS (SELECT date_trunc('hour', min(ts)) AS h0,
+      |                date_trunc('hour', max(ts)) AS h1 FROM ev),
+      |grid AS (
+      |  SELECT t.event_type, unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS h
+      |  FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN span s),
+      |j AS (
+      |  SELECT g.event_type, g.h, h.n_events, h.sum_value
+      |  FROM grid g LEFT JOIN h ON g.event_type = h.event_type AND g.h = h.h)
+      |SELECT event_type, CAST(epoch(h) AS BIGINT) AS hour_epoch,
+      |       coalesce(n_events, 0) AS n_events,
+      |       n_events IS NULL AS is_gap,
+      |       sum_value,
+      |       last_value(sum_value IGNORE NULLS) OVER (
+      |         PARTITION BY event_type ORDER BY h
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+      |FROM j ORDER BY event_type, hour_epoch""".stripMargin
+
+  // -------------------------------------------------------------------
   // q84 — semantic-dedup capstone, FULLY oracle-checked: exact-cosine
   // near-dup pairs (q42's planted corpus and threshold) → transitive
   // closure → cluster table. This gives the connected-components path an

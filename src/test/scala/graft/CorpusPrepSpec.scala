@@ -216,6 +216,36 @@ class CorpusPrepSpec extends AnyFunSuite {
       s"text column must not ride the dedup shuffle:\n$sp")
   }
 
+  test("hourly gap fill: dense grid, explicit gaps, LOCF carry-forward, " +
+      "null before first observation") {
+    import java.sql.Timestamp
+    import graft.operators.Resample
+    val ev = Seq(
+      ("a", Timestamp.valueOf("2026-08-10 00:10:00"), 10.0),
+      ("a", Timestamp.valueOf("2026-08-10 03:20:00"), 30.0), // 2-hour gap
+      ("b", Timestamp.valueOf("2026-08-10 02:15:00"), 7.0)   // late starter
+    ).toDF("k", "ts", "v")
+    val got = Resample.hourlyGapFill(ev, "k", "ts", "v")
+      .orderBy($"k", $"h")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getBoolean(3),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    // span is global (00:00..03:00), both keys get all 4 buckets
+    assert(got.length == 8)
+    val a = got.filter(_._1 == "a").map(t => (t._3, t._4, t._5)).toSeq
+    assert(a == Seq(
+      (1L, false, Some(10.0)),   // observed
+      (0L, true, Some(10.0)),    // gap: carried forward
+      (0L, true, Some(10.0)),    // gap: still carried
+      (1L, false, Some(30.0))))  // new observation replaces
+    val b = got.filter(_._1 == "b").map(t => (t._3, t._4, t._5)).toSeq
+    assert(b == Seq(
+      (0L, true, None),          // before first observation: null fill
+      (0L, true, None),
+      (1L, false, Some(7.0)),
+      (0L, true, Some(7.0))))
+  }
+
   test("corpus diff: added/removed/changed/unchanged statuses exact") {
     import graft.operators.CorpusDiff
     val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
