@@ -178,7 +178,9 @@ object Queries {
     Q("q84_semantic_dedup", QueriesCorpus.semanticDedup,
       Some(QueriesCorpus.semanticDedupSql)),
     Q("q85_gap_fill_hourly", QueriesCorpus.gapFillHourly,
-      Some(QueriesCorpus.gapFillHourlySql))
+      Some(QueriesCorpus.gapFillHourlySql)),
+    Q("q86_scd2_history", QueriesCorpus.scd2History,
+      Some(QueriesCorpus.scd2HistorySql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

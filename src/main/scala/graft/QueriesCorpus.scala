@@ -289,6 +289,46 @@ object QueriesCorpus {
       |FROM j ORDER BY event_type, hour_epoch""".stripMargin
 
   // -------------------------------------------------------------------
+  // q86 — SCD-2 state history: each user's event-type stream collapsed
+  // into validity episodes (valid_from/valid_to, open-ended = current).
+  // One shuffle on the user key; (ts, event_id) is the deterministic
+  // per-key total order both engines sort by.
+  // -------------------------------------------------------------------
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Upsert
+      .scd2History(Tables.events(spark, sfDir),
+        "user_id", "event_type", "ts", "event_id")
+      // microsecond epochs: raw event times carry sub-second parts, and
+      // second-grain casts round differently across engines (DuckDB
+      // rounds double→int, Spark floors) — micros are integer-exact
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("valid_from")).as("valid_from"),
+        unix_micros(col("valid_to")).as("valid_to"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+
+  val scd2HistorySql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |c AS (
+      |  SELECT *, lag(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM ev),
+      |ch AS (
+      |  SELECT user_id, event_type, ts, event_id FROM c
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |h AS (
+      |  SELECT user_id, event_type, ts AS vf,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      |  FROM ch)
+      |SELECT user_id, event_type,
+      |       epoch_us(vf) AS valid_from,
+      |       epoch_us(vt) AS valid_to,
+      |       vt IS NULL AS is_current
+      |FROM h ORDER BY user_id, valid_from, event_type""".stripMargin
+
+  // -------------------------------------------------------------------
   // q84 — semantic-dedup capstone, FULLY oracle-checked: exact-cosine
   // near-dup pairs (q42's planted corpus and threshold) → transitive
   // closure → cluster table. This gives the connected-components path an

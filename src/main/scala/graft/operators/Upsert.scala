@@ -69,4 +69,38 @@ object Upsert {
       } :+ lit(true).as("was_updated") :+ lit(true).as("was_inserted"): _*)
     updatedOrPass.unionByName(inserted)
   }
+
+  /** SCD-2 history reconstruction from an event stream: collapse
+    * consecutive identical states per key, then interval-ize with
+    * `lead()` — one row per state EPISODE with `valid_from`/`valid_to`
+    * (null `valid_to` = current). The history twin of [[applyLatest]]:
+    * SCD-1 keeps only the newest value, SCD-2 keeps when each value
+    * held.
+    *
+    * Two windows over the same (key, order) partitioning — Catalyst
+    * plans them into a single sort+exchange, so the whole
+    * reconstruction is one shuffle on the entity key. `tieCol` must
+    * make (tsCol, tieCol) a total order per key (e.g. a unique event
+    * id); without it, same-timestamp events would make the episode
+    * boundaries nondeterministic.
+    *
+    * @return keyCol, stateCol, valid_from (= tsCol of the episode's
+    *         first event), valid_to (next episode's start, null if
+    *         current), is_current */
+  def scd2History(df: DataFrame, keyCol: String, stateCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changes = df
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      // null-safe inequality: the first row per key (prev = null) opens
+      // an episode; genuine null states still compare correctly
+      .filter(!(col(stateCol) <=> col("__prev")))
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col(stateCol), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
 }

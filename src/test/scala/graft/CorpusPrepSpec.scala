@@ -246,6 +246,30 @@ class CorpusPrepSpec extends AnyFunSuite {
       (0L, true, Some(7.0))))
   }
 
+  test("SCD2 history: consecutive identical states collapse into one episode; " +
+      "episodes abut; open-ended current row") {
+    import java.sql.Timestamp
+    import graft.operators.Upsert
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "on", t("2026-08-10 00:00:00"), 1L),
+      (1L, "on", t("2026-08-10 01:00:00"), 2L),  // same state: no new episode
+      (1L, "off", t("2026-08-10 02:00:00"), 3L),
+      (1L, "on", t("2026-08-10 03:00:00"), 4L),  // state returns: NEW episode
+      (2L, "x", t("2026-08-10 00:30:00"), 5L)
+    ).toDF("uid", "state", "ts", "eid")
+    val got = Upsert.scd2History(ev, "uid", "state", "ts", "eid")
+      .orderBy($"uid", $"valid_from")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toString,
+        Option(r.getTimestamp(3)).map(_.toString), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "on", "2026-08-10 00:00:00.0", Some("2026-08-10 02:00:00.0"), false),
+      (1L, "off", "2026-08-10 02:00:00.0", Some("2026-08-10 03:00:00.0"), false),
+      (1L, "on", "2026-08-10 03:00:00.0", None, true),
+      (2L, "x", "2026-08-10 00:30:00.0", None, true)))
+  }
+
   test("corpus diff: added/removed/changed/unchanged statuses exact") {
     import graft.operators.CorpusDiff
     val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
