@@ -305,7 +305,12 @@ object QueriesCorpus {
         unix_micros(col("valid_from")).as("valid_from"),
         unix_micros(col("valid_to")).as("valid_to"),
         col("is_current"))
-      .orderBy(col("user_id"), col("valid_from"), col("event_type"))
+      // valid_to (nulls last, stated explicitly — Spark defaults nulls
+      // FIRST asc, DuckDB nulls LAST) completes the total order: two
+      // episodes of the same (user, type) can share a valid_from when
+      // events carry identical timestamps
+      .orderBy(col("user_id"), col("valid_from"), col("event_type"),
+        col("valid_to").asc_nulls_last)
 
   val scd2HistorySql: String =
     """WITH ev AS (
@@ -317,7 +322,7 @@ object QueriesCorpus {
       |  FROM ev),
       |ch AS (
       |  SELECT user_id, event_type, ts, event_id FROM c
-      |  WHERE prev IS NULL OR prev <> event_type),
+      |  WHERE event_type IS DISTINCT FROM prev),
       |h AS (
       |  SELECT user_id, event_type, ts AS vf,
       |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
@@ -326,7 +331,8 @@ object QueriesCorpus {
       |       epoch_us(vf) AS valid_from,
       |       epoch_us(vt) AS valid_to,
       |       vt IS NULL AS is_current
-      |FROM h ORDER BY user_id, valid_from, event_type""".stripMargin
+      |FROM h ORDER BY user_id, valid_from, event_type,
+      |              valid_to NULLS LAST""".stripMargin
 
   // -------------------------------------------------------------------
   // q84 — semantic-dedup capstone, FULLY oracle-checked: exact-cosine
@@ -340,12 +346,14 @@ object QueriesCorpus {
   // oracle-expressible.)
   // -------------------------------------------------------------------
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    val planted = emb.filter(col("vec_id") < 20)
-      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
-        col("label"))
-    val corpus = emb.unionByName(planted)
-    val pairs = operators.Similarity.cosineNearDups(corpus, minCosine = 0.99)
+    // EXACT pairs, not the LSH-bucketed tier: the oracle's recursive
+    // closure finds every >=0.99 pair, so the Spark side must too — a
+    // bucketed miss on a borderline pair would under-merge a cluster
+    // nondeterministically. Completeness is load-bearing here; q41/q42
+    // carry the bucketed scale tier.
+    val pairs = operators.Similarity
+      .exactCosinePairs(
+        QueriesText.plantedEmbeddingCorpus(spark, sfDir), minCosine = 0.99)
       .select(col("id_a"), col("id_b"))
     operators.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
       .groupBy(col("representative"))
@@ -355,11 +363,7 @@ object QueriesCorpus {
   }
 
   val semanticDedupSql: String =
-    """WITH c AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-      |  UNION ALL
-      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
-      |  WHERE vec_id < 20),
+    s"""WITH ${QueriesText.plantedEmbeddingCorpusCte},
       |p AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM c a, c b

@@ -340,22 +340,35 @@ object QueriesText {
   // probabilistic recall does not blur the oracle; the brute-force
   // threshold join in DuckDB is the ground truth.
   // ------------------------------------------------------------------
-  def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+  /** q42/q84 shared fixture: the embeddings corpus plus exact duplicates
+    * of vec_id < 20 planted at +100000 — the ground truth both near-dup
+    * oracles recover. ONE definition (and one SQL twin below): the
+    * oracle arguments of both queries depend on the plant being
+    * identical. */
+  private[graft] def plantedEmbeddingCorpus(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
-    val planted = emb.filter(col("vec_id") < 20)
-      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label"))
-    val corpus = emb.unionByName(planted)
-    Similarity.cosineNearDups(corpus, minCosine = 0.99)
-      .select(col("id_a"), col("id_b"))
-      .orderBy(col("id_a"), col("id_b"))
+    emb.unionByName(emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label")))
   }
 
-  val embeddingNearDupsSql: String =
-    """WITH c AS (
+  /** DuckDB twin of [[plantedEmbeddingCorpus]] as a CTE body named `c`. */
+  private[graft] val plantedEmbeddingCorpusCte: String =
+    """c AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
-      |  WHERE vec_id < 20)
+      |  WHERE vec_id < 20)""".stripMargin
+
+  def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    Similarity.cosineNearDups(
+        plantedEmbeddingCorpus(spark, sfDir), minCosine = 0.99)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val embeddingNearDupsSql: String =
+    s"""WITH $plantedEmbeddingCorpusCte
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |FROM c a, c b
       |WHERE a.vec_id < b.vec_id

@@ -31,15 +31,20 @@ object Resample {
     *                (numeric, 2-dp scale — summed as DECIMAL(18,2)) */
   def hourlyGapFill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
+    // ONE base-table scan: span and keys both derive from the hourly
+    // grain table (hour truncation is monotone, so min/max of bucket
+    // starts = truncated min/max of raw times; the key set is the grain
+    // table's key set). The lazy localCheckpoint materializes the tiny
+    // grain table once for its three consumers instead of re-scanning
+    // the events three times.
     val hourly = df
       .groupBy(date_trunc("hour", col(tsCol)).as("h"), col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         expr(s"CAST(sum(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE)")
           .as("sum_value"))
-    val span = df.agg(
-      date_trunc("hour", min(col(tsCol))).as("h0"),
-      date_trunc("hour", max(col(tsCol))).as("h1"))
-    val keys = df.select(col(keyCol)).distinct()
+      .localCheckpoint(eager = false)
+    val span = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val keys = hourly.select(col(keyCol)).distinct()
     val grid = keys.crossJoin(broadcast(span))
       .select(col(keyCol),
         explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))

@@ -185,4 +185,24 @@ object Similarity {
       .filter(col("cosine") >= minCosine)
       .distinct()
   }
+
+  /** EXACT cosine pairs ≥ `minCosine` via the full upper-triangle cross
+    * join — guaranteed-complete recall, O(n²) cost. This is the
+    * verification tier: use it where completeness is load-bearing (e.g.
+    * feeding an oracle-checked clustering, q84) and the corpus slice is
+    * bounded; [[cosineNearDups]] is the scale tier (bucketed, may miss a
+    * borderline pair that straddles hyperplane buckets). */
+  def exactCosinePairs(
+      corpus: DataFrame, minCosine: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("emb"))
+    val l = b.select(col("id").as("id_a"), col("emb").as("emb_a"))
+    val r = b.select(col("id").as("id_b"), col("emb").as("emb_b"))
+    l.crossJoin(r)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSimilarity(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+  }
 }

@@ -95,10 +95,9 @@ object Upsert {
       // null-safe inequality: the first row per key (prev = null) opens
       // an episode; genuine null states still compare correctly
       .filter(!(col(stateCol) <=> col("__prev")))
-    val w2 = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
     changes
       .withColumn("valid_from", col(tsCol))
-      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
       .select(col(keyCol), col(stateCol), col("valid_from"),
         col("valid_to"), col("is_current"))
