@@ -124,17 +124,24 @@ object Dedup {
           "(map string/UUID ids to longs first, e.g. via xxhash64 + a lookup table)")
     }
 
+  /** Word n-gram shingle array of a text column — the unit set every
+    * MinHash/jaccard tier in this file agrees on (a short doc, under n
+    * tokens, contributes its whole text as one shingle). */
+  private[graft] def shingleArray(textCol: Column, n: Int): Column = {
+    val tokens = split(TextFunctions.normalizeText(textCol), " ")
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", tokens))) // short doc: whole text
+  }
+
   /** Word n-gram shingles per (id, shingle) pair. `dedup=true` adds a
     * distinct (a full shuffle) — NOT needed for MinHash, where min() is
     * duplicate-insensitive; only ask for it when set semantics matter. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       dedup: Boolean = false): DataFrame = {
-    val tokens = split(TextFunctions.normalizeText(col(textCol)), " ")
-    val sh = when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", tokens))) // short doc: whole text
-    val exploded = df.select(col(idCol), explode(sh).as("shingle"))
+    val exploded = df.select(col(idCol),
+      explode(shingleArray(col(textCol), n)).as("shingle"))
     if (dedup) exploded.distinct() else exploded
   }
 
@@ -380,5 +387,97 @@ object Dedup {
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // 5. Screen → exact verification (the production near-dup shape)
+  // ------------------------------------------------------------------
+
+  /** Exact shingle-set jaccard of CANDIDATE pairs only — the verification
+    * half of a screen-then-verify dedup pipeline. Each pair is scored
+    * from the two documents' distinct shingle ARRAYS (`array_intersect`
+    * per pair), so cost is O(|candidates| · doc length): no shingle
+    * explode, no unit self-join, nothing quadratic. Only documents that
+    * appear in a candidate pair are ever re-read for scoring (semi-join
+    * on the touched-id set), so at corpus scale the verify stage moves
+    * candidate-sized data, not the corpus.
+    *
+    * @param candidates (id_a, id_b) pairs from any screen; pair order
+    *        preserved (ids are treated as opaque)
+    * @param keep extra candidate columns carried through to the output
+    *        (e.g. the incremental screen's `vs_old` flag) — cheaper than
+    *        re-joining the scored pairs back to the candidate plan, which
+    *        would recompute the whole screen
+    * @return (id_a, id_b, jaccard, keep...) with jaccard >= minJaccard —
+    *         a ratio of integers, so bit-stable across engines */
+  def shingleJaccardOnCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, minJaccard: Double,
+      shingleN: Int = 3, keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
+    val pairs = candidates.select(col("id_a") +: col("id_b") +: kept: _*)
+    val touched = pairs.select(col("id_a").as("vn_id"))
+      .unionByName(pairs.select(col("id_b").as("vn_id")))
+      .distinct()
+    // candidate sets are small relative to the corpus (that is the point
+    // of the screen): broadcast the touched-id semi-join so the corpus
+    // scan never shuffles. On a pathologically duplicate-heavy corpus
+    // drop the hint and let AQE pick a shuffled semi join.
+    val members = df
+      .join(broadcast(touched), col(idCol) === col("vn_id"), "left_semi")
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(shingleArray(col(textCol), shingleN)).as("sh"))
+    pairs
+      .join(members.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(members.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a") +: col("id_b") +:
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("inter") +:
+        size(col("sh_a")).as("na") +: size(col("sh_b")).as("nb") +: kept: _*)
+      .select(col("id_a") +: col("id_b") +:
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard") +:
+        kept: _*)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash-screened, exactly-verified near-dup pairs: LSH banding
+    * proposes candidates, exact shingle jaccard keeps those >= minJaccard.
+    * The screen bounds cost (corpus-linear banding instead of the O(n²)
+    * pair space); the verify step makes the OUTPUT exact — every reported
+    * pair really is a >= minJaccard pair, with its true jaccard.
+    *
+    * Completeness: a true pair is missed only if it escapes every band —
+    * P(miss | jaccard s) = (1 − s^r)^b, ≈ 2·10⁻⁴ at s = 0.8 with the
+    * default 16 bands × 4 rows and vanishing for the near-identical pairs
+    * dedup targets (TextOpsSpec pins screen-equals-brute-force on the test
+    * corpora, where the margin is wide: no pair falls in [0.6, 0.9)).
+    * That is what lets q32's DuckDB oracle state the exact contract —
+    * "all pairs with shingle jaccard >= 0.8" — against an approximate
+    * screen. */
+  def verifiedNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.8, numPerm: Int = 64, bands: Int = 16,
+      shingleN: Int = 3): DataFrame = {
+    val cands = lshCandidatePairs(
+      minHashSignatures(df, idCol, textCol, numPerm, shingleN),
+      idCol, numPerm, bands)
+    shingleJaccardOnCandidates(df, idCol, textCol, cands, minJaccard, shingleN)
+  }
+
+  /** SimHash-screened, exactly-verified near-dup pairs — same contract as
+    * [[verifiedNearDupPairs]] through the other screen: pigeonhole
+    * chunk-bucket candidates within `maxHamming`, then exact shingle
+    * jaccard >= minJaccard. The pigeonhole screen is COMPLETE for pairs
+    * within `maxHamming` bits (not probabilistic like banding); the
+    * default radius 6 holds every >= 0.8-jaccard pair of the test corpora
+    * with margin (observed max 5, TextOpsSpec pins it), because a
+    * high-jaccard pair's token multisets — and hence their majority-vote
+    * fingerprints — nearly coincide. */
+  def verifiedSimHashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.8, maxHamming: Int = 6,
+      shingleN: Int = 3): DataFrame = {
+    val cands = simHashNearDups(simHash(df, idCol, textCol), idCol, maxHamming)
+    shingleJaccardOnCandidates(df, idCol, textCol, cands, minJaccard, shingleN)
   }
 }
