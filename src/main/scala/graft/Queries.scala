@@ -77,8 +77,10 @@ object Queries {
     Q("q30_dedup_exact", QueriesText.dedupExact, Some(QueriesText.dedupExactSql)),
     Q("q31_dedup_normalized", QueriesText.dedupNormalized,
       Some(QueriesText.dedupNormalizedSql)),
-    Q("q32_minhash_pairs", QueriesText.minhashPairs, None),
-    Q("q33_simhash_near_dups", QueriesText.simhashNearDups, None),
+    Q("q32_minhash_pairs", QueriesText.minhashPairs,
+      Some(QueriesText.minhashPairsSql)),
+    Q("q33_simhash_near_dups", QueriesText.simhashNearDups,
+      Some(QueriesText.simhashNearDupsSql)),
     Q("q34_jaccard_pairs", QueriesText.jaccardPairs,
       Some(QueriesText.jaccardPairsSql), bench = false),
     Q("q35_knn_brute", QueriesText.knnBrute, Some(QueriesText.knnBruteSql)),
@@ -88,11 +90,12 @@ object Queries {
     Q("q39_fingerprints", QueriesText.fingerprints,
       Some(QueriesText.fingerprintsSql)),
     Q("q40_sessionize", QueriesText.sessionize, Some(QueriesText.sessionizeSql)),
-    Q("q41_knn_lsh", QueriesText.knnLsh, None),
+    Q("q41_knn_lsh", QueriesText.knnLsh, Some(QueriesText.knnLshSql)),
     Q("q42_embedding_near_dups", QueriesText.embeddingNearDups,
       Some(QueriesText.embeddingNearDupsSql)),
-    Q("q43_knn_ivf", QueriesText.knnIvf, None),
-    Q("q44_dedup_clusters", QueriesText.dedupClusters, None),
+    Q("q43_knn_ivf", QueriesText.knnIvf, Some(QueriesText.knnIvfSql)),
+    Q("q44_dedup_clusters", QueriesText.dedupClusters,
+      Some(QueriesText.dedupClustersSql)),
     Q("q50_multimodal_stats", QueriesText.multimodalStats, None),
 
     // --- Pipeline utilities: sampling / sketches / selection / scrubbing ---
@@ -167,7 +170,8 @@ object Queries {
       Some(QueriesCorpus.packSequencesSql)),
     Q("q80_domain_reweight", QueriesCorpus.domainReweight,
       Some(QueriesCorpus.domainReweightSql)),
-    Q("q81_incremental_dedup", QueriesCorpus.incrementalDedup, None),
+    Q("q81_incremental_dedup", QueriesCorpus.incrementalDedup,
+      Some(QueriesCorpus.incrementalDedupSql)),
     Q("q82_corpus_diff", QueriesCorpus.corpusDiff,
       Some(QueriesCorpus.corpusDiffSql)),
     // bench=false: the exact global decile agg deliberately gathers every

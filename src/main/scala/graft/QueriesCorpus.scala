@@ -118,7 +118,10 @@ object QueriesCorpus {
   // global single-task window anywhere in the plan.
   // -------------------------------------------------------------------
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // rebalance like siblings q77/q78: the tokenize pass is the CPU hot
+    // loop and a single-row-group local scan would pin it to one task
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
     Chunking.packSequences(docs, "doc_id", "text", binTokens = 256)
       .orderBy(col("doc_id"))
   }
@@ -181,11 +184,14 @@ object QueriesCorpus {
   // q81 — incremental dedup verdict: every 5th document arrives as the
   // "new batch"; the rest are the historical corpus whose signatures are
   // already on disk. Candidates touch the batch only (new×old, new×new —
-  // never old×old), so per-batch cost is O(batch + collisions). Verdict:
-  // a new doc is a duplicate if any candidate at est_jaccard ≥ 0.7 hits
-  // history, or hits an earlier (smaller-id) doc in its own batch.
-  // Rows-only (xxhash band buckets have no DuckDB equivalent); the spec
-  // carries the cross-batch semantics on planted duplicates.
+  // never old×old), so per-batch cost is O(batch + collisions); each
+  // candidate is then VERIFIED with exact shingle jaccard (the screen →
+  // verify production shape, q32's contract), so the verdict table is
+  // SQL-expressible: a new doc is a duplicate iff some doc at exact
+  // jaccard ≥ 0.8 is in history, or is an EARLIER (smaller-id) doc of
+  // its own batch. The `keep` param carries the screen's vs_old flag
+  // through verification — re-deriving it from the scored pairs would
+  // recompute the whole screen.
   // -------------------------------------------------------------------
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.rebalance(
@@ -193,11 +199,13 @@ object QueriesCorpus {
     val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
     val newSigs = sigs.filter(col("doc_id") % 5 === 0)
     val oldSigs = sigs.filter(col("doc_id") % 5 =!= 0)
+    val cands = Dedup.incrementalLshCandidatePairs(newSigs, oldSigs, "doc_id")
     val hits = Dedup
-      .incrementalLshCandidatePairs(newSigs, oldSigs, "doc_id")
-      .filter(col("est_jaccard") >= 0.7)
+      .shingleJaccardOnCandidates(docs, "doc_id", "text", cands,
+        minJaccard = 0.8, keep = Seq("vs_old"))
       // duplicate-vs: history always counts; within-batch only the later
       // (larger-id) member is the duplicate — id_a < id_b is canonical
+      // for new×new pairs, id_a = the new side for new×old
       .select(when(col("vs_old"), col("id_a")).otherwise(col("id_b")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_matches"))
     newSigs.select(col("doc_id"))
@@ -207,6 +215,21 @@ object QueriesCorpus {
       .withColumn("is_dup", col("n_dup_matches") > 0)
       .orderBy(col("doc_id"))
   }
+
+  val incrementalDedupSql: String =
+    s"""WITH ${QueriesText.shingleJaccardCte},
+      |p AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.8),
+      |e AS (SELECT id_a AS n, id_b AS m FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |hits AS (
+      |  SELECT n AS doc_id, count(*) AS n_dup_matches FROM e
+      |  WHERE n % 5 = 0 AND (m % 5 <> 0 OR m < n)
+      |  GROUP BY n)
+      |SELECT d.doc_id,
+      |       CAST(coalesce(h.n_dup_matches, 0) AS BIGINT) AS n_dup_matches,
+      |       coalesce(h.n_dup_matches, 0) > 0 AS is_dup
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // q82 — corpus snapshot diff: next = current corpus minus every 7th
@@ -433,6 +456,10 @@ object QueriesCorpus {
       |FROM b GROUP BY decile ORDER BY decile""".stripMargin
   }
 
+  // Every derived column is CAST back to BIGINT: DuckDB's windowed
+  // sum(BIGINT) escapes to HUGEINT and // propagates it, while the Spark
+  // side emits LongType — the driver's hash compare is type-sensitive
+  // (same fix class as q61's epoch() DOUBLE).
   val packSequencesSql: String =
     """WITH d AS (
       |  SELECT doc_id,
@@ -442,13 +469,13 @@ object QueriesCorpus {
       |  FROM documents),
       |s AS (
       |  SELECT doc_id, n_tokens,
-      |         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      |         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
       |  FROM d)
       |SELECT doc_id, n_tokens, start_offset,
-      |       start_offset // 256 AS first_bin,
-      |       (start_offset + greatest(n_tokens, 1) - 1) // 256 AS last_bin,
-      |       ((start_offset + greatest(n_tokens, 1) - 1) // 256)
-      |         - (start_offset // 256) + 1 AS n_bins
+      |       CAST(start_offset // 256 AS BIGINT) AS first_bin,
+      |       CAST((start_offset + greatest(n_tokens, 1) - 1) // 256 AS BIGINT) AS last_bin,
+      |       CAST(((start_offset + greatest(n_tokens, 1) - 1) // 256)
+      |         - (start_offset // 256) + 1 AS BIGINT) AS n_bins
       |FROM s ORDER BY doc_id""".stripMargin
 }

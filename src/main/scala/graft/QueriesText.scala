@@ -65,30 +65,77 @@ object QueriesText {
       |       count(DISTINCT md5(${normSql("text")})) AS n_distinct_norm
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** DuckDB CTE chain ending in `jp(id_a, id_b, jaccard)` — exact 3-gram
+    * shingle-set jaccard for every document pair sharing at least one
+    * shingle (pairs with jaccard 0 can't clear any threshold), mirroring
+    * [[Dedup.shingleArray]]'s contract bit-for-bit: normalized tokens,
+    * 3-gram shingles joined by spaces, short docs contribute their whole
+    * text as one shingle, set semantics via DISTINCT. The q34 token-join
+    * shape (shingle equality → group → size join), NOT an O(n²)
+    * `list_intersect` cross join — the oracle must terminate at sf0.01.
+    * Shared by q32/q33/q44 here and q81 in [[QueriesCorpus]]: they all
+    * state the same exact contract through different screens. */
+  private[graft] val shingleJaccardCte: String =
+    s"""tk AS (
+      |  SELECT doc_id, string_split(${normSql("text")}, ' ') AS tk
+      |  FROM documents),
+      |shing AS (
+      |  SELECT DISTINCT doc_id AS id,
+      |         unnest(CASE WHEN len(tk) >= 3
+      |           THEN list_transform(range(1, len(tk) - 1),
+      |                i -> array_to_string(list_slice(tk, i, i + 2), ' '))
+      |           ELSE [array_to_string(tk, ' ')] END) AS sh
+      |  FROM tk),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM shing GROUP BY id),
+      |shared AS (
+      |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+      |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.id < b.id
+      |  GROUP BY 1, 2),
+      |jp AS (
+      |  SELECT id_a, id_b,
+      |         CAST(shared AS DOUBLE)
+      |           / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) AS jaccard
+      |  FROM shared
+      |  JOIN sizes na ON na.id = id_a
+      |  JOIN sizes nb ON nb.id = id_b)""".stripMargin
+
   // ------------------------------------------------------------------
-  // q32 — MinHash LSH candidate pairs (rows-only: xxhash64 family).
+  // q32 — MinHash-screened, exactly-verified near-dup pairs. The LSH
+  // banding (xxhash64 family, engine-local) only PROPOSES candidates;
+  // exact shingle jaccard >= 0.8 decides — so the output contract is
+  // SQL-expressible ("all pairs with shingle jaccard >= 0.8") and the
+  // oracle checks it hash-exactly. Completeness of the screen at the
+  // 0.8 threshold: P(miss) = (1-s^4)^16 ≈ 2e-4, and the corpus has a
+  // wide margin (no pair in (0.067, 0.8) at sf0.01 — measured).
   // ------------------------------------------------------------------
-  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
     // rebalance before the signature projection: shingle+64-perm hashing
     // is the CPU hot loop, and a single-row-group scan would pin it to
     // one task (Tables.rebalance is a no-op on real multi-file inputs)
-    val sigs = Dedup.minHashSignatures(
-      Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
-      "doc_id", "text")
-    Dedup.lshCandidatePairs(sigs, "doc_id")
+    Dedup.verifiedNearDupPairs(
+        Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
+        "doc_id", "text", minJaccard = 0.8)
       .orderBy(col("id_a"), col("id_b"))
-  }
+
+  val minhashPairsSql: String =
+    s"""WITH $shingleJaccardCte
+      |SELECT id_a, id_b, jaccard FROM jp
+      |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------------
-  // q33 — SimHash fingerprints + near-dup pairs (rows-only).
+  // q33 — SimHash-screened, exactly-verified near-dup pairs: pigeonhole
+  // chunk-bucket candidates within hamming 6 (COMPLETE for that radius,
+  // not probabilistic), then the same exact shingle-jaccard >= 0.8
+  // verdict as q32 — one contract, two screens, both oracle-checked
+  // against the identical SQL.
   // ------------------------------------------------------------------
-  def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = Dedup.simHash(
-      Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
-      "doc_id", "text")
-    Dedup.simHashNearDups(fp, "doc_id", maxHamming = 3)
+  def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.verifiedSimHashPairs(
+        Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
+        "doc_id", "text", minJaccard = 0.8, maxHamming = 6)
       .orderBy(col("id_a"), col("id_b"))
-  }
+
+  val simhashNearDupsSql: String = minhashPairsSql
 
   // ------------------------------------------------------------------
   // q34 — exact word-level jaccard pairs ≥ 0.8 (ratio of ints: oracle-safe).
@@ -293,43 +340,98 @@ object QueriesText {
       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ------------------------------------------------------------------
-  // q41 — LSH-bucketed approximate knn (rows-only; the scale path of q35).
+  // q41 — LSH-bucketed approximate knn, SELF-VALIDATING (the q46/q53
+  // tolerance pattern): the scale path's answer is compared against an
+  // in-query brute-force reference on the planted corpus (q42's fixture:
+  // every query vec_id < 10 has an exact copy at +100000). Identical
+  // vectors share a hyperplane bucket with CERTAINTY, so LSH rank-1 must
+  // equal brute-force rank-1 (the planted copy, cosine 1.0 against a
+  // noise corpus maxing ≈0.51) — the boolean collapses the hash-family
+  // buckets out of the output, leaving only oracle-expressible facts.
   // ------------------------------------------------------------------
   def knnLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), k = 5, nPlanes = 8)
-      .select(col("qid"), col("rank"), col("neighbor_id"))
-      .orderBy(col("qid"), col("rank"))
+    val corpus = plantedEmbeddingCorpus(spark, sfDir)
+    val queries = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+    val lsh1 = Similarity.lshKnn(corpus, queries, k = 1, nPlanes = 8)
+      .select(col("qid"), col("neighbor_id").as("lsh_top1"))
+    val brute1 = Similarity.bruteForceKnn(corpus, queries, k = 1)
+      .select(col("qid"), col("neighbor_id").as("brute_top1"))
+    brute1.join(lsh1, Seq("qid"))
+      .select(col("qid"), col("brute_top1"),
+        (col("lsh_top1") === col("brute_top1")).as("lsh_matches_brute"))
+      .orderBy(col("qid"))
   }
 
+  val knnLshSql: String =
+    """SELECT vec_id AS qid, vec_id + 100000 AS brute_top1,
+      |       TRUE AS lsh_matches_brute
+      |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin
+
   // ------------------------------------------------------------------
-  // q44 — full near-dup dedup pipeline: MinHash signatures → LSH candidate
-  // pairs → transitive closure (connected components) → cluster table.
-  // Rows-only (xxhash64-based pairs have no DuckDB equivalent).
+  // q44 — full near-dup dedup pipeline: MinHash screen → exact shingle
+  // jaccard >= 0.8 verification → transitive closure (connected
+  // components) → cluster table. Because the PAIRS are now the verified
+  // exact contract (q32), the clusters are oracle-expressible: DuckDB
+  // rebuilds them with a recursive-CTE transitive closure over the same
+  // jaccard pairs (q84's oracle shape — near-dup clusters are small by
+  // construction, so the closure's pair blowup is bounded).
   // ------------------------------------------------------------------
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val sigs = Dedup.minHashSignatures(
-      Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
-      "doc_id", "text")
-    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
-      .filter(col("est_jaccard") >= 0.7)
+    val pairs = Dedup.verifiedNearDupPairs(
+        Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
+        "doc_id", "text", minJaccard = 0.8)
+      .select(col("id_a"), col("id_b"))
     graft.operators.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
       .groupBy(col("representative"))
-      .agg(count(lit(1)).as("cluster_size"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(col("id")).as("max_member"))
       .orderBy(col("representative"))
   }
 
+  val dedupClustersSql: String =
+    s"""WITH $shingleJaccardCte,
+      |p AS (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.8),
+      |e AS (SELECT id_a AS a, id_b AS b FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |closure AS (
+      |  WITH RECURSIVE reach(src, dst) AS (
+      |    SELECT a, b FROM e
+      |    UNION
+      |    SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+      |  SELECT * FROM reach),
+      |lab AS (
+      |  SELECT src AS id, least(src, min(dst)) AS representative
+      |  FROM closure GROUP BY src)
+      |SELECT representative,
+      |       count(*) AS cluster_size,
+      |       max(id) AS max_member
+      |FROM lab GROUP BY representative ORDER BY representative""".stripMargin
+
   // ------------------------------------------------------------------
-  // q43 — IVF approximate knn (rows-only: KMeans cells are probabilistic;
-  // the brute-force q35 is the recall reference).
+  // q43 — IVF approximate knn, SELF-VALIDATING like q41: on the planted
+  // corpus the query's first probe cell IS its copy's cell (an identical
+  // vector is assigned to the same nearest centroid the probe ranks
+  // first), so IVF rank-1 must equal brute-force rank-1 — deterministic
+  // even though the KMeans cells themselves are engine-local.
   // ------------------------------------------------------------------
   def knnIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, sfDir)
-    Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), k = 5,
+    val corpus = plantedEmbeddingCorpus(spark, sfDir)
+    val queries = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+    val ivf1 = Similarity.ivfKnn(corpus, queries, k = 1,
         nCentroids = 16, nProbe = 4)
-      .select(col("qid"), col("rank"), col("neighbor_id"))
-      .orderBy(col("qid"), col("rank"))
+      .select(col("qid"), col("neighbor_id").as("ivf_top1"))
+    val brute1 = Similarity.bruteForceKnn(corpus, queries, k = 1)
+      .select(col("qid"), col("neighbor_id").as("brute_top1"))
+    brute1.join(ivf1, Seq("qid"))
+      .select(col("qid"), col("brute_top1"),
+        (col("ivf_top1") === col("brute_top1")).as("ivf_matches_brute"))
+      .orderBy(col("qid"))
   }
+
+  val knnIvfSql: String =
+    """SELECT vec_id AS qid, vec_id + 100000 AS brute_top1,
+      |       TRUE AS ivf_matches_brute
+      |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin
 
   // ------------------------------------------------------------------
   // q42 — embedding-cosine near-duplicates via hyperplane LSH buckets

@@ -90,9 +90,17 @@ object Chunking {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       binTokens: Int, numRanges: Int = 256): DataFrame = {
     require(binTokens > 0, s"binTokens=$binTokens must be positive")
+    // ONE tokenize pass: this projection is read three times (id-range
+    // min/max, per-range subtotals, the final plan) and tokenCountWs over
+    // full document text is the query's CPU hot loop — persist the
+    // 16 B/row (id, n_tokens) projection so the corpus is scanned and
+    // tokenized exactly once, at any corpus size a negligible cache.
+    // Same plan-keyed, session-lived policy as Dedup.lshCandidatePairs'
+    // signature cache (see the comment there); clearCache() reclaims it.
     val docs = df.select(col(idCol).cast("long").as("id"),
       coalesce(TextFunctions.tokenCountWs(col(textCol)), lit(0))
         .cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val Array(minId, maxId) = docs
       .agg(min(col("id")), max(col("id"))).collect()(0) match {
         case r if r.isNullAt(0) => Array(0L, 0L) // empty corpus

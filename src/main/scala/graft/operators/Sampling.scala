@@ -73,6 +73,15 @@ object Sampling {
     *         [[stratifiedLehmerSample]]) */
   def reweightRates(df: DataFrame, strataCol: String,
       weights: Map[String, Double]): DataFrame = {
+    // fail at analysis, not mid-collect: `weights` is keyed by String and
+    // the rate table below is built with a String strata column, so a
+    // non-string strata column would otherwise surface as a driver-side
+    // ClassCastException (or a silently empty rate table)
+    require(df.schema(strataCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"reweightRates requires a string strata column; '$strataCol' is " +
+        s"${df.schema(strataCol).dataType.simpleString} — cast it (or map " +
+        "codes to names) first, and key `weights` by the same strings")
     // ONE corpus pass: the per-stratum counts aggregate is collected
     // (≤ |strata| rows) and the total derived from it driver-side — a
     // df.count() here would re-scan the whole corpus for a number the

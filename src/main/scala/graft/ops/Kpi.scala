@@ -70,19 +70,24 @@ object Kpi {
 
   /** A1-A6 + P7/P8 + P11 + O1 — the KPI aggregation over a normalized log
     * with columns (date_utc, endpoint_base, status_code, elapsed_ms,
-    * parse_result). Exact p90 uses linear interpolation
-    * `lower*(1-frac) + upper*frac` at position (n-1)*0.9 — Spark's built-in
-    * `Percentile` is bit-identical to both np.percentile (the reference,
-    * calcular_kpi.py:39-44) and DuckDB's quantile_cont (verified empirically).
+    * parse_result). Exact p90 is linear interpolation at position
+    * (n−1)·0.9, but WHICH lerp depends on the mode, because the two
+    * ground truths differ at the last ULP (see
+    * [[graft.functions.NpPercentile]]): np.percentile (the reference,
+    * calcular_kpi.py:39-44) branches its formula at t ≥ 0.5, while
+    * Spark's builtin `Percentile` and DuckDB's `quantile_cont` share the
+    * two-product form — and a 1-ULP difference flips `py_round` exactly
+    * on 2-decimal midpoints (caught live by the parity gate).
     *
     * Two output modes:
-    *  - faithful (default): reference contract — plain double avg, both
-    *    metrics rounded to 2 dp with CPython's exact-binary half-even
-    *    (`py_round`, P11).
+    *  - faithful (default): reference contract — plain double avg, p90
+    *    replayed with numpy's exact lerp, both metrics rounded to 2 dp
+    *    with CPython's exact-binary half-even (`py_round`, P11).
     *  - crossEngineExact: no rounding; avg is computed from an exact
     *    DECIMAL(18,2) sum (elapsed values are 2-dp by contract) divided in
-    *    double — every emitted double is then bit-identical across engines
-    *    and summation orders, which the driver's hash-compare gate needs.
+    *    double, and p90 is the builtin `Percentile` — bit-identical to
+    *    DuckDB's quantile_cont (verified empirically), which the driver's
+    *    hash-compare gate needs.
     *    (DuckDB's round_even on DOUBLE misrounds near ties, and double sums
     *    are order-dependent, so rounded outputs can NOT be made portable.)
     */
@@ -90,9 +95,17 @@ object Kpi {
       normalized: DataFrame,
       exactP90: Boolean = true,
       crossEngineExact: Boolean = false): DataFrame = {
-    val p90 =
-      if (exactP90) percentile(col("elapsed_ms"), lit(0.9))
-      else percentile_approx(col("elapsed_ms"), lit(0.9), lit(10000))
+    // (aggregate expression, post-aggregation transform) — the faithful
+    // tier buffers the group's sorted values and interpolates after the
+    // agg, exactly like the reference's per-group elapsed lists
+    val (p90Agg, p90Post): (Column, Column => Column) =
+      if (!exactP90)
+        (percentile_approx(col("elapsed_ms"), lit(0.9), lit(10000)), identity)
+      else if (crossEngineExact)
+        (percentile(col("elapsed_ms"), lit(0.9)), identity)
+      else
+        (graft.functions.NpPercentile.sortedValues(col("elapsed_ms")),
+          c => graft.functions.NpPercentile.ofSorted(c, 0.9))
     val avgRaw =
       if (crossEngineExact)
         sum(col("elapsed_ms").cast("decimal(18,2)")).cast("double") / count(lit(1))
@@ -112,13 +125,13 @@ object Kpi {
         count_if(col("status_code").between(500, 599)).as("server_5xx"),
         count_if(col("parse_result") =!= "ok").as("parse_errors"),
         avgRaw.as("avg_raw"),
-        p90.as("p90_raw"))
+        p90Agg.as("p90_raw"))
       .select(
         col("date_utc"), col("endpoint_base"), col("requests_total"),
         col("success_2xx"), col("client_4xx"), col("server_5xx"),
         col("parse_errors"),
         round2(col("avg_raw")).as("avg_elapsed_ms"),
-        round2(col("p90_raw")).as("p90_elapsed_ms"))
+        round2(p90Post(col("p90_raw"))).as("p90_elapsed_ms"))
       .orderBy(col("date_utc"), col("endpoint_base"))
   }
 

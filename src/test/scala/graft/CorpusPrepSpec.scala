@@ -150,6 +150,12 @@ class CorpusPrepSpec extends AnyFunSuite {
     val partial = Sampling.reweightRates(df, "src", w - "c")
     assert(Sampling.domainReweightSample(df, "src", "id", partial)
       .filter($"src" === "c").count() == 0L)
+    // non-string strata column fails fast at analysis with a clear message,
+    // not as a mid-collect ClassCastException
+    val intStrata = rows.map { case (id, s) => (id, s.length) }.toDF("id", "src")
+    val err = intercept[IllegalArgumentException](
+      Sampling.reweightRates(intStrata, "src", w))
+    assert(err.getMessage.contains("string strata column"))
   }
 
   test("incremental LSH: finds new-vs-old and new-vs-new dups, never re-pairs " +

@@ -86,6 +86,38 @@ class KpiSpec extends AnyFunSuite {
     assert(kpi.getAs[Double]("p90_elapsed_ms") == 3.7)
   }
 
+  test("A6 faithful p90 replays numpy's _lerp at ULP level (both branches)") {
+    import graft.functions.NpPercentile
+    // the live parity-gate catch: lo=746.21, hi=746.66 at t=0.1 —
+    // numpy's a+(b-a)t gives 746.25499…994 (rounds to 746.25), the
+    // two-product (1-t)a+tb of builtin percentile / quantile_cont gives
+    // 746.25500…001 (rounds to 746.26)
+    // n=100 → virtual index 89.1: v[89]=746.21, v[90]=746.66 (0-based)
+    val low = Seq(Seq.fill(89)(1.0) ++ Seq(746.21, 746.66) ++ Seq.fill(9)(999.0))
+      .toDF("v").select(NpPercentile.ofSorted(sort_array($"v"), 0.9))
+      .as[Double].collect().head
+    assert(low == 746.21 + (746.66 - 746.21) * ((100 - 1) * 0.9 - 89.0),
+      s"got $low")
+    assert(graft.functions.PyRoundExpression.round(low, 2) == 746.25)
+    // and the two-product lerp really does land one ULP higher (the bug
+    // class this helper exists for): it would round the other way
+    val twoProduct = 746.21 * (1 - 0.1) + 746.66 * 0.1
+    assert(graft.functions.PyRoundExpression.round(twoProduct, 2) == 746.26)
+    // t >= 0.5 branch: numpy switches to b-(b-a)(1-t); n=5,p=0.9 → t=0.6
+    val hi = Seq(Seq(1.0, 2.0, 3.0, 10.0, 746.66))
+      .toDF("v").select(NpPercentile.ofSorted(sort_array($"v"), 0.9))
+      .as[Double].collect().head
+    assert(hi == 746.66 - (746.66 - 10.0) * (1.0 - ((5 - 1) * 0.9 - 3.0)),
+      s"got $hi")
+    // degenerate sizes: n=1 → the value; empty → the reference's 0.0 guard
+    val one = Seq(Seq(42.5)).toDF("v")
+      .select(NpPercentile.ofSorted($"v", 0.9)).as[Double].collect().head
+    assert(one == 42.5)
+    val empty = Seq(Seq.empty[Double]).toDF("v")
+      .select(NpPercentile.ofSorted($"v", 0.9)).as[Double].collect().head
+    assert(empty == 0.0)
+  }
+
   test("P11 half-even rounding (reference: round(0.125,2)==0.12)") {
     // avg of (0.12, 0.13) = 0.125 -> half-even 0.12
     val rows = Seq("0.12", "0.13").map(v =>

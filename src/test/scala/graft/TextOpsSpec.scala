@@ -235,4 +235,54 @@ class TextOpsSpec extends AnyFunSuite {
       ("k1", 2L, 3L, 30L),  // best quality 30; tie → min id 2, NOT min id 1
       ("k2", 7L, 1L, 5L)))
   }
+
+  /** Brute-force exact shingle-jaccard pairs ≥ minJ — the all-pairs
+    * reference both screened operators must reproduce exactly. */
+  private def bruteShinglePairs(df: org.apache.spark.sql.DataFrame,
+      minJ: Double): Set[(Long, Long, Double)] = {
+    val m = df.select($"doc_id".as("id"),
+      array_distinct(Dedup.shingleArray($"text", 3)).as("sh"))
+    val inter = size(array_intersect($"sh_a", $"sh_b"))
+    m.select($"id".as("id_a"), $"sh".as("sh_a"))
+      .crossJoin(m.select($"id".as("id_b"), $"sh".as("sh_b")))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b", (inter.cast("double") /
+        (size($"sh_a") + size($"sh_b") - inter).cast("double")).as("j"))
+      .filter($"j" >= minJ)
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("verified near-dup pairs (q32/q33): both screens equal brute force, " +
+      "with exact jaccard values") {
+    val base = (1 to 40).map(i => s"word$i")
+    val docs = Seq(
+      1L -> base.mkString(" "),                              // anchor
+      2L -> (base.dropRight(1) :+ "wordX").mkString(" "),    // j ≈ 0.854
+      3L -> base.mkString(" "),                              // exact copy, j = 1
+      4L -> (base.take(20) ++ (1 to 20).map(i => s"alt$i")).mkString(" "),
+      5L -> (1 to 40).map(i => s"other$i").mkString(" "))    // unrelated
+      .map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val want = bruteShinglePairs(docs, 0.8)
+    assert(want.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"fixture drifted: $want")
+    val lsh = Dedup.verifiedNearDupPairs(docs, "doc_id", "text", minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    val sim = Dedup.verifiedSimHashPairs(docs, "doc_id", "text", minJaccard = 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == want, s"LSH screen: $lsh != $want")
+    assert(sim == want, s"SimHash screen: $sim != $want")
+  }
+
+  test("shingleJaccardOnCandidates: scores ONLY the given pairs and carries " +
+      "keep columns through") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    // candidate screen proposes (1,2) but not (2,3): the verifier must not
+    // invent the missing pair, and must carry the screen's flag through
+    val cands = Seq((1L, 2L, true)).toDF("id_a", "id_b", "vs_old")
+    val got = Dedup.shingleJaccardOnCandidates(docs, "doc_id", "text",
+        cands, minJaccard = 0.8, keep = Seq("vs_old"))
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1.0, true)))
+  }
 }
