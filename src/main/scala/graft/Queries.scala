@@ -96,7 +96,8 @@ object Queries {
     Q("q43_knn_ivf", QueriesText.knnIvf, Some(QueriesText.knnIvfSql)),
     Q("q44_dedup_clusters", QueriesText.dedupClusters,
       Some(QueriesText.dedupClustersSql)),
-    Q("q50_multimodal_stats", QueriesText.multimodalStats, None),
+    Q("q50_multimodal_stats", QueriesText.multimodalStats,
+      Some(QueriesText.multimodalStatsSql)),
 
     // --- Pipeline utilities: sampling / sketches / selection / scrubbing ---
     Q("q45_stratified_sample", QueriesPipeline.stratifiedSample,

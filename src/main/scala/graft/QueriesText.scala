@@ -609,4 +609,65 @@ object QueriesText {
       "doc_id", "source", "text")
     Multimodal.featureStats(Multimodal.decodeFeatures(payloads))
   }
+
+  /** q50 oracle: the stub codec is a pure function of the payload bytes, so
+    * DuckDB can replay it bit-exactly — the mod-2^64 multiply-add hash in
+    * HUGEINT (the q39 pattern; payload == UTF-8 bytes == codepoints on the
+    * ASCII corpus), arithmetic shifts as truncating division with a sign
+    * correction, the 16-step LCG walk as a recursive CTE, and Java's
+    * float rounding as CAST(... AS REAL) (a 53-bit value rounds to REAL by
+    * the same nearest-even rule as long->float; the product of two floats
+    * is exact in double, so CAST(fv*fv AS REAL) equals Java's float
+    * multiply). The cross-row mean goes through DECIMAL(18,9) on both
+    * sides, so summation order can't flip a ULP. */
+  val multimodalStatsSql: String =
+    """WITH RECURSIVE h0 AS (
+      |  SELECT doc_id, source, length(text) AS n_bytes,
+      |         list_reduce(
+      |           list_prepend(1125899906842597::HUGEINT,
+      |             list_transform(range(1, length(text) + 1),
+      |                            i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+      |           (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents
+      |), meta AS (
+      |  SELECT doc_id, source, n_bytes, hu,
+      |         CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |              THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs
+      |  FROM h0
+      |), geom AS (
+      |  SELECT doc_id, source, n_bytes,
+      |         1 + CAST(((hs % 1920) + 1920) % 1920 AS INT) AS width,
+      |         1 + CAST((((hu // 65536::HUGEINT
+      |                     - CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |                            THEN 281474976710656::HUGEINT ELSE 0::HUGEINT END)
+      |                    % 1080) + 1080) % 1080 AS INT) AS height,
+      |         CASE WHEN hu % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      |  FROM meta
+      |), lcg AS (
+      |  SELECT doc_id, hu AS s, 0 AS j, CAST(0 AS DOUBLE) AS energy FROM meta
+      |  UNION ALL
+      |  SELECT doc_id, s2, j + 1,
+      |         energy + CAST(CAST(fv * fv AS REAL) AS DOUBLE)
+      |  FROM (
+      |    SELECT doc_id, j, energy,
+      |           (s * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+      |             % 18446744073709551616::HUGEINT AS s2
+      |    FROM lcg WHERE j < 16
+      |  ) t,
+      |  LATERAL (SELECT CAST(CAST(CAST(s2 // 2048::HUGEINT AS BIGINT) AS REAL) AS DOUBLE)
+      |                  / 9007199254740992.0 AS fv) f
+      |), energies AS (
+      |  SELECT doc_id, energy FROM lcg WHERE j = 16
+      |)
+      |SELECT g.source,
+      |       count(*) AS n_media,
+      |       CAST(sum(g.n_bytes) AS BIGINT) AS total_bytes,
+      |       CAST(sum(g.width) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_width,
+      |       CAST(sum(g.height) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_height,
+      |       count(*) FILTER (WHERE g.format = 'png') AS n_png,
+      |       CAST(sum(CAST(e.energy AS DECIMAL(18,9))) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS avg_feature_energy
+      |FROM geom g JOIN energies e ON g.doc_id = e.doc_id
+      |GROUP BY g.source
+      |ORDER BY g.source""".stripMargin
 }

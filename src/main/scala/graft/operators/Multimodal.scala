@@ -128,8 +128,17 @@ object Multimodal {
   }
 
   /** Per-source feature statistics over the decoded output — the query
-    * shape a training pipeline runs to monitor a media corpus. */
-  def featureStats(features: DataFrame): DataFrame =
+    * shape a training pipeline runs to monitor a media corpus.
+    *
+    * The per-row feature energy (a full-mantissa double) goes through an
+    * exact DECIMAL(18,9) intermediate before the cross-row mean, so the
+    * result is independent of distributed summation order (the q03
+    * pattern): both engines round the same double to the same 9-dp
+    * decimal, sum exactly, and divide in double. Width/height sums are
+    * exact integers in double, so their plain averages are already
+    * order-independent. */
+  def featureStats(features: DataFrame): DataFrame = {
+    val energy = aggregate(col("features"), lit(0.0), (acc, v) => acc + v * v)
     features.groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_media"),
@@ -137,7 +146,8 @@ object Multimodal {
         avg(col("width").cast("double")).as("avg_width"),
         avg(col("height").cast("double")).as("avg_height"),
         count_if(col("format") === "png").as("n_png"),
-        avg(aggregate(col("features"), lit(0.0),
-          (acc, v) => acc + v * v)).as("avg_feature_energy"))
+        (sum(energy.cast("decimal(18,9)")).cast("double")
+          / count(lit(1)).cast("double")).as("avg_feature_energy"))
       .orderBy(col("source"))
+  }
 }
