@@ -60,7 +60,8 @@ object CalcularKpi {
   }
 }
 
-/** Stage [4]: KPI CSV → HTML report. */
+/** Stage [4]: KPI CSV → HTML report + the two chart PNGs
+  * (the reference's full artifact set, generar_reporte.py:263-292). */
 object GenerarReporte {
   def main(args: Array[String]): Unit = {
     val a = CliUtil.parseArgs(args)
@@ -69,11 +70,8 @@ object GenerarReporte {
       val in = a.getOrElse("input", sys.error("--input required"))
       val out = a.getOrElse("output", "out/report.html")
       val umbral = a.getOrElse("umbral_p90", "300").toDouble
-      val html = Report.buildReport(Kpi.readKpiCsv(spark, in), umbral)
-      val p = Paths.get(out)
-      if (p.getParent != null) Files.createDirectories(p.getParent)
-      Files.writeString(p, html)
-      println(s"[generar_reporte] wrote $out")
+      Report.writeReportArtifacts(Kpi.readKpiCsv(spark, in), umbral, Paths.get(out))
+      println(s"[generar_reporte] wrote $out (+ ${Report.RequestsPngName}, ${Report.P90PngName})")
     } finally spark.stop()
   }
 }

@@ -58,10 +58,12 @@ object Report {
   }
 
   /** K6 — HTML report: metric cards, per-endpoint table with alerta rows
-    * painted red by embedded JS, and inline JSON chart data (the reference's
-    * matplotlib PNGs, generar_reporte.py:71-92, become data the page renders
-    * — keeping the sink driver-side and dependency-free). */
-  def renderHtml(global: Row, endpoints: Seq[Row], umbralP90: Double): String = {
+    * painted red by embedded JS, and inline JSON chart data. With
+    * `withImages=true` the page also embeds the two K5 chart PNGs by
+    * basename, exactly like the reference's render_html
+    * (generar_reporte.py:223-226); [[writeReportArtifacts]] writes them. */
+  def renderHtml(global: Row, endpoints: Seq[Row], umbralP90: Double,
+                 withImages: Boolean = false): String = {
     def fmt(d: Double): String = f"$d%.2f"
     val cards =
       s"""<div class="cards">
@@ -104,6 +106,11 @@ object Report {
     val chartData = endpoints.map(r =>
       s"""{"endpoint":${jsonStr(r.getAs[String]("endpoint_base"))},"requests":${r.getAs[Long]("requests_total")},"p90":${r.getAs[Double]("p90_elapsed_ms")}}""")
       .mkString("[", ",", "]")
+    val images =
+      if (!withImages) ""
+      else s"""<h2>Graficos</h2>
+              |<img src="$RequestsPngName" alt="requests_total" />
+              |<img src="$P90PngName" alt="p90_elapsed_ms" />""".stripMargin
     s"""<!DOCTYPE html>
        |<html><head><meta charset="utf-8"><title>KPI diario</title>
        |<style>
@@ -122,6 +129,7 @@ object Report {
        |<tbody>
        |$rows
        |</tbody></table>
+       |$images
        |<script id="chart-data" type="application/json">$chartData</script>
        |<script>
        |// paint alerta rows red, like the reference's embedded JS
@@ -140,6 +148,36 @@ object Report {
       val g = globalMetrics(cached).collect().head
       val e = endpointTable(cached, umbralP90).collect().toSeq
       renderHtml(g, e, umbralP90)
+    } finally { cached.unpersist(false); () }
+  }
+
+  /** The reference's fixed chart basenames (generar_reporte.py:269-270). */
+  val RequestsPngName = "requests_por_endpoint.png"
+  val P90PngName = "p90_por_endpoint.png"
+
+  /** Full stage-[4] artifact set, matching the reference file-for-file:
+    * the HTML at `outHtml` plus the two K5 chart PNGs written into the
+    * HTML's directory under the reference's basenames
+    * (generar_reporte.py:263-292). One collect feeds table and charts. */
+  def writeReportArtifacts(kpi: DataFrame, umbralP90: Double,
+                           outHtml: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    val cached = kpi.cache()
+    try {
+      val g = globalMetrics(cached).collect().head
+      val e = endpointTable(cached, umbralP90).collect().toSeq
+      val dir = Option(outHtml.toAbsolutePath.getParent).get
+      Files.createDirectories(dir)
+      Charts.plotRequests(
+        e.map(_.getAs[String]("endpoint_base")),
+        e.map(_.getAs[Long]("requests_total")),
+        dir.resolve(RequestsPngName))
+      Charts.plotP90(
+        e.map(_.getAs[String]("endpoint_base")),
+        e.map(_.getAs[Double]("p90_elapsed_ms")),
+        dir.resolve(P90PngName))
+      Files.writeString(outHtml, renderHtml(g, e, umbralP90, withImages = true))
+      ()
     } finally { cached.unpersist(false); () }
   }
 }

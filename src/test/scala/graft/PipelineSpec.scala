@@ -57,6 +57,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(html.contains("/status") && !html.contains("/status/403"))
   }
 
+  test("K5 charts: full artifact set, valid deterministic PNGs, img refs") {
+    import graft.report.Charts
+    val dir = java.nio.file.Files.createTempDirectory("graft_charts")
+    val data = SyntheticBitacora.generate(spark, 2000, seed = 7,
+      endUtcSeconds = Some(1754956800L))
+    val kpi = Kpi.bitacoraKpi(Kpi.readBitacora(
+      spark, { SyntheticBitacora.writeJsonl(data, s"$dir/datos", singleFile = true); s"$dir/datos" }))
+    val outHtml = dir.resolve("report.html")
+    Report.writeReportArtifacts(kpi, umbralP90 = 300.0, outHtml)
+    val html = java.nio.file.Files.readString(outHtml)
+    assert(html.contains(s"""<img src="${Report.RequestsPngName}""""))
+    assert(html.contains(s"""<img src="${Report.P90PngName}""""))
+    for (name <- Seq(Report.RequestsPngName, Report.P90PngName)) {
+      val img = javax.imageio.ImageIO.read(dir.resolve(name).toFile)
+      assert(img != null, s"$name did not decode as an image")
+      assert(img.getWidth == 960 && img.getHeight == 720) // 6.4x4.8in @ dpi 150
+      // bars actually painted: matplotlib C0 blue present
+      val blue = new java.awt.Color(0x1f, 0x77, 0xb4).getRGB
+      val pixels = for (x <- 0 until img.getWidth by 7; y <- 0 until img.getHeight by 7)
+        yield img.getRGB(x, y)
+      assert(pixels.count(_ == blue) > 50, s"$name has no bar pixels")
+    }
+    // deterministic bytes: same input -> byte-identical artifact
+    val again = java.nio.file.Files.createTempDirectory("graft_charts2")
+    Charts.plotP90(Seq("/a", "/b"), Seq(120.0, 240.5), again.resolve("p.png"))
+    Charts.plotP90(Seq("/a", "/b"), Seq(120.0, 240.5), again.resolve("q.png"))
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(again.resolve("p.png")),
+      java.nio.file.Files.readAllBytes(again.resolve("q.png"))))
+    // nice-tick helper: 1/2/5-decade steps
+    assert(Charts.tickStep(100.0) == 20.0)
+    assert(Charts.tickStep(7.0) == 2.0)
+    assert(Charts.tickStep(0.6) == 0.1)
+  }
+
   test("M5 streaming KPI: windowed aggregate matches batch on same data") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String, String, String, String)]
