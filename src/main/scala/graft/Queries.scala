@@ -185,7 +185,17 @@ object Queries {
     Q("q85_gap_fill_hourly", QueriesCorpus.gapFillHourly,
       Some(QueriesCorpus.gapFillHourlySql)),
     Q("q86_scd2_history", QueriesCorpus.scd2History,
-      Some(QueriesCorpus.scd2HistorySql))
+      Some(QueriesCorpus.scd2HistorySql)),
+
+    // --- LLM-pipeline wave 3: scrubbing / LM scoring / funnel / mixing ---
+    Q("q87_boilerplate_scrub", QueriesCorpus.boilerplateScrub,
+      Some(QueriesCorpus.boilerplateScrubSql)),
+    Q("q88_unigram_surprisal", QueriesCorpus.unigramSurprisal,
+      Some(QueriesCorpus.unigramSurprisalSql)),
+    Q("q89_quality_funnel", QueriesText.qualityFunnel,
+      Some(QueriesText.qualityFunnelSql)),
+    Q("q90_source_overlap", QueriesCorpus.sourceOverlap,
+      Some(QueriesCorpus.sourceOverlapSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Chunking, CorpusDiff, Decontaminate, Dedup}
+import graft.operators.{Chunking, CorpusDiff, Decontaminate, Dedup, NgramLm, Overlap}
 
 /** Corpus-preparation wave 2: the sequence-level operators between a
   * cleaned document corpus and model-ready training batches — train/eval
@@ -478,4 +478,91 @@ object QueriesCorpus {
       |       CAST(((start_offset + greatest(n_tokens, 1) - 1) // 256)
       |         - (start_offset // 256) + 1 AS BIGINT) AS n_bins
       |FROM s ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q87 — boilerplate block scrub (the C4 "remove repeated boilerplate"
+  // step at 10-token-block granularity): blocks in > 3 documents are
+  // dropped and each document is reassembled from its survivors.
+  // -------------------------------------------------------------------
+  def boilerplateScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    Chunking.boilerplateScrub(docs, "doc_id", "text",
+        blockTokens = 10, maxDocFreq = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateScrubSql: String =
+    s"""$toksCte,
+      |blocks AS (
+      |  SELECT doc_id, u.i AS start,
+      |         array_to_string(list_slice(t, u.i, u.i + 9), ' ') AS block
+      |  FROM toks, UNNEST(range(1, len(t) + 1, 10)) AS u(i)),
+      |rm AS (
+      |  SELECT block FROM blocks GROUP BY block
+      |  HAVING count(DISTINCT doc_id) > 3)
+      |SELECT b.doc_id, count(*) AS n_blocks,
+      |       count(*) FILTER (WHERE r.block IS NOT NULL) AS n_removed,
+      |       coalesce(string_agg(b.block, ' ' ORDER BY b.start)
+      |                  FILTER (WHERE r.block IS NULL), '') AS cleaned_text
+      |FROM blocks b LEFT JOIN rm r ON b.block = r.block
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q88 — unigram-LM surprisal scoring (the KenLM-style perplexity-filter
+  // shape): each document's mean -ln p(token) under the corpus's own
+  // unigram distribution, NLLs staged through DECIMAL(18,6) so the
+  // cross-row sum is order-independent (q03/q50 determinism rule).
+  // -------------------------------------------------------------------
+  def unigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    NgramLm.unigramScores(docs, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val unigramSurprisalSql: String =
+    s"""$toksCte,
+      |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      |counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+      |total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM counts),
+      |model AS (
+      |  SELECT tok,
+      |         CAST(-ln(CAST(c AS DOUBLE) / (SELECT n FROM total))
+      |              AS DECIMAL(18,6)) AS nll
+      |  FROM counts)
+      |SELECT t.doc_id, count(*) AS n_tokens,
+      |       CAST(sum(m.nll) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
+      |FROM tok t JOIN model m USING (tok)
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q90 — cross-source contamination matrix: distinct 10-token blocks
+  // shared by each pair of sources (what a data-mixing owner checks
+  // before assigning mixture weights).
+  // -------------------------------------------------------------------
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("source", "text"))
+    Overlap.sharedBlockMatrix(docs, "source", "text", blockTokens = 10)
+      .orderBy(col("n_shared_blocks").desc, col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents
+      |  WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0),
+      |b AS (
+      |  SELECT DISTINCT source,
+      |         array_to_string(list_slice(t, u.i, u.i + 9), ' ') AS block
+      |  FROM s, UNNEST(range(1, len(t) + 1, 10)) AS u(i)),
+      |p AS (
+      |  SELECT a.source AS source_a, c.source AS source_b
+      |  FROM b a JOIN b c USING (block)
+      |  WHERE a.source < c.source)
+      |SELECT source_a, source_b, count(*) AS n_shared_blocks
+      |FROM p GROUP BY source_a, source_b
+      |ORDER BY n_shared_blocks DESC, source_a, source_b""".stripMargin
 }

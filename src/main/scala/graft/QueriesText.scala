@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{RollingHashExpression, TextFunctions}
-import graft.operators.{Dedup, Multimodal, Quantize, Sessionize, Similarity}
+import graft.operators.{Dedup, Funnel, Multimodal, Quantize, Sessionize, Similarity}
 
 /** Training-data pipeline queries over `documents` / `embeddings` / `events`:
   * dedup (exact, near-exact, MinHash-LSH, SimHash, n-gram jaccard),
@@ -608,6 +608,64 @@ object QueriesText {
         Tables.documents(spark, sfDir).select("doc_id", "source", "text")),
       "doc_id", "source", "text")
     Multimodal.featureStats(Multimodal.decodeFeatures(payloads))
+  }
+
+  // ------------------------------------------------------------------
+  // q89 — quality-filter funnel (C4/Gopher cascade report): per-stage
+  // attrition through min-tokens → lang-id → stopword-floor → max-tokens.
+  // One corpus scan, one tiny aggregate (see operators/Funnel.scala); the
+  // stopword floor is the integer-exact form stop_hits*50 >= n_tokens
+  // (ratio >= 0.02 without a float division).
+  // ------------------------------------------------------------------
+  def qualityFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val nTokens = TextFunctions.tokenCountWs(col("text"))
+    val stopHits = TextFunctions.stopwordHits(
+      col("text"), TextFunctions.langMarkers.flatMap(_._2))
+    Funnel.report(d, Seq(
+      "min_tokens" -> (nTokens >= 20),
+      "lang_en" -> (TextFunctions.langId(col("text")) === "en"),
+      "stopword_floor" -> (stopHits * 50 >= nTokens),
+      "max_tokens" -> (nTokens <= 80)))
+  }
+
+  val qualityFunnelSql: String = {
+    val allWords = TextFunctions.langMarkers.flatMap(_._2)
+    val scoreExprs = TextFunctions.langMarkers.map { case (lang, words) =>
+      s"${stopHitsSql("p", words)} AS s_$lang"
+    }.mkString(",\n       ")
+    s"""WITH t AS (SELECT ${normSql("text")} AS p FROM documents),
+      |m AS (
+      |  SELECT p, ${tokCountSql("p")} AS n_tokens,
+      |       $scoreExprs,
+      |       ${stopHitsSql("p", allWords)} AS stop_hits
+      |  FROM t),
+      |f AS (
+      |  SELECT CASE
+      |    WHEN NOT (n_tokens >= 20) THEN 0
+      |    WHEN NOT ((CASE WHEN s_en + s_es + s_fr + s_de = 0 THEN 'und'
+      |                    WHEN s_de > greatest(s_en, s_es, s_fr) THEN 'de'
+      |                    WHEN s_fr > greatest(s_en, s_es) THEN 'fr'
+      |                    WHEN s_es > s_en THEN 'es'
+      |                    ELSE 'en' END) = 'en') THEN 1
+      |    WHEN NOT (stop_hits * 50 >= n_tokens) THEN 2
+      |    WHEN NOT (n_tokens <= 80) THEN 3
+      |    ELSE 4 END AS fail_idx
+      |  FROM m),
+      |stages(stage_idx, stage) AS (
+      |  VALUES (0, 'min_tokens'), (1, 'lang_en'),
+      |         (2, 'stopword_floor'), (3, 'max_tokens'))
+      |SELECT s.stage_idx, s.stage,
+      |       count(*) FILTER (WHERE f.fail_idx >= s.stage_idx) AS docs_in,
+      |       count(*) FILTER (WHERE f.fail_idx >= s.stage_idx + 1) AS docs_out,
+      |       CASE WHEN count(*) FILTER (WHERE f.fail_idx >= s.stage_idx) > 0
+      |            THEN CAST(count(*) FILTER (WHERE f.fail_idx >= s.stage_idx + 1) AS DOUBLE)
+      |                 / CAST(count(*) FILTER (WHERE f.fail_idx >= s.stage_idx) AS DOUBLE)
+      |            ELSE 0.0 END AS frac_kept
+      |FROM stages s CROSS JOIN f
+      |GROUP BY s.stage_idx, s.stage
+      |ORDER BY s.stage_idx""".stripMargin
   }
 
   /** q50 oracle: the stub codec is a pure function of the payload bytes, so

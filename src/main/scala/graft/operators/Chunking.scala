@@ -179,4 +179,51 @@ object Chunking {
       .withColumn("dup_ratio",
         col("n_dup_blocks").cast("double") / col("n_blocks").cast("double"))
   }
+
+  /** Boilerplate scrub (the C4 "remove repeated boilerplate" step, at block
+    * granularity since the corpus has no line structure): drop every
+    * `blockTokens`-token block whose corpus-wide document frequency exceeds
+    * `maxDocFreq`, and reassemble each document from its surviving blocks
+    * in original order. Emits (id, n_blocks, n_removed, cleaned_text).
+    *
+    * Scale shape: the removal set is bounded by total_blocks/maxDocFreq
+    * (each member appears in > maxDocFreq documents), so it is broadcast —
+    * the corpus-side blocks are NEVER shuffled: one groupBy builds the
+    * removal set, the probe is a broadcast hash join, and the reassembly
+    * groupBy shuffles only (id, start, block) for the surviving rows. At
+    * 100 TB the df-groupBy should ride on `xxhash64(block)` instead of
+    * block text (the [[dupBlockStats]] `hashBlocks` trade); the exact-text
+    * tier here is what the DuckDB oracle checks. */
+  def boilerplateScrub(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int = 10, maxDocFreq: Int = 3): DataFrame = {
+    require(blockTokens > 0, s"blockTokens=$blockTokens must be positive")
+    require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq must be >= 1")
+    val t = toks(col(textCol))
+    val blocks = df
+      .select(col(idCol), t.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(blockTokens)))
+          .as("start"),
+        col("toks"))
+      .select(col(idCol), col("start"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(blockTokens)))
+          .as("block"))
+    val removal = blocks
+      .groupBy(col("block"))
+      .agg(countDistinct(col(idCol)).as("block_docs"))
+      .filter(col("block_docs") > maxDocFreq)
+      .select(col("block"), lit(true).as("boilerplate"))
+    blocks
+      .join(broadcast(removal), Seq("block"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count_if(col("boilerplate")).as("n_removed"),
+        concat_ws(" ",
+          transform(
+            sort_array(collect_list(
+              when(col("boilerplate").isNull, struct(col("start"), col("block"))))),
+            b => b.getField("block"))).as("cleaned_text"))
+  }
 }

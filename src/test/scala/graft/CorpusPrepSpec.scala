@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Chunking, Decontaminate}
+import graft.operators.{Chunking, Decontaminate, Funnel, NgramLm, Overlap}
 
 /** Unit tests for the sequence-level corpus-prep operators: overlapping
   * token windows, concat-and-split packing (two-level prefix sum vs the
@@ -294,5 +294,96 @@ class CorpusPrepSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast join for the eval gram set, got:\n$plan")
+  }
+
+  test("boilerplateScrub: frequent blocks removed, order-preserving reassembly") {
+    // block size 2; "b1 b2" appears in docs 1-4 (df=4 > maxDocFreq=3) →
+    // removed everywhere, including BOTH copies inside doc 1
+    val boiler = "b1 b2"
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 $boiler"),
+      (2L, s"$boiler x1 x2"),
+      (3L, s"y1 y2 $boiler"),
+      (4L, s"$boiler"),
+      (5L, "z1 z2 z3 z4")
+    ).toDF("doc_id", "text")
+    val out = Chunking.boilerplateScrub(docs, "doc_id", "text",
+        blockTokens = 2, maxDocFreq = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "u1 u2"),
+      (2L, 2L, 1L, "x1 x2"),
+      (3L, 2L, 1L, "y1 y2"),
+      (4L, 1L, 1L, ""),      // fully boilerplate → empty, row kept
+      (5L, 2L, 0L, "z1 z2 z3 z4")))
+    // removal set is broadcast: corpus blocks never build a sort/shuffle join
+    val plan = Chunking.boilerplateScrub(docs, "doc_id", "text", 2, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast probe of the removal set, got:\n$plan")
+  }
+
+  test("unigramScores: hand-checked NLLs, decimal staging is order-stable") {
+    // corpus: "a a b" (doc 1) + "a c" (doc 2) → N=5, p(a)=3/5, p(b)=p(c)=1/5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = NgramLm.unigramScores(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val nllA = dec6(-math.log(3.0 / 5.0))
+    val nllB = dec6(-math.log(1.0 / 5.0))
+    assert(out(0)._1 == 1L && out(0)._2 == 3L)
+    assert(out(0)._3 == ((nllA * 2 + nllB) / 3).toDouble)
+    assert(out(1)._3 == ((nllA + nllB) / 2).toDouble)
+    // OOV handling: score doc with unseen token against the fitted model
+    val model = NgramLm.fitUnigrams(
+      docs.select($"doc_id", explode(split($"text", " ")).as("tok")))
+    val heldOut = Seq((9L, "a zzz")).toDF("doc_id", "text")
+      .select($"doc_id", explode(split($"text", " ")).as("tok"))
+    val dropped = NgramLm.scoreTokens(heldOut, "doc_id", model).collect()
+    assert(dropped.head.getAs[Long]("n_tokens") == 1L) // zzz dropped
+    val floored = NgramLm.scoreTokens(heldOut, "doc_id", model,
+      oovNll = Some(9.9)).collect()
+    assert(floored.head.getAs[Long]("n_tokens") == 2L)
+    assert(floored.head.getAs[Double]("avg_nll") == ((nllA + dec6(9.9)) / 2).toDouble)
+  }
+
+  test("funnel: first-failing-stage attribution, one pass, edge cases") {
+    val df = Seq(
+      (1L, 10, "en"),  // passes all
+      (2L, 2, "en"),   // fails stage 0
+      (3L, 10, "de"),  // fails stage 1
+      (4L, 3, "fr")    // fails stage 0 (also would fail 1 — attributed to 0)
+    ).toDF("id", "n", "lang")
+    val rep = Funnel.report(df, Seq(
+      "min_n" -> ($"n" >= 5),
+      "lang_en" -> ($"lang" === "en")))
+      .orderBy($"stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rep.toSeq == Seq(
+      (0, "min_n", 4L, 2L, 0.5),
+      (1, "lang_en", 2L, 1L, 0.5)))
+    // null predicate result counts as a failure, not a pass-through
+    val withNull = Seq((1L, Some(10)), (2L, None)).toDF("id", "v")
+    val rep2 = Funnel.report(withNull, Seq("v_pos" -> ($"v" > 0))).collect()
+    assert(rep2.head.getAs[Long]("docs_out") == 1L)
+  }
+
+  test("sourceOverlap: upper-triangle pairs, distinct blocks, no self-pairs") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // one shared block
+    val docs = Seq(
+      ("a", s"$shared a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      ("b", s"$shared b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+      ("c", shared),
+      ("c", shared), // duplicate within source: still ONE distinct block
+      ("d", "d1 d2")
+    ).toDF("source", "text")
+    val out = Overlap.sharedBlockMatrix(docs, "source", "text", blockTokens = 10)
+      .orderBy($"source_a", $"source_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
   }
 }
