@@ -195,7 +195,11 @@ object Queries {
     Q("q89_quality_funnel", QueriesText.qualityFunnel,
       Some(QueriesText.qualityFunnelSql)),
     Q("q90_source_overlap", QueriesCorpus.sourceOverlap,
-      Some(QueriesCorpus.sourceOverlapSql))
+      Some(QueriesCorpus.sourceOverlapSql)),
+    Q("q91_bigram_surprisal", QueriesCorpus.bigramSurprisal,
+      Some(QueriesCorpus.bigramSurprisalSql)),
+    Q("q92_bm25_topk", QueriesCorpus.bm25TopK,
+      Some(QueriesCorpus.bm25TopKSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Chunking, CorpusDiff, Decontaminate, Dedup, NgramLm, Overlap}
+import graft.operators.{Bm25, Chunking, CorpusDiff, Decontaminate, Dedup, NgramLm, Overlap}
 
 /** Corpus-preparation wave 2: the sequence-level operators between a
   * cleaned document corpus and model-ready training batches — train/eval
@@ -565,4 +565,100 @@ object QueriesCorpus {
       |SELECT source_a, source_b, count(*) AS n_shared_blocks
       |FROM p GROUP BY source_a, source_b
       |ORDER BY n_shared_blocks DESC, source_a, source_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q91 — bigram-LM surprisal with stupid backoff (the step up from
+  // q88's unigrams): -ln p(tok|prev) with p = c2/c1(prev) on a bigram
+  // hit, alpha*c1(tok)/N on backoff, unigram for each document's first
+  // token. Same DECIMAL(18,6) NLL staging.
+  // -------------------------------------------------------------------
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    NgramLm.bigramScores(docs, "doc_id", "text", alpha = 0.4)
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramSurprisalSql: String =
+    s"""$toksCte,
+      |uni AS (SELECT unnest(t) AS tok FROM toks),
+      |c1 AS (SELECT tok, count(*) AS c1 FROM uni GROUP BY tok),
+      |total AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM c1),
+      |bg AS (
+      |  SELECT doc_id, t[u.i] AS prev, t[u.i + 1] AS tok
+      |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+      |c2 AS (SELECT prev, tok, count(*) AS c2 FROM bg GROUP BY prev, tok),
+      |interior AS (
+      |  SELECT b.doc_id,
+      |         CAST(CASE WHEN c2.c2 IS NOT NULL
+      |              THEN -ln(CAST(c2.c2 AS DOUBLE) / CAST(p1.c1 AS DOUBLE))
+      |              ELSE -ln(0.4 * (CAST(t1.c1 AS DOUBLE) / (SELECT n FROM total)))
+      |              END AS DECIMAL(18,6)) AS nll
+      |  FROM bg b
+      |  LEFT JOIN c2 ON b.prev = c2.prev AND b.tok = c2.tok
+      |  JOIN c1 p1 ON b.prev = p1.tok
+      |  JOIN c1 t1 ON b.tok = t1.tok),
+      |firsts AS (
+      |  SELECT f.doc_id,
+      |         CAST(-ln(CAST(c1.c1 AS DOUBLE) / (SELECT n FROM total))
+      |              AS DECIMAL(18,6)) AS nll
+      |  FROM (SELECT doc_id, t[1] AS tok FROM toks) f JOIN c1 USING (tok)),
+      |allpos AS (SELECT * FROM interior UNION ALL SELECT * FROM firsts)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |       CAST(sum(nll) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_nll
+      |FROM allpos GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q92 — BM25 top-k retrieval: every ~97th document's first 8 tokens
+  // play the query set (deterministic, corpus-derived); Okapi BM25 with
+  // the Lucene +1 idf floor, k1=1.2, b=0.75, top-5 per query.
+  // -------------------------------------------------------------------
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val queries = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 97 === 0)
+      .filter(length(trim(regexp_replace(col("text"), "\\s+", " "))) > 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(norm, " "), 1, 8)).as("qtext"))
+    Bm25.topK(docs, queries, "doc_id", "text", "qid", "qtext", k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val bm25TopKSql: String =
+    s"""$toksCte,
+      |stats AS (
+      |  SELECT count(*) AS n_docs,
+      |         CAST(sum(len(t)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM toks),
+      |q AS (SELECT doc_id AS qid, list_slice(t, 1, 8) AS qt
+      |      FROM toks WHERE doc_id % 97 = 0),
+      |qterms AS (SELECT DISTINCT qid, unnest(qt) AS tok FROM q),
+      |qvocab AS (SELECT DISTINCT tok FROM qterms),
+      |post AS (SELECT doc_id AS doc, len(t) AS dl, unnest(t) AS tok FROM toks),
+      |postq AS (SELECT p.doc, p.dl, p.tok FROM post p JOIN qvocab v USING (tok)),
+      |tf AS (SELECT doc, tok, count(*) AS tf, min(dl) AS dl
+      |       FROM postq GROUP BY doc, tok),
+      |dfs AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      |partial AS (
+      |  SELECT qt.qid, tf.doc,
+      |         CAST(
+      |           ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE)
+      |                       - CAST(df AS DOUBLE) + 0.5)
+      |                    / (CAST(df AS DOUBLE) + 0.5))
+      |           * (CAST(tf AS DOUBLE) * 2.2
+      |              / (CAST(tf AS DOUBLE)
+      |                 + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+      |                                 / (SELECT avgdl FROM stats))))
+      |         AS DECIMAL(18,6)) AS s
+      |  FROM tf JOIN dfs USING (tok) JOIN qterms qt USING (tok)),
+      |scored AS (SELECT qid, doc, CAST(sum(s) AS DOUBLE) AS score
+      |           FROM partial GROUP BY qid, doc),
+      |r AS (SELECT qid, doc, score,
+      |             row_number() OVER (PARTITION BY qid
+      |                                ORDER BY score DESC, doc) AS rank
+      |      FROM scored)
+      |SELECT qid, rank, doc, score FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
 }

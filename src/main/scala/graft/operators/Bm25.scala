@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** BM25 lexical retrieval (Robertson/Spärck Jones; the Okapi BM25 form with
+  * the +1 idf floor Lucene uses so scores stay positive):
+  *
+  *   score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf(t,d)·(k1+1)
+  *                                        / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+  *   idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+  *
+  * The pipeline shape a corpus-scale retrieval stage wants:
+  *
+  *  1. The query term set is tiny → broadcast it and SEMI-JOIN the doc
+  *     postings first, so df/tf are only computed for terms some query
+  *     mentions — the corpus token stream collapses to the "inverted
+  *     index slice" the queries touch, before any wide shuffle.
+  *  2. tf is a (doc, term) groupBy; doc length is a narrow expression on
+  *     the token array (no second pass); avgdl and N are one tiny agg.
+  *  3. Per-(term,doc) partial scores stage through DECIMAL(18,6) (the
+  *     q03/q50 rule) so the per-(query,doc) sum is order-independent,
+  *     then top-k per query is a rank window over ≤ |queries|·|touched
+  *     docs| rows with a deterministic (score desc, doc asc) tiebreak.
+  *
+  * Term-frequency skew lands on the AGGREGATED tf table (one row per
+  * (doc, term)), not the raw stream, and the idf join is against a
+  * df-per-term table bounded by the query vocabulary — both skew-safe.
+  */
+object Bm25 {
+
+  private def toks(textCol: Column): Column = {
+    val norm = TextFunctions.normalizeText(textCol)
+    when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, " "))
+  }
+
+  /** Top-k BM25 results per query: (qid, rank, doc id, score).
+    * `docs` must carry (idCol, textCol); `queries` (qidCol, qtextCol). */
+  def topK(docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, qidCol: String, qtextCol: String,
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val base = docs
+      .select(col(idCol).as("doc"), toks(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+
+    // one tiny agg row: corpus size + average doc length
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"), sum(size(col("ts"))).as("total_len"))
+      .collect()(0)
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / nDocs.toDouble
+
+    // query term postings: distinct per (qid, term)
+    val qterms = queries
+      .select(col(qidCol).as("qid"), explode(toks(col(qtextCol))).as("tok"))
+      .distinct()
+    val qvocab = qterms.select(col("tok")).distinct()
+
+    // inverted-index slice: doc postings restricted to query vocabulary
+    // BEFORE the tf/df shuffles
+    val postings = base
+      .select(col("doc"), size(col("ts")).as("dl"), explode(col("ts")).as("tok"))
+      .join(broadcast(qvocab), Seq("tok"), "left_semi")
+    val tf = postings.groupBy(col("doc"), col("tok"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5))
+        / (col("df").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+
+    val partial = tf
+      .join(broadcast(df_), Seq("tok"))
+      .join(broadcast(qterms), Seq("tok"))
+      .select(col("qid"), col("doc"),
+        (idf * tfNorm).cast("decimal(18,6)").as("s"))
+    val scored = partial.groupBy(col("qid"), col("doc"))
+      .agg(sum(col("s")).cast("double").as("score"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("doc"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("doc"), col("score"))
+  }
+}

@@ -79,4 +79,94 @@ object NgramLm {
         (sum(col("nll")).cast("double") / count(lit(1)).cast("double"))
           .as("avg_nll"))
   }
+
+  /** Bigram LM with stupid backoff (Brants et al. 2007): per-document mean
+    * of -ln p(tok_i | tok_i-1) where
+    *
+    *   p(tok | prev) = c2(prev,tok)/c1(prev)        if the bigram was seen
+    *                 = alpha * c1(tok)/N            otherwise (backoff)
+    *
+    * and the first token of a document scores at its unigram probability.
+    * Self-scored (fit and score over the same corpus), so every unigram
+    * exists; only the bigram table can miss.
+    *
+    * The bigram stream comes straight from the token array —
+    * `arrays_zip(slice(.,1,n-1), slice(.,2,n-1))` — a narrow expression,
+    * no window/lag shuffle to reconstruct adjacency. Two fit groupBys
+    * (bigrams, unigrams); scoring joins the streams against the two count
+    * tables keyed by bigram/prev-token. `broadcastModel=true` broadcasts
+    * both (right for bounded vocabularies); at web scale the bigram table
+    * outgrows broadcast — leave it false and the joins shuffle on the
+    * aggregated tables, one row per DISTINCT bigram, which is the skew-safe
+    * shape. NLLs stage through DECIMAL(18,6) (the q03/q50 determinism
+    * rule) before the per-document mean. */
+  def bigramScores(df: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.4, broadcastModel: Boolean = true): DataFrame =
+    scoreBigrams(df, idCol, textCol, fitBigrams(df, idCol, textCol),
+      alpha, broadcastModel)
+
+  /** Fitted bigram model: unigram counts, bigram counts, total tokens. */
+  final case class BigramModel(uni: DataFrame, bi: DataFrame, n: Long)
+
+  private def tokenArrays(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol), toks(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+
+  /** Adjacent-pair stream from the token arrays — a narrow
+    * `arrays_zip(slice, slice)` expression, no window/lag shuffle. */
+  private def bigramStream(base: DataFrame, idCol: String) =
+    base.select(col(idCol),
+      explode(arrays_zip(
+        slice(col("ts"), lit(1), size(col("ts")) - 1).as("prev"),
+        slice(col("ts"), lit(2), size(col("ts")) - 1).as("tok"))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.tok").as("tok"))
+
+  def fitBigrams(df: DataFrame, idCol: String, textCol: String): BigramModel = {
+    val base = tokenArrays(df, idCol, textCol)
+    val uniCounts = base.select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val n = uniCounts.agg(sum(col("c1"))).collect()(0).getLong(0)
+    val biCounts = bigramStream(base, idCol).groupBy(col("prev"), col("tok"))
+      .agg(count(lit(1)).as("c2"))
+    BigramModel(uniCounts, biCounts, n)
+  }
+
+  /** Score a corpus against a fitted model. Self-scoring never backs off
+    * (every observed bigram is in its own fit); held-out scoring exercises
+    * the backoff, and positions whose token (or predecessor) has no
+    * unigram at all are dropped — the scoreTokens "known mass only"
+    * convention. */
+  def scoreBigrams(df: DataFrame, idCol: String, textCol: String,
+      model: BigramModel, alpha: Double = 0.4,
+      broadcastModel: Boolean = true): DataFrame = {
+    val base = tokenArrays(df, idCol, textCol)
+    def maybeB(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+
+    // interior positions: bigram hit or backoff to scaled unigram
+    val interior = bigramStream(base, idCol)
+      .join(maybeB(model.bi), Seq("prev", "tok"), "left")
+      .join(maybeB(model.uni.select(col("tok").as("prev"), col("c1").as("c1_prev"))),
+        Seq("prev"))
+      .join(maybeB(model.uni), Seq("tok"))
+      .select(col(idCol),
+        when(col("c2").isNotNull,
+            -log(col("c2").cast("double") / col("c1_prev").cast("double")))
+          .otherwise(
+            -log(lit(alpha) * (col("c1").cast("double") / lit(model.n.toDouble))))
+          .cast("decimal(18,6)").as("nll"))
+    // first token of each doc: unigram probability
+    val first = base
+      .select(col(idCol), col("ts").getItem(0).as("tok"))
+      .join(maybeB(model.uni), Seq("tok"))
+      .select(col(idCol),
+        (-log(col("c1").cast("double") / lit(model.n.toDouble)))
+          .cast("decimal(18,6)").as("nll"))
+
+    interior.unionByName(first)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("nll")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_nll"))
+  }
 }

@@ -371,6 +371,66 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(rep2.head.getAs[Long]("docs_out") == 1L)
   }
 
+  test("bigramScores: hand-checked NLLs; held-out scoring backs off") {
+    import graft.operators.NgramLm.BigramModel
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // corpus: "a b a b" + "b c" → N=6, c1: a=2 b=3 c=1;
+    // c2: (a,b)=2 (b,a)=1 (b,c)=1
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = NgramLm.bigramScores(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1: first 'a' -ln(2/6); (a,b) -ln(2/2)=0; (b,a) -ln(1/3); (a,b) 0
+    val d1 = (dec6(-math.log(2.0 / 6.0)) + dec6(-math.log(1.0)) +
+      dec6(-math.log(1.0 / 3.0)) + dec6(-math.log(1.0))) / 4
+    // doc 2: first 'b' -ln(3/6); (b,c) -ln(1/3)
+    val d2 = (dec6(-math.log(3.0 / 6.0)) + dec6(-math.log(1.0 / 3.0))) / 2
+    assert(out(0) == ((1L, 4L, d1.toDouble)))
+    assert(out(1) == ((2L, 2L, d2.toDouble)))
+    // held-out: "b a c" — (b,a) seen; (a,c) UNSEEN → stupid backoff to
+    // alpha*c1(c)/N; first 'b' unigram
+    val model = NgramLm.fitBigrams(docs, "doc_id", "text")
+    val held = NgramLm.scoreBigrams(
+      Seq((9L, "b a c")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val want = (dec6(-math.log(3.0 / 6.0)) + dec6(-math.log(1.0 / 3.0)) +
+      dec6(-math.log(0.4 * (1.0 / 6.0)))) / 3
+    assert(held.head == ((3L, want.toDouble)))
+    // unknown-token positions drop (known-mass convention): "a zz" keeps
+    // only the first-token unigram — the (a,zz) backoff has no c1(zz)
+    val oov = NgramLm.scoreBigrams(
+      Seq((8L, "a zz")).toDF("doc_id", "text"), "doc_id", "text", model)
+      .collect()
+    assert(oov.head.getAs[Long]("n_tokens") == 1L)
+    assert(oov.head.getAs[Double]("avg_nll") == dec6(-math.log(2.0 / 6.0)).toDouble)
+  }
+
+  test("bm25 topK: idf ordering, self-retrieval, deterministic ties") {
+    // "rare" appears in 1 doc, "common" in all → rare term dominates
+    val docs = Seq(
+      (1L, "common rare alpha beta"),
+      (2L, "common alpha beta gamma"),
+      (3L, "common beta gamma delta")
+    ).toDF("doc_id", "text")
+    val queries = Seq((100L, "rare"), (200L, "common")).toDF("qid", "qtext")
+    val out = graft.operators.Bm25.topK(
+        docs, queries, "doc_id", "text", "qid", "qtext", k = 3)
+      .orderBy($"qid", $"rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // 'rare' → only doc 1 matches
+    assert(out.filter(_._1 == 100L).toSeq == Seq((100L, 1, 1L)))
+    // 'common' → all three docs, same tf/dl → tie broken by doc id asc
+    assert(out.filter(_._1 == 200L).toSeq ==
+      Seq((200L, 1, 1L), (200L, 2, 2L), (200L, 3, 3L)))
+    // corpus postings prune to the query vocabulary via a broadcast
+    val plan = graft.operators.Bm25.topK(
+        docs, queries, "doc_id", "text", "qid", "qtext", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast query-vocab semi join, got:\n$plan")
+  }
+
   test("sourceOverlap: upper-triangle pairs, distinct blocks, no self-pairs") {
     val shared = (1 to 10).map(i => s"s$i").mkString(" ") // one shared block
     val docs = Seq(

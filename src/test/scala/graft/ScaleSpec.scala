@@ -90,6 +90,22 @@ class ScaleSpec extends AnyFunSuite {
       s"single-partition stage leaked into corpusPrep:\n$plan")
   }
 
+  test("sourceOverlap: two keyed shuffles, pair expansion without a self-join") {
+    val docs = Seq(
+      ("a", "s1 s2 x1 x2"), ("b", "s1 s2 y1 y2"), ("c", "s1 s2"))
+      .toDF("source", "text")
+    val q = graft.operators.Overlap.sharedBlockMatrix(
+      docs, "source", "text", blockTokens = 2)
+    val plan = q.queryExecution.executedPlan.toString
+    // block groupBy (collect_set) + pair-count groupBy; the (source,block)
+    // distinct must fold into the set aggregate, and the upper-triangle
+    // expansion is an array expression — a join would mean the block table
+    // got self-joined, the shape that explodes at corpus scale
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(keyed == 2, s"$keyed keyed exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join in sourceOverlap:\n$plan")
+  }
+
   test("q72 upsert: rank pushdown trims winners pre-shuffle; snapshot joins in place") {
     val plan = QueriesPipeline.upsertLatest(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
