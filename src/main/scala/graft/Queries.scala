@@ -199,7 +199,9 @@ object Queries {
     Q("q91_bigram_surprisal", QueriesCorpus.bigramSurprisal,
       Some(QueriesCorpus.bigramSurprisalSql)),
     Q("q92_bm25_topk", QueriesCorpus.bm25TopK,
-      Some(QueriesCorpus.bm25TopKSql))
+      Some(QueriesCorpus.bm25TopKSql)),
+    Q("q93_split_assign", QueriesPipeline.splitAssign,
+      Some(QueriesPipeline.splitAssignSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -58,6 +58,32 @@ object QueriesPipeline {
       |GROUP BY source ORDER BY source""".stripMargin
 
   // ------------------------------------------------------------------
+  // q93 — duplicate-consistent train/val/test split (80/10/10): the
+  // assignment hashes content, so identical documents can never straddle
+  // train and eval. Output: per-(split, source) counts — the oracle
+  // replays the md5-prefix bucket arithmetic in DuckDB.
+  // ------------------------------------------------------------------
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    Sampling.contentSplit(d, "text",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  val splitAssignSql: String =
+    """WITH b AS (
+      |  SELECT source,
+      |         ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket
+      |  FROM documents)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       source, count(*) AS n_docs
+      |FROM b GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+
+  // ------------------------------------------------------------------
   // q46 — HLL cardinality sketch with a self-validating oracle: the query
   // itself asserts |approx - exact| / exact <= 5% (rsd 2%), so the DuckDB
   // side can state the expected verdict as a literal and the hash compare

@@ -115,4 +115,32 @@ object Sampling {
     val u = (xxhash64(col(textCol)).cast("double") / lit(2.0 * Long.MaxValue)) + lit(0.5)
     df.filter(u < lit(rate))
   }
+
+  /** Duplicate-consistent train/val/test assignment: the split key hashes
+    * the CONTENT, so byte-identical documents always land in the same
+    * split — no exact-duplicate leakage between train and eval, however
+    * ids were assigned and however the corpus is partitioned. (Near-dups
+    * need a cluster-representative key first — compose with the Dedup/
+    * ConnectedComponents output.) Appends a `split` column.
+    *
+    * Buckets are the first 8 hex digits of md5(text) mod 100 — engine-
+    * portable (every engine has md5; cross-checked against DuckDB's
+    * `('0x' || substr(md5, 1, 8))::BIGINT`) and a pure narrow expression:
+    * assignment shuffles nothing at any scale. `splits` are (name,
+    * percent) with percents summing to 100. */
+  def contentSplit(df: DataFrame, textCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"split percents must be positive: $splits")
+    require(splits.map(_._2).sum == 100,
+      s"split percents must sum to 100: $splits")
+    val bucket = conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+      .cast("long") % 100
+    val bounds = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val assign = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1)) { case (((name, _), hi), rest) =>
+      when(bucket < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assign)
+  }
 }

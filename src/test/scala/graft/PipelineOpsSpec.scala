@@ -238,4 +238,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("num", 4L, 1L, 2L, "5", "9"),   // nulls excluded from distinct/min/max
       ("s", 4L, 0L, 3L, "x", "z")))
   }
+
+  test("contentSplit: duplicate-consistent, repartition-stable, covers 100%") {
+    val docs = (1L to 400L).map(i => (i, s"doc body number ${i % 200}"))
+      .toDF("id", "text") // ids 1..400, every text duplicated once
+    val s = Sampling.contentSplit(docs, "text",
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    // identical content -> identical split, regardless of id
+    val perText = s.groupBy($"text")
+      .agg(countDistinct($"split").as("n_splits")).collect()
+    assert(perText.forall(_.getAs[Long]("n_splits") == 1L))
+    // assignment is a pure function of content: partitioning can't move it
+    val a = s.select($"id", $"split").as[(Long, String)].collect().sorted.toSeq
+    val b = Sampling.contentSplit(docs.repartition(7), "text",
+        Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .select($"id", $"split").as[(Long, String)].collect().sorted.toSeq
+    assert(a == b)
+    // every doc gets exactly one split; rough proportions hold
+    val counts = s.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 400L)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // malformed weights rejected
+    intercept[IllegalArgumentException] {
+      Sampling.contentSplit(docs, "text", Seq("a" -> 50, "b" -> 40))
+    }
+  }
 }
