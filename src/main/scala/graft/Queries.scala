@@ -201,7 +201,21 @@ object Queries {
     Q("q92_bm25_topk", QueriesCorpus.bm25TopK,
       Some(QueriesCorpus.bm25TopKSql)),
     Q("q93_split_assign", QueriesPipeline.splitAssign,
-      Some(QueriesPipeline.splitAssignSql))
+      Some(QueriesPipeline.splitAssignSql)),
+
+    // --- Wave 4: exact iterative numerics + event-sequence analytics ---
+    Q("q94_copurchase_pagerank", QueriesGraph.copurchasePagerank,
+      Some(QueriesGraph.copurchasePagerankSql)),
+    Q("q95_kmeans_int8", QueriesCluster.kmeansInt8,
+      Some(QueriesCluster.kmeansInt8Sql)),
+    Q("q96_event_funnel", QueriesGraph.eventFunnel,
+      Some(QueriesGraph.eventFunnelSql)),
+    Q("q97_markov_transitions", QueriesGraph.markovTransitions,
+      Some(QueriesGraph.markovTransitionsSql)),
+    Q("q98_embedding_outliers", QueriesCluster.embeddingOutliers,
+      Some(QueriesCluster.embeddingOutliersSql)),
+    Q("q99_temperature_mix", QueriesCluster.temperatureMix,
+      Some(QueriesCluster.temperatureMixSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{EventSeq, PageRank}
+
+/** Graph + event-sequence analytics (wave 4): link-graph centrality over
+  * a co-occurrence graph and ordered-behavior mining over the event
+  * stream. The headline design rule is EXACT arithmetic for iterative
+  * numerics — PageRank runs on integer rank tokens (see
+  * operators/PageRank.scala) so the result is bit-reproducible across
+  * cluster runs and DuckDB can replay every iteration.
+  */
+object QueriesGraph {
+
+  // -------------------------------------------------------------------
+  // q94 — fixed-point PageRank over the part co-purchase graph: parts
+  // are linked when they appear in the same order (bounded per-order
+  // fanout: ≤ 7 lineitems → ≤ 42 directed pairs per order). Five exact
+  // token-passing iterations, damping 85/100.
+  // -------------------------------------------------------------------
+  def copurchasePagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    PageRank.fixedPoint(edges, "src", "dst", iterations = 5)
+      .select(col("id").as("part_id"), col("rank_tokens"))
+      .orderBy(col("part_id"))
+  }
+
+  val copurchasePagerankSql: String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    // one CTE pair per exact iteration: per-target token sums (BIGINT,
+    // order-invariant) + teleport re-base; `//` truncates toward zero
+    // exactly like Spark's `div`
+    val iters = (1 to 5).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id,
+         |         CAST(sum((r.r * 85) // (100 * d.outdeg)) AS BIGINT) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.id
+         |               JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.id, CAST(150000000000 + coalesce(c.contrib, 0) AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
+    }
+    (base +: iters).mkString(",\n") +
+      "\nSELECT id AS part_id, r AS rank_tokens FROM r5 ORDER BY part_id"
+  }
+
+  // -------------------------------------------------------------------
+  // q96 — ordered conversion funnel view → click → purchase: a stage
+  // counts only when it happens strictly AFTER the previous stage for
+  // the same user. Output is one integer per funnel entrant.
+  // -------------------------------------------------------------------
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_type")
+    EventSeq.funnel(e, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("reached").cast("long").as("reached"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventFunnelSql: String =
+    """WITH u1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |u2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN u1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > u1.t1
+      |  GROUP BY e.user_id),
+      |u3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN u2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+      |  GROUP BY e.user_id)
+      |SELECT u1.user_id,
+      |       CAST(1 + CAST(u2.user_id IS NOT NULL AS INT)
+      |              + CAST(u3.user_id IS NOT NULL AS INT) AS BIGINT) AS reached
+      |FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+      |ORDER BY u1.user_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q97 — first-order Markov transition structure of the event stream:
+  // (prev_type → next_type) counts plus each row's share of its source
+  // state's outgoing mass (one exact-int division — engine-exact).
+  // -------------------------------------------------------------------
+  def markovTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type")
+    EventSeq.transitions(e, "user_id", "ts", "event_type", "event_id")
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |p AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+      |  FROM o WHERE prev_type IS NOT NULL
+      |  GROUP BY prev_type, event_type)
+      |SELECT prev_type, next_type, n_transitions,
+      |       CAST(n_transitions AS DOUBLE) /
+      |         CAST(sum(n_transitions) OVER (PARTITION BY prev_type)
+      |              AS DOUBLE) AS p_next
+      |FROM p ORDER BY prev_type, next_type""".stripMargin
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over an (entity, timestamp, event-type)
+  * stream: ordered conversion funnels and first-order (Markov) transition
+  * structure. The event-TIME cousins of [[Funnel]] (which cascades
+  * predicates over one row) — here a stage only counts when it happens
+  * strictly AFTER the previous stage for the same entity.
+  */
+object EventSeq {
+
+  /** Ordered funnel: for each entity, stage k is reached when an event of
+    * `stages(k)` occurs strictly after the stage-(k−1) event (stage 0 is
+    * the entity's earliest `stages(0)` event). Returns one row per entity
+    * holding `reached` ∈ [0, #stages] — 0 means the entity never hit the
+    * first stage.
+    *
+    * Shape: one conditional-min aggregate per stage, every one keyed on
+    * the entity — after the first shuffle the chained refinement joins
+    * are co-partitioned on the same key, so the funnel costs one
+    * entity-keyed shuffle of each stage's candidate events, never a sort
+    * of the whole stream. Timestamps only steer the strict-after joins;
+    * the output is pure integers, so the result is engine-exact.
+    */
+  def funnel(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ent = col(entityCol)
+    // stage 0: earliest occurrence of the entry event per entity
+    var reached = events.filter(col(typeCol) === stages.head)
+      .groupBy(ent).agg(min(col(tsCol)).as("t"))
+      .select(ent, lit(1).as("reached"), col("t"))
+    for ((stage, i) <- stages.tail.zipWithIndex) {
+      // strict-after refinement: min ts of this stage's events later than
+      // the previous stage's reach time — gated on the entity sitting at
+      // EXACTLY the previous stage (`reached = i+1`), so a skipped stage
+      // can never be jumped over (view→purchase without the click doesn't
+      // advance). Entities that stall keep (reached, t) via the left join.
+      val next = events.filter(col(typeCol) === stage).as("e")
+        .join(reached.filter(col("reached") === i + 1).as("p"),
+          col(s"e.$entityCol") === col(s"p.$entityCol") &&
+            col(s"e.$tsCol") > col("p.t"))
+        .groupBy(col(s"e.$entityCol").as(entityCol))
+        .agg(min(col(s"e.$tsCol")).as("t_next"))
+      reached = reached.join(next, Seq(entityCol), "left")
+        .select(ent,
+          when(col("t_next").isNotNull, col("reached") + 1)
+            .otherwise(col("reached")).as("reached"),
+          coalesce(col("t_next"), col("t")).as("t"))
+    }
+    reached.select(ent, col("reached"))
+  }
+
+  /** First-order transition counts: order each entity's events by
+    * (ts, tiebreak), lag one step, and count (prev_type → type) pairs.
+    * `p_next` is the row's share of its source state's outgoing
+    * transitions — one integer÷integer IEEE division, engine-exact.
+    *
+    * One entity-keyed shuffle for the lag window (bounded by the busiest
+    * entity, the same skew profile as sessionization), then a tiny
+    * pair-keyed aggregate. */
+  def transitions(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, tiebreakCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    val pairs = events
+      .select(col(entityCol), col(typeCol),
+        lag(col(typeCol), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wSrc = Window.partitionBy(col("prev_type"))
+    pairs.withColumn("p_next",
+      col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(wSrc).cast("double"))
+  }
+}

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Integer-space clustering over int8-quantized embedding codes
+  * ([[Quantize]]) — Lloyd's k-means and per-group centroid outlier
+  * scoring with EXACT arithmetic end to end.
+  *
+  * Why integer space: float k-means accumulates per-cluster mean vectors,
+  * and (like float PageRank — see [[PageRank]]) the summation order
+  * varies across cluster runs, so centroids and therefore assignments are
+  * not reproducible run to run. Over int8 codes every piece is exact and
+  * order-invariant: squared distances are bounded integer sums
+  * (d·254² ≪ 2^63), centroid updates are elementwise BIGINT sums with
+  * truncating division (both Spark's `div` and DuckDB's `//` truncate
+  * toward zero, negative sums included), and ties break to the smallest
+  * cluster id. Same assignment on 1 core or 1000 executors, and an
+  * external engine can replay it bit-for-bit.
+  *
+  * Scale shape per Lloyd iteration (the MLlib cost model, expressed
+  * declaratively):
+  *  - assignment: corpus ⨯ broadcast(k centroids) — map-only, no shuffle
+  *    of the vector side; argmin is a `min(struct(dist, k))` partial agg
+  *    keyed on the vector id (co-keyed with the input, no extra wide
+  *    exchange of vector payloads);
+  *  - update: posexplode to (cluster, dim, value) then one hash
+  *    aggregate — partial aggregation collapses each map task to ≤ k·d
+  *    rows before the shuffle, so shuffle volume is k·d·partitions
+  *    regardless of corpus size.
+  */
+object IntCluster {
+
+  /** Exact squared L2 distance between two equal-length int arrays. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y).cast("long") *
+      (x - y).cast("long")), lit(0L), (acc, v) => acc + v)
+
+  /** Centroid table (cluster, codes) from member codes: elementwise
+    * BIGINT sum ÷ count, truncating — exact and order-free. Clusters
+    * absent from `members` keep their `prev` centroid (deterministic
+    * empty-cluster rule). */
+  private def updateCentroids(members: DataFrame, prev: DataFrame): DataFrame = {
+    val sums = members
+      .select(col("cluster"), posexplode(col("codes")).as(Seq("pos", "v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      // `div` truncates toward zero — the cross-engine contract for the
+      // (possibly negative) code sums
+      .select(col("cluster"), col("pos"), expr("s div n").cast("int").as("cv"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("codes_new"))
+    prev.join(sums, Seq("cluster"), "left")
+      .select(col("cluster"),
+        coalesce(col("codes_new"), col("codes")).as("codes"))
+  }
+
+  /** Assign each vector to its nearest centroid (ties → smallest cluster
+    * id): broadcast cross join + argmin via `min(struct)`. */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids.select(col("cluster"),
+        col("codes").as("ccodes"))))
+      .select(col("id"), col("codes"), col("cluster"),
+        sqDist(col("codes"), col("ccodes")).as("dist2"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist2"), col("cluster"))).as("best"),
+        first(col("codes")).as("codes"))
+      .select(col("id"), col("codes"),
+        col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+
+  /** `iterations` Lloyd rounds over `df(idCol, codesCol)`: centroids are
+    * initialized from the `k` smallest ids' codes, each round assigns
+    * then updates, and the final assignment (against the last updated
+    * centroids) is returned as (id, cluster, dist2). */
+  def kmeans(df: DataFrame, idCol: String, codesCol: String,
+      k: Int, iterations: Int = 3): DataFrame = {
+    require(k >= 1 && iterations >= 1,
+      s"k=$k and iterations=$iterations must be >= 1")
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+        col(codesCol).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy(col("id"))
+    // deterministic seed: the k smallest ids, cluster = seed order. The
+    // global row_number window only ever sees k+ε rows (limit pushes the
+    // top-k selection map-side), so the single-partition sort is bounded.
+    var centroids = vecs.orderBy(col("id")).limit(k)
+      .select((row_number().over(w) - 1).as("cluster"), col("codes"))
+    for (_ <- 1 until iterations) {
+      centroids = updateCentroids(assign(vecs, centroids), centroids)
+    }
+    assign(vecs, centroids).select(col("id"), col("cluster"), col("dist2"))
+  }
+
+  /** Per-group centroid outliers: each group's exact integer centroid
+    * (sum div count per dim), every member's exact squared distance to
+    * its OWN group's centroid, and a top-decile flag (by distance desc,
+    * id tiebreak; the decile size is `count div 10` — exact).
+    * Returns (id, group, dist2, is_outlier).
+    *
+    * The centroid aggregate collapses map-side to groups·d rows and the
+    * distance pass re-joins it broadcast — the member table is never
+    * shuffled wide; only the final per-group ranking window shuffles by
+    * group (bounded by the largest group, as any per-group top-k). */
+  def centroidOutliers(df: DataFrame, idCol: String, groupCol: String,
+      codesCol: String): DataFrame = {
+    val vecs = df.select(col(idCol).cast("long").as("id"),
+      col(groupCol).as("grp"), col(codesCol).as("codes"))
+    val centroids = vecs
+      .select(col("grp"), posexplode(col("codes")).as(Seq("pos", "v")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("grp"), col("pos"), expr("s div n").cast("int").as("cv"))
+      .groupBy(col("grp"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
+        s => s.getField("cv")).as("ccodes"))
+    val wRank = Window.partitionBy(col("grp"))
+      .orderBy(col("dist2").desc, col("id"))
+    val wCnt = Window.partitionBy(col("grp"))
+    vecs.join(broadcast(centroids), Seq("grp"))
+      .select(col("id"), col("grp"),
+        sqDist(col("codes"), col("ccodes")).as("dist2"))
+      // decile size = count div 10; floor(n/10.0) is exact for any
+      // group size < 2^52 (the quotient can't round across an integer)
+      .withColumn("is_outlier",
+        row_number().over(wRank) <=
+          floor(count(lit(1)).over(wCnt) / lit(10.0)).cast("long"))
+      .select(col("id"), col("grp"), col("dist2"), col("is_outlier"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-point (integer) PageRank — link-graph centrality with BIGINT
+  * "rank tokens" instead of float probabilities.
+  *
+  * Why integers: classic PageRank accumulates `sum(rank/deg)` in doubles,
+  * and float addition is not associative — on a cluster the reduction
+  * order changes run to run (partial aggregation, AQE re-splits), so two
+  * runs of the same job can disagree in the last ulp and a rank-ordered
+  * top-k can flip. Scaling ranks to integer tokens makes every iteration
+  * exact: BIGINT sums are order-invariant, so the result is
+  * bit-reproducible on 1 core or 1000 executors — and replayable by any
+  * other engine (graft's DuckDB oracle unrolls the same iterations).
+  *
+  * Semantics: every node starts with `initTokens`. Per iteration a node
+  * keeps the teleport share `initTokens·(1−d)` and each out-edge carries
+  * `(r·dampNum) div (dampDen·outdeg)` tokens to its target. Flooring
+  * drops a few tokens per edge (deterministically — both engines
+  * truncate toward zero) and dangling-node mass is dropped rather than
+  * redistributed: redistribution needs a global mass sum every
+  * iteration, which reintroduces the float-order problem for no ranking
+  * benefit. Magnitudes: r stays ≤ initTokens·N/N ≈ initTokens, so
+  * `r·dampNum` is ~8.5e13 for the default 1e12 tokens — far from BIGINT
+  * overflow for any damping choice.
+  *
+  * Scale shape: the edge table is joined on `src` every iteration, so it
+  * is hash-partitioned once and cached — per iteration only the rank
+  * table (one row per NODE, not per edge) re-shuffles, and the per-target
+  * token sum combines map-side. Five iterations = five node-sized
+  * shuffles over a stationary edge layout; that is the standard Pregel
+  * cost model, with none of its float nondeterminism.
+  */
+object PageRank {
+
+  /** Run `iterations` exact PageRank steps over `edges(srcCol, dstCol)`
+    * (duplicate edges are NOT deduplicated here — pre-`distinct` if the
+    * graph is simple). Returns (id, rank_tokens) for every node that
+    * appears as a source or a target. */
+  def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, initTokens: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must lie in [0, 1]")
+    require(initTokens % dampDen == 0,
+      s"initTokens=$initTokens must divide by dampDen=$dampDen so the " +
+        "teleport share is an exact integer (pick e.g. 10^12)")
+    val teleport = (initTokens / dampDen) * (dampDen - dampNum)
+
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    // node set = sources ∪ targets; pure-sink nodes still hold teleport mass
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // stationary per-iteration operand: edges + out-degree, partitioned
+    // by src ONCE and cached — iterations re-shuffle only the rank table
+    val withDeg = e.join(deg, "src")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes.select(col("id"), lit(initTokens).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"),
+          expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_tokens"))
+  }
+}

@@ -35,9 +35,16 @@ object Sampling {
     * `pmod` (not `%`, which preserves the dividend's sign) keeps the
     * draw in [0, 1) for NEGATIVE keys too — a sign-preserving remainder
     * would make every negative-keyed row sample at any rate ≥ 0. */
-  def lehmerU(key: Column): Column = {
+  def lehmerU(key: Column): Column =
+    lehmerInt(key).cast("double") / lit(LehmerM.toDouble)
+
+  /** The raw integer draw in [0, 2^31−1) behind [[lehmerU]] — for
+    * ALL-INTEGER acceptance tests (`draw·den < num·(2^31−1)` instead of
+    * `draw/M < num/den`), which stay exact where a double rate can't
+    * represent the rational exactly. */
+  def lehmerInt(key: Column): Column = {
     val step1 = pmod(key.cast("long") * lit(LehmerA), lit(LehmerM))
-    pmod(step1 * lit(LehmerA), lit(LehmerM)).cast("double") / lit(LehmerM.toDouble)
+    pmod(step1 * lit(LehmerA), lit(LehmerM))
   }
 
   /** Keep ~`rate` of rows, decided by the integer key alone. */
@@ -108,6 +115,52 @@ object Sampling {
     df.join(broadcast(rates.select(col(strataCol), col("rate"))), Seq(strataCol))
       .filter(lehmerU(col(keyCol)) < col("rate"))
       .drop("rate")
+
+  /** Temperature-style mix flattening with EXACT integer targets — the
+    * UnifiedQA/mT5 "sample proportional to |D|^α" recipe at α = 1/2,
+    * arranged so every quantity is a BIGINT both engines agree on:
+    * stratum weight w_s = floor(sqrt(n_s)) (floor∘sqrt over a BIGINT is
+    * exact for n < 2^52 — IEEE sqrt is correctly rounded and the
+    * half-ulp gap can't cross an integer below that), the target total is
+    * `totalFracNum/totalFracDen` of the corpus, and stratum s aims for
+    * `target·w_s div Σw` rows, capped at n_s (deterministic sampling
+    * cannot mint rows). No float rate ever appears.
+    *
+    * One stats pass (the per-stratum counts aggregate, ≤ |strata| rows
+    * collected) and integer target math on the driver.
+    *
+    * @return (strataCol, n_before, weight, target_n) */
+  def sqrtTemperatureTargets(df: DataFrame, strataCol: String,
+      totalFracNum: Long = 1L, totalFracDen: Long = 2L): DataFrame = {
+    require(df.schema(strataCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"sqrtTemperatureTargets requires a string strata column; " +
+        s"'$strataCol' is ${df.schema(strataCol).dataType.simpleString}")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_before"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val target = counts.map(_._2).sum * totalFracNum / totalFracDen
+    val weights = counts.map { case (s, n) =>
+      (s, n, math.floor(math.sqrt(n.toDouble)).toLong)
+    }
+    val wSum = math.max(weights.map(_._3).sum, 1L)
+    val rows = weights.map { case (s, n, w) =>
+      (s, n, w, math.min(n, target * w / wSum))
+    }.toSeq
+    df.sparkSession.createDataFrame(rows)
+      .toDF(strataCol, "n_before", "weight", "target_n")
+  }
+
+  /** Apply [[sqrtTemperatureTargets]] with the all-integer acceptance
+    * test `lehmerInt(key)·n_before < target_n·(2^31−1)` — a broadcast
+    * join + pure filter (no shuffle), exact at any scale (products stay
+    * < 2^62 for strata below 2^31 rows). */
+  def temperatureMixSample(df: DataFrame, strataCol: String, keyCol: String,
+      targets: DataFrame): DataFrame =
+    df.join(broadcast(targets.select(col(strataCol), col("n_before"),
+        col("target_n"))), Seq(strataCol))
+      .filter(lehmerInt(col(keyCol)) * col("n_before") <
+        col("target_n") * lit(LehmerM))
+      .drop("n_before", "target_n")
 
   /** Content-keyed variant: stable under id reassignment (dedup-safe). */
   def contentHashSample(df: DataFrame, textCol: String, rate: Double): DataFrame = {

@@ -1,0 +1,142 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{EventSeq, IntCluster, PageRank, Sampling}
+
+/** Wave-4 operators: fixed-point PageRank, event-sequence analytics,
+  * integer clustering, √-temperature mixing. The recurring assertion is
+  * REPRODUCIBILITY: the integer formulations must give bit-identical
+  * results under any input partitioning (the property float variants
+  * can't promise on a cluster). */
+class Wave4Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("Spark `div` truncates toward zero — the cross-engine contract") {
+    // DuckDB's `//` truncates toward zero (verified: -7 // 2 = -3); the
+    // integer operators lean on both engines agreeing for negative sums
+    val r = spark.sql("SELECT -7 div 2 AS a, 7 div 2 AS b").collect()(0)
+    assert(r.getLong(0) == -3L && r.getLong(1) == 3L)
+  }
+
+  test("pagerank: hub of a star graph collects the spokes' mass exactly") {
+    // 2→1, 3→1, 4→1, 1→2 (so node 1 has an out-edge; 3 and 4 are
+    // teleport-only after round 1)
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L)).toDF("src", "dst")
+    val got = PageRank.fixedPoint(edges, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact replay of the token semantics: r1 = T + Σ floor(85·r0/(100·deg))
+    val T = 150000000000L; val init = 1000000000000L
+    def c(r: Long) = r * 85L / 100L // outdeg 1 everywhere here
+    val r1 = Map(1L -> (T + 3 * c(init)), 2L -> (T + c(init)),
+      3L -> T, 4L -> T)
+    val want = Map(
+      1L -> (T + c(r1(2L)) + c(r1(3L)) + c(r1(4L))),
+      2L -> (T + c(r1(1L))), 3L -> T, 4L -> T)
+    assert(got == want)
+    // the 1↔2 cycle oscillates round to round; the teleport-only spokes
+    // are strictly below both cycle members
+    assert(got(3L) < got(1L) && got(3L) < got(2L) && got(3L) == got(4L))
+  }
+
+  test("pagerank is bit-identical under repartitioning") {
+    val edges = (1L to 200L).map(i => (i, i * 7 % 97 + 1)).toDF("src", "dst")
+    val a = PageRank.fixedPoint(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = PageRank.fixedPoint(edges.repartition(13), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("event funnel: stages only count strictly after the previous stage") {
+    val events = Seq(
+      // user 1 converts in order: reaches 3
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2's purchase PRECEDES the click: stalls at 2
+      (2L, ts(10), "view"), (2L, ts(15), "purchase"), (2L, ts(20), "click"),
+      // user 3 never clicks: stalls at 1
+      (3L, ts(10), "view"), (3L, ts(20), "purchase"),
+      // user 4 never views: not a funnel entrant at all
+      (4L, ts(10), "click"), (4L, ts(20), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventSeq.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
+  test("markov transitions: lag pairs, counts, and source-state shares") {
+    val events = Seq(
+      (1L, ts(1), 101L, "view"), (1L, ts(2), 102L, "click"),
+      (1L, ts(3), 103L, "view"), (2L, ts(1), 201L, "view"),
+      (2L, ts(2), 202L, "click"), (2L, ts(3), 203L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventSeq.transitions(events, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(("view", "click")) == (2L, 1.0))          // view always → click
+    assert(got(("click", "view")) == (1L, 0.5))          // click splits 50/50
+    assert(got(("click", "purchase")) == (1L, 0.5))
+    assert(!got.contains(("purchase", "view")))          // no cross-user pair
+  }
+
+  test("integer kmeans separates well-split code blobs and is deterministic") {
+    // blob A near (100, 100, …), blob B near (-100, -100, …)
+    val vecs = ((0L to 9L).map(i => (i, Array.fill(8)(100 + i.toInt % 3)))
+      ++ (10L to 19L).map(i => (i, Array.fill(8)(-100 - i.toInt % 3))))
+      .toDF("vec_id", "codes")
+    val got = IntCluster.kmeans(vecs, "vec_id", "codes", k = 2, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byCluster = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // seeds are ids 0 and 1 (both blob A) — the round-2 update must pull
+    // one centroid across to blob B
+    assert(byCluster.values.toSet ==
+      Set((0L to 9L).toSet, (10L to 19L).toSet))
+    val again = IntCluster.kmeans(vecs.repartition(7), "vec_id", "codes",
+      k = 2, iterations = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("centroid outliers: top decile by exact distance, count div 10") {
+    // 20 members at the centroid, 2 far away → decile size 2, both flagged
+    val vecs = ((1L to 20L).map(i => (i, "g", Array.fill(4)(10)))
+      ++ Seq((21L, "g", Array.fill(4)(90)), (22L, "g", Array.fill(4)(80))))
+      .toDF("vec_id", "label", "codes")
+    val got = IntCluster.centroidOutliers(vecs, "vec_id", "label", "codes")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val flagged = got.filter(_._3).map(_._1).toSet
+    assert(flagged == Set(21L, 22L))
+    // centroid = (20·10 + 90 + 80) div 22 = 16 per dim → dist² exact
+    val d21 = got.find(_._1 == 21L).get._2
+    assert(d21 == 4L * (90 - 16) * (90 - 16))
+  }
+
+  test("sqrt-temperature targets: exact integer math, draw hits targets") {
+    val df = ((1L to 900L).map(i => (i, "big"))
+      ++ (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val t = Sampling.sqrtTemperatureTargets(df, "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // Σn = 1000, T = 500; w = (30, 10), Σw = 40 → targets (375, 125→100 cap)
+    assert(t("big") == (900L, 30L, 375L))
+    assert(t("small") == (100L, 10L, 100L))
+    val targets = Sampling.sqrtTemperatureTargets(df, "source")
+    val kept = Sampling.temperatureMixSample(df, "source", "doc_id", targets)
+    val counts = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Lehmer acceptance is per-row pseudo-uniform: expect within ~15%
+    assert(math.abs(counts("big") - 375L) < 60)
+    // target == n_before ⟹ acceptance `lehmer < M` is vacuous: keeps ALL
+    assert(counts("small") == 100L)
+    // partitioning-invariance of the accepted set
+    val again = Sampling.temperatureMixSample(df.repartition(11), "source",
+      "doc_id", targets).select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq ==
+      kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+}
