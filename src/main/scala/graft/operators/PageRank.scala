@@ -52,26 +52,38 @@ object PageRank {
 
     val e = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    // node set = sources ∪ targets; pure-sink nodes still hold teleport mass
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // stationary per-iteration operand: edges + out-degree, partitioned
     // by src ONCE and cached — iterations re-shuffle only the rank table
     val withDeg = e.join(deg, "src")
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    var ranks = nodes.select(col("id"), lit(initTokens).as("r"))
+    // The rank table stays SPARSE: it only carries nodes with in-edges.
+    // A node absent from it has a known rank — `initTokens` before the
+    // first round, exactly `teleport` afterwards (no in-edges ⟹ nothing
+    // but the teleport share) — so a coalesce default replaces the dense
+    // per-iteration node join, halving the stages per round: one edge⋈rank
+    // join + one token sum, nothing else.
+    var ranks: Option[DataFrame] = None
+    var default = initTokens
     for (_ <- 1 to iterations) {
-      val contrib = withDeg.join(ranks, col("src") === col("id"))
+      val withRank = ranks match {
+        case None => withDeg.withColumn("r", lit(initTokens)) // round 1: uniform
+        case Some(rk) => withDeg.join(rk, col("src") === col("id"), "left")
+          .withColumn("r", coalesce(col("r"), lit(default)))
+      }
+      val contrib = withRank
         .select(col("dst"),
           expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(col("id"),
-          (lit(teleport) + coalesce(col("contrib"), lit(0L))).as("r"))
+      ranks = Some(contrib.select(col("dst").as("id"),
+        (lit(teleport) + col("contrib")).as("r")))
+      default = teleport
     }
-    ranks.select(col("id"), col("r").as("rank_tokens"))
+    // densify once at the end: sources ∪ targets, teleport-only fill
+    val nodes = withDeg.select(col("src").as("id"))
+      .union(withDeg.select(col("dst").as("id"))).distinct()
+    nodes.join(ranks.get, Seq("id"), "left")
+      .select(col("id"), coalesce(col("r"), lit(teleport)).as("rank_tokens"))
   }
 }
