@@ -58,17 +58,29 @@ object IntCluster {
   }
 
   /** Assign each vector to its nearest centroid (ties → smallest cluster
-    * id): broadcast cross join + argmin via `min(struct)`. */
-  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(centroids.select(col("cluster"),
-        col("codes").as("ccodes"))))
-      .select(col("id"), col("codes"), col("cluster"),
-        sqDist(col("codes"), col("ccodes")).as("dist2"))
-      .groupBy(col("id"))
-      .agg(min(struct(col("dist2"), col("cluster"))).as("best"),
-        first(col("codes")).as("codes"))
+    * id) with ZERO shuffle: the k centroids are collapsed to a single
+    * array-of-structs row, broadcast, and the argmin is a fold over that
+    * array inside one projection. A crossJoin-k-rows + groupBy(id)
+    * formulation would re-shuffle the full vector payload by id every
+    * round — at corpus scale that exchange dwarfs the actual distance
+    * math. The fold compares (dist2, cluster) pairs lexicographically, so
+    * the result is independent of the centroid array's order. */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val cenArr = centroids.agg(
+      collect_list(struct(col("cluster"), col("codes"))).as("cen"))
+    val best = aggregate(col("cen"),
+      struct(lit(Long.MaxValue).as("dist2"), lit(Int.MaxValue).as("cluster")),
+      (acc, c) => {
+        val cand = struct(
+          sqDist(col("codes"), c.getField("codes")).as("dist2"),
+          c.getField("cluster").as("cluster"))
+        when(cand < acc, cand).otherwise(acc)
+      })
+    vecs.crossJoin(broadcast(cenArr))
+      .select(col("id"), col("codes"), best.as("best"))
       .select(col("id"), col("codes"),
         col("best.cluster").as("cluster"), col("best.dist2").as("dist2"))
+  }
 
   /** `iterations` Lloyd rounds over `df(idCol, codesCol)`: centroids are
     * initialized from the `k` smallest ids' codes, each round assigns

@@ -255,4 +255,41 @@ class ScaleSpec extends AnyFunSuite {
       brute(r.getAs[Long]("qid")) == r.getAs[Long]("neighbor_id"))
     assert(agree >= 3, s"IVF@1 agreed on only $agree/5 queries")
   }
+
+  test("kmeans assignment is map-only: no keyed exchange of the vector side") {
+    // iterations=1 isolates the assignment pass; centroid seeding is a
+    // bounded top-k (TakeOrdered + single-partition k-row stages), so any
+    // hashpartitioning exchange means the vector payload got shuffled —
+    // the shape the array-fold argmin exists to avoid
+    val vecs = (0L to 99L).map(i => (i, Array.fill(8)(i.toInt % 11)))
+      .toDF("vec_id", "codes")
+    val plan = graft.operators.IntCluster
+      .kmeans(vecs, "vec_id", "codes", k = 4, iterations = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("centroid outliers: codes never reach the ranking window's shuffle") {
+    val vecs = (0L to 99L).map(i => (i, s"g${i % 3}", Array.fill(8)(i.toInt % 11)))
+      .toDF("vec_id", "label", "codes")
+    val q = graft.operators.IntCluster
+      .centroidOutliers(vecs, "vec_id", "label", "codes")
+    val plan = q.queryExecution.executedPlan.toString
+    // expected keyed exchanges: per-dim centroid agg, centroid list agg,
+    // rank window — the member table itself re-joins the centroids
+    // BROADCAST and drops codes before the window
+    val keyed = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(keyed <= 3, s"$keyed keyed exchanges:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("temperature-mix sample is a broadcast-join pure filter: no keyed exchange") {
+    val df = (1L to 500L).map(i => (i, s"src${i % 5}")).toDF("doc_id", "source")
+    val targets = graft.operators.Sampling.sqrtTemperatureTargets(df, "source")
+    val plan = graft.operators.Sampling
+      .temperatureMixSample(df, "source", "doc_id", targets)
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange (hash|range)partitioning".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
