@@ -215,7 +215,9 @@ object Queries {
     Q("q98_embedding_outliers", QueriesCluster.embeddingOutliers,
       Some(QueriesCluster.embeddingOutliersSql)),
     Q("q99_temperature_mix", QueriesCluster.temperatureMix,
-      Some(QueriesCluster.temperatureMixSql))
+      Some(QueriesCluster.temperatureMixSql)),
+    Q("q100_dup_spans", QueriesCorpus.dupSpans,
+      Some(QueriesCorpus.dupSpansSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -661,4 +661,57 @@ object QueriesCorpus {
       |      FROM scored)
       |SELECT qid, rank, doc, score FROM r WHERE rank <= 5
       |ORDER BY qid, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q100 — duplicated-SPAN report (operators/DupSpans): sliding 8-token
+  // windows, corpus-wide counts, longest consecutive duplicated run per
+  // document — the window approximation of suffix-array substring dedup
+  // (a run of R dup windows ≡ a duplicated span of R+7 tokens).
+  // -------------------------------------------------------------------
+  def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    operators.DupSpans.report(docs, "doc_id", "text", windowTokens = 8)
+      .orderBy(col("doc_id"))
+  }
+
+  val dupSpansSql: String =
+    s"""$toksCte,
+      |tk AS (SELECT doc_id, t, len(t) AS n_tokens FROM toks),
+      |g AS (
+      |  SELECT doc_id, n_tokens,
+      |         CASE WHEN n_tokens >= 8
+      |           THEN list_transform(range(1, n_tokens - 8 + 2),
+      |                               i -> array_to_string(list_slice(t, i, i + 7), ' '))
+      |           ELSE [array_to_string(t, ' ')] END AS grams
+      |  FROM tk),
+      |wdw AS (
+      |  SELECT doc_id, n_tokens,
+      |         unnest(range(0, len(grams))) AS widx,
+      |         md5(unnest(grams)) AS digest
+      |  FROM g),
+      |cnt AS (SELECT digest, count(*) AS c FROM wdw GROUP BY digest),
+      |fl AS (
+      |  SELECT w.doc_id, w.n_tokens, w.widx, c.c > 1 AS dup
+      |  FROM wdw w JOIN cnt c USING (digest)),
+      |runs AS (
+      |  SELECT doc_id,
+      |         widx - row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY widx) AS island
+      |  FROM fl WHERE dup),
+      |mr AS (
+      |  SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_run
+      |  FROM (SELECT doc_id, island, count(*) AS rl
+      |        FROM runs GROUP BY doc_id, island)
+      |  GROUP BY doc_id),
+      |pd AS (
+      |  SELECT doc_id, CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_windows,
+      |         count(*) FILTER (WHERE dup) AS n_dup_windows
+      |  FROM fl GROUP BY doc_id)
+      |SELECT p.doc_id, p.n_tokens, p.n_windows, p.n_dup_windows,
+      |       CASE WHEN m.max_run IS NULL THEN 0
+      |            ELSE least(p.n_tokens, m.max_run + 7) END AS max_dup_span_tokens
+      |FROM pd p LEFT JOIN mr m USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Duplicated-SPAN detection — the sliding-window approximation of
+  * suffix-array substring dedup (find every ≥W-token span that also
+  * occurs elsewhere in the corpus, and each document's longest one).
+  * Where [[Chunking.dupBlockRatio]] counts duplication at FIXED block
+  * boundaries, the windows here slide by one token, so a repeated span
+  * is caught at every alignment and consecutive duplicated windows chain
+  * into the true span length: a maximal run of R duplicated W-windows ≡
+  * a duplicated span of R+W−1 tokens.
+  *
+  * Pipeline shape (the honest substring-dedup cost — n·L windows):
+  *  1. narrow map: tokenize once, emit (doc, window-index, md5 digest)
+  *     per sliding window — documents shorter than W contribute their
+  *     whole text as one window so short exact dupes still register;
+  *  2. corpus-wide window counts: one digest-keyed aggregate
+  *     (map-side partial) + a co-partitioned digest join back — the
+  *     shuffle carries fixed-width digests, never window text;
+  *  3. runs: per-document gaps-and-islands over the DUPLICATED windows
+  *     only (widx − row_number is constant within a consecutive run) —
+  *     the ranking shuffle is doc-keyed and carries 3 integers per
+  *     duplicated window.
+  * Everything is integer/string exact — DuckDB replays it hash-exactly.
+  */
+object DupSpans {
+
+  /** Per-document duplicated-span report:
+    * (idCol, n_tokens, n_windows, n_dup_windows, max_dup_span_tokens).
+    * A window is duplicated when its W-token text occurs more than once
+    * corpus-wide (any document, any alignment, self-overlaps included —
+    * matching the substring-dedup convention that within-document
+    * repetition counts). */
+  def report(df: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 8): DataFrame = {
+    require(windowTokens >= 1, s"windowTokens=$windowTokens must be >= 1")
+    val w = windowTokens
+    val toks = df
+      .select(col(idCol).as("id"),
+        split(TextFunctions.normalizeText(col(textCol)), " ").as("t"))
+      .filter(size(col("t")) > 0 && col("t") =!= array(lit("")))
+      .select(col("id"), col("t"), size(col("t")).as("n_tokens"))
+    val grams = toks.select(col("id"), col("n_tokens"),
+      when(col("n_tokens") >= w,
+        transform(sequence(lit(0), col("n_tokens") - w),
+          i => array_join(slice(col("t"), i + 1, lit(w)), " ")))
+        .otherwise(array(array_join(col("t"), " "))).as("grams"))
+    val windows = grams
+      .select(col("id"), col("n_tokens"),
+        posexplode(col("grams")).as(Seq("widx", "gram")))
+      .select(col("id"), col("n_tokens"), col("widx"),
+        md5(col("gram").cast("binary")).as("digest"))
+    val counts = windows.groupBy(col("digest"))
+      .agg(count(lit(1)).as("cnt"))
+    val flagged = windows.join(counts, "digest")
+      .select(col("id"), col("n_tokens"), col("widx"),
+        (col("cnt") > 1).as("dup"))
+    // islands: within a doc, consecutive dup windows share
+    // widx - row_number (computed over dup windows only)
+    val wRun = Window.partitionBy(col("id")).orderBy(col("widx"))
+    val runs = flagged.filter(col("dup"))
+      .select(col("id"),
+        (col("widx") - row_number().over(wRun)).as("island"))
+      .groupBy(col("id"), col("island")).agg(count(lit(1)).as("run"))
+      .groupBy(col("id")).agg(max(col("run")).as("max_run"))
+    val perDoc = flagged.groupBy(col("id"))
+      .agg(first(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_windows"),
+        count_if(col("dup")).as("n_dup_windows"))
+    perDoc.join(runs, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_windows"), col("n_dup_windows"),
+        // run of R windows ≡ span of R+W−1 tokens, capped by the doc
+        // (the short-doc whole-text window would otherwise overstate)
+        when(col("max_run").isNull, lit(0L))
+          .otherwise(least(col("n_tokens").cast("long"),
+            col("max_run") + (w - 1))).as("max_dup_span_tokens"))
+  }
+}

@@ -116,6 +116,28 @@ class Wave4Spec extends AnyFunSuite {
     assert(d21 == 4L * (90 - 16) * (90 - 16))
   }
 
+  test("dup spans: planted cross-doc span, short-doc dup, periodic self-dup") {
+    val docs = Seq(
+      // docs 1/2 share the 10-token span "c d e f g h i j k l" → three
+      // consecutive dup 8-windows → span 3+7 = 10
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "x y c d e f g h i j k l"),
+      (3L, "p q r s t u v w z9"),          // no duplication anywhere
+      (4L, "tiny doc"), (5L, "tiny doc"),  // short exact dup: whole-text window
+      // 16 tokens with period 8: windows 0 and 8 are equal but NOT
+      // consecutive → max run 1 → span 8
+      (6L, "m1 m2 m3 m4 m5 m6 m7 m8 m1 m2 m3 m4 m5 m6 m7 m8")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.DupSpans.report(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(1L) == (12L, 5L, 3L, 10L))
+    assert(got(2L) == (12L, 5L, 3L, 10L))
+    assert(got(3L) == (9L, 2L, 0L, 0L))
+    assert(got(4L) == (2L, 1L, 1L, 2L))   // span capped at doc length
+    assert(got(6L) == (16L, 9L, 2L, 8L))
+  }
+
   test("sqrt-temperature targets: exact integer math, draw hits targets") {
     val df = ((1L to 900L).map(i => (i, "big"))
       ++ (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
