@@ -133,4 +133,84 @@ object StreamingOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Per-entity funnel progress for [[FunnelStream.funnelStream]]:
+    * `reached` = stages completed, `t` = micros of the latest stage. */
+  final case class FunnelState(reached: Int, t: Long)
+
+  /** Funnel advancement event: emitted whenever an entity completes one
+    * or more stages within a micro-batch. */
+  final case class FunnelAdvance(entity: Long, reached: Int, stage_ts: Long)
+}
+
+/** Continuous ordered-funnel tracking — the streaming counterpart of
+  * [[graft.operators.EventSeq.funnel]]: per-entity custom state advances
+  * through the stage list as events arrive, emitting a row each time an
+  * entity completes a stage. Strict-after gating matches the batch
+  * operator: stage k counts only when its event lands strictly after the
+  * stage-(k−1) time AND the entity currently sits at stage k−1.
+  *
+  * State is one (int, long) per in-flight entity, dropped via event-time
+  * timeout once the watermark passes `idleTimeout` beyond the entity's
+  * last stage — bounded by in-flight entities, not stream history. One
+  * shuffle on the entity key.
+  *
+  * Ordering caveat (the single-pass trade): each micro-batch is sorted
+  * by event time, but an event arriving in a LATER batch with an EARLIER
+  * timestamp (out-of-order beyond the batch boundary, within the
+  * watermark horizon) can't rewind already-advanced state. For in-order
+  * arrival the result is batch-identical (spec-asserted).
+  */
+object FunnelStream {
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+  import StreamingOps.{FunnelAdvance, FunnelState}
+
+  def funnelStream(
+      events: DataFrame, entityCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String], watermark: String = "1 hour",
+      idleTimeout: String = "2 hours"): org.apache.spark.sql.Dataset[FunnelAdvance] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    import spark.implicits._
+    // NOTE: the event-time column must flow through UNTRANSFORMED — a
+    // unix_micros() projection would strip the watermark marker and fail
+    // the streaming checker; micros are derived inside the lambda instead
+    val typed = events
+      .withWatermark(tsCol, watermark)
+      .select(col(entityCol).cast("long"), col(tsCol), col(typeCol))
+      .as[(Long, java.sql.Timestamp, String)]
+    def micros(t: java.sql.Timestamp): Long = {
+      val i = t.toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (entity: Long, raw: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[FunnelState]) =>
+          val rows = raw.map { case (e, t, typ) => (e, micros(t), typ) }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+            // no intra-group order guarantee: sort the batch by event time
+            val batch = rows.toArray.sortBy(_._2)
+            batch.foreach { case (_, t, typ) =>
+              if (s.reached < stages.length && typ == stages(s.reached) &&
+                  (s.reached == 0 || t > s.t)) {
+                s = FunnelState(s.reached + 1, t)
+                out += FunnelAdvance(entity, s.reached, t)
+              }
+            }
+            state.update(s)
+            // expire `idleTimeout` past the entity's latest activity (its
+            // last stage, or this batch's newest event if it never entered)
+            val lastActive = math.max(s.t,
+              if (batch.nonEmpty) batch.last._2 else Long.MinValue)
+            if (lastActive != Long.MinValue)
+              state.setTimeoutTimestamp(lastActive / 1000L, idleTimeout)
+            out.iterator
+          }
+      }
+  }
 }

@@ -123,4 +123,45 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(s1.getAs[Timestamp]("session_end") == ts("2026-08-10 09:40:00"))
     } finally q.stop()
   }
+
+  test("streaming funnel matches the batch operator on in-order events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("user_id", "ts", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    val q = graft.streaming.FunnelStream.funnelStream(
+        events, "user_id", "ts", "event_type", stages,
+        watermark = "1 minute", idleTimeout = "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_adv").start()
+    val data = Seq(
+      // user 1 converts fully; user 2's purchase precedes its click (must
+      // NOT advance — strict-after); user 3 stalls after view; user 4
+      // clicks without ever viewing (never enters)
+      (1L, ts("2026-08-10 09:00:00"), "view"),
+      (2L, ts("2026-08-10 09:00:00"), "view"),
+      (2L, ts("2026-08-10 09:01:00"), "purchase"),
+      (3L, ts("2026-08-10 09:00:00"), "view"),
+      (4L, ts("2026-08-10 09:00:00"), "click"),
+      (1L, ts("2026-08-10 09:05:00"), "click"),
+      (2L, ts("2026-08-10 09:05:00"), "click"),
+      (1L, ts("2026-08-10 09:10:00"), "purchase"))
+    try {
+      val (b1, b2) = data.splitAt(5) // advancement spans micro-batches
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("funnel_adv")
+        .groupBy($"entity").agg(max($"reached").as("reached"))
+        .as[(Long, Int)].collect().toMap
+      val batch = graft.operators.EventSeq.funnel(
+          data.toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", stages)
+        .as[(Long, Int)].collect().toMap
+      assert(streamed == batch)
+      assert(streamed == Map(1L -> 3, 2L -> 2, 3L -> 1))
+      // every advancement emitted exactly once
+      assert(spark.table("funnel_adv").count() ==
+        streamed.values.map(_.toLong).sum)
+    } finally q.stop()
+  }
 }
