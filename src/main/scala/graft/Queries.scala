@@ -217,7 +217,11 @@ object Queries {
     Q("q99_temperature_mix", QueriesCluster.temperatureMix,
       Some(QueriesCluster.temperatureMixSql)),
     Q("q100_dup_spans", QueriesCorpus.dupSpans,
-      Some(QueriesCorpus.dupSpansSql))
+      Some(QueriesCorpus.dupSpansSql)),
+    Q("q101_retention_cohorts", QueriesGraph.retentionCohorts,
+      Some(QueriesGraph.retentionCohortsSql)),
+    Q("q102_triangle_census", QueriesGraph.triangleCensus,
+      Some(QueriesGraph.triangleCensusSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

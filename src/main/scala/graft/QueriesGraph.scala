@@ -104,6 +104,83 @@ object QueriesGraph {
       .orderBy(col("prev_type"), col("next_type"))
   }
 
+  // -------------------------------------------------------------------
+  // q101 — weekly retention cohorts: users grouped by first-active ISO
+  // week, active-user counts per (cohort, week offset) — the standard
+  // retention triangle. Date truncation + integer day arithmetic only,
+  // so the matrix is engine-exact.
+  // -------------------------------------------------------------------
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val uw = Tables.events(spark, sfDir)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("wk"))
+      .distinct()
+    val cohort = uw.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    // user-week distinct, cohort agg, and the re-join are all keyed on
+    // user_id — one logical shuffle key end to end; the output agg is
+    // the tiny (cohorts × offsets) matrix
+    uw.join(cohort, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(wk, cohort_week) div 7").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |co AS (SELECT user_id, min(wk) AS cohort_week FROM uw GROUP BY user_id)
+      |SELECT co.cohort_week,
+      |       CAST((uw.wk - co.cohort_week) // 7 AS BIGINT) AS week_offset,
+      |       count(*) AS n_active
+      |FROM uw JOIN co USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q102 — triangle census over the top-10 co-purchase neighbor graph
+  // (operators/TriangleCensus): deterministic sparsification caps the
+  // wedge-join cost at n·k², then the ordered-edge identity counts each
+  // triangle exactly once.
+  // -------------------------------------------------------------------
+  def triangleCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val edges = operators.TriangleCensus.topKNeighborEdges(pairs, "src", "dst", k = 10)
+    operators.TriangleCensus.perNodeTriangles(edges)
+      .select(col("id").as("part_id"), col("n_triangles"))
+      .orderBy(col("part_id"))
+  }
+
+  val triangleCensusSql: String =
+    """WITH p AS (
+      |  SELECT a.l_partkey AS x, b.l_partkey AS y
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |m AS (SELECT x, y, count(*) AS m FROM p GROUP BY x, y),
+      |nb AS (SELECT x AS src, y AS dst, m FROM m
+      |       UNION ALL SELECT y, x, m FROM m),
+      |tk AS (SELECT src, dst FROM (
+      |         SELECT src, dst,
+      |                row_number() OVER (PARTITION BY src
+      |                                   ORDER BY m DESC, dst) AS rn
+      |         FROM nb) WHERE rn <= 10),
+      |e AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |      FROM tk),
+      |w AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |      FROM e e1 JOIN e e2 ON e1.v = e2.u),
+      |t AS (SELECT a, b, c FROM w
+      |      WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.a AND e.v = w.c)),
+      |x AS (SELECT unnest([a, b, c]) AS id FROM t)
+      |SELECT id AS part_id, count(*) AS n_triangles
+      |FROM x GROUP BY id ORDER BY part_id""".stripMargin
+
   val markovTransitionsSql: String =
     """WITH o AS (
       |  SELECT user_id, event_type,

@@ -15,9 +15,11 @@ import graft.functions.TextFunctions
   * a duplicated span of R+W−1 tokens.
   *
   * Pipeline shape (the honest substring-dedup cost — n·L windows):
-  *  1. narrow map: tokenize once, emit (doc, window-index, md5 digest)
-  *     per sliding window — documents shorter than W contribute their
-  *     whole text as one window so short exact dupes still register;
+  *  1. narrow map: tokenize once, emit (doc, window-index, digest) per
+  *     sliding window — xxhash64 straight on the token slice in the
+  *     scale tier, so no window string is ever materialized; documents
+  *     shorter than W contribute their whole text as one window so
+  *     short exact dupes still register;
   *  2. corpus-wide window counts: one digest-keyed aggregate
   *     (map-side partial) + a co-partitioned digest join back — the
   *     shuffle carries fixed-width digests, never window text;
@@ -31,34 +33,43 @@ object DupSpans {
 
   /** Per-document duplicated-span report:
     * (idCol, n_tokens, n_windows, n_dup_windows, max_dup_span_tokens).
-    * A window is duplicated when its W-token text occurs more than once
-    * corpus-wide (any document, any alignment, self-overlaps included —
-    * matching the substring-dedup convention that within-document
-    * repetition counts). */
+    * A window is duplicated when its W-token sequence occurs more than
+    * once corpus-wide (any document, any alignment, self-overlaps
+    * included — matching the substring-dedup convention that
+    * within-document repetition counts).
+    *
+    * `hashed = true` (default, the scale tier) keys window counts on
+    * xxhash64 OF THE TOKEN SLICE — no window string is ever built and
+    * the explode emits 8-byte longs (q77's hashed-blocks trade; equal
+    * reports spec-asserted, a 2^-64 collision being the only
+    * difference). `hashed = false` keys on md5 of the joined window
+    * text — the tier the DuckDB oracle replays verbatim. */
   def report(df: DataFrame, idCol: String, textCol: String,
-      windowTokens: Int = 8): DataFrame = {
+      windowTokens: Int = 8, hashed: Boolean = true): DataFrame = {
     require(windowTokens >= 1, s"windowTokens=$windowTokens must be >= 1")
     val w = windowTokens
+    def key(toks: Column): Column =
+      if (hashed) xxhash64(toks)
+      else md5(array_join(toks, " ").cast("binary"))
     val toks = df
       .select(col(idCol).as("id"),
         split(TextFunctions.normalizeText(col(textCol)), " ").as("t"))
       .filter(size(col("t")) > 0 && col("t") =!= array(lit("")))
       .select(col("id"), col("t"), size(col("t")).as("n_tokens"))
-    val grams = toks.select(col("id"), col("n_tokens"),
+    val windows = toks.select(col("id"), col("n_tokens"),
       when(col("n_tokens") >= w,
         transform(sequence(lit(0), col("n_tokens") - w),
-          i => array_join(slice(col("t"), i + 1, lit(w)), " ")))
-        .otherwise(array(array_join(col("t"), " "))).as("grams"))
-    val windows = grams
+          i => key(slice(col("t"), i + 1, lit(w)))))
+        .otherwise(array(key(col("t")))).as("keys"))
       .select(col("id"), col("n_tokens"),
-        posexplode(col("grams")).as(Seq("widx", "gram")))
+        posexplode(col("keys")).as(Seq("widx", "digest")))
+    // one digest-keyed shuffle: the corpus-wide count is an unordered
+    // window aggregate over the SAME exchange the rows already ride —
+    // a groupBy + join-back formulation shuffles the window table twice
+    val wCnt = Window.partitionBy(col("digest"))
+    val flagged = windows
       .select(col("id"), col("n_tokens"), col("widx"),
-        md5(col("gram").cast("binary")).as("digest"))
-    val counts = windows.groupBy(col("digest"))
-      .agg(count(lit(1)).as("cnt"))
-    val flagged = windows.join(counts, "digest")
-      .select(col("id"), col("n_tokens"), col("widx"),
-        (col("cnt") > 1).as("dup"))
+        (count(lit(1)).over(wCnt) > 1).as("dup"))
     // islands: within a doc, consecutive dup windows share
     // widx - row_number (computed over dup windows only)
     val wRun = Window.partitionBy(col("id")).orderBy(col("widx"))

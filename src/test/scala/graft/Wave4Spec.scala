@@ -138,6 +138,39 @@ class Wave4Spec extends AnyFunSuite {
     assert(got(6L) == (16L, 9L, 2L, 8L))
   }
 
+  test("dup spans: hashed scale tier reports exactly as the md5/string tier") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val fast = graft.operators.DupSpans.report(docs, "doc_id", "text", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val slow = graft.operators.DupSpans
+      .report(docs, "doc_id", "text", 8, hashed = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(fast.toSeq == slow.toSeq)
+  }
+
+  test("triangle census: ordered-edge identity counts each triangle once") {
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
+    // edge and an isolated 6-7 edge (in no triangle)
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val pairs = (k4 ++ Seq((4L, 5L), (6L, 7L)))
+      .toDF("src", "dst")
+    val edges = graft.operators.TriangleCensus
+      .topKNeighborEdges(pairs, "src", "dst", k = 10)
+    val got = graft.operators.TriangleCensus.perNodeTriangles(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // top-1 sparsification keeps only each node's strongest neighbor:
+    // with all multiplicities 1 the tiebreak is the smallest id, so node
+    // 1's edges to 2 plus everyone's fallback to 1 → a star, no triangle
+    val sparse = graft.operators.TriangleCensus
+      .topKNeighborEdges(pairs, "src", "dst", k = 1)
+    assert(graft.operators.TriangleCensus
+      .perNodeTriangles(sparse).count() == 0)
+  }
+
   test("sqrt-temperature targets: exact integer math, draw hits targets") {
     val df = ((1L to 900L).map(i => (i, "big"))
       ++ (901L to 1000L).map(i => (i, "small"))).toDF("doc_id", "source")
