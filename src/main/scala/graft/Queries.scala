@@ -221,7 +221,13 @@ object Queries {
     Q("q101_retention_cohorts", QueriesGraph.retentionCohorts,
       Some(QueriesGraph.retentionCohortsSql)),
     Q("q102_triangle_census", QueriesGraph.triangleCensus,
-      Some(QueriesGraph.triangleCensusSql))
+      Some(QueriesGraph.triangleCensusSql)),
+    Q("q103_top_paths", QueriesGraph.topPaths,
+      Some(QueriesGraph.topPathsSql)),
+    Q("q104_rfm_quartiles", QueriesRelational.rfmQuartiles,
+      Some(QueriesRelational.rfmQuartilesSql)),
+    Q("q105_copurchase_lift", QueriesGraph.copurchaseLift,
+      Some(QueriesGraph.copurchaseLiftSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -196,4 +196,84 @@ object QueriesGraph {
       |         CAST(sum(n_transitions) OVER (PARTITION BY prev_type)
       |              AS DOUBLE) AS p_next
       |FROM p ORDER BY prev_type, next_type""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q103 — top user journeys: the 20 most common 3-step event-type
+  // paths (two lag windows over per-user event order, then a tiny path
+  // aggregate). Deterministic top-20: count desc, then the path itself.
+  // -------------------------------------------------------------------
+  def topPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    e.select(col("event_type").as("step3"),
+        lag(col("event_type"), 1).over(w).as("step2"),
+        lag(col("event_type"), 2).over(w).as("step1"))
+      .filter(col("step1").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  val topPathsSql: String =
+    """WITH o AS (
+      |  SELECT event_type AS step3,
+      |         lag(event_type, 1) OVER (PARTITION BY user_id
+      |                                  ORDER BY ts, event_id) AS step2,
+      |         lag(event_type, 2) OVER (PARTITION BY user_id
+      |                                  ORDER BY ts, event_id) AS step1
+      |  FROM events)
+      |SELECT step1, step2, step3, count(*) AS n_paths
+      |FROM o WHERE step1 IS NOT NULL
+      |GROUP BY step1, step2, step3
+      |ORDER BY n_paths DESC, step1, step2, step3
+      |LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q105 — co-purchase lift (PMI's ratio form): for part pairs seen in
+  // ≥ 3 orders, lift = m·N / (n_a·n_b) over DISTINCT order containment.
+  // Every term is an exact BIGINT (products ≪ 2^53), so the single
+  // IEEE division is engine-exact; top-20 with full tiebreaks.
+  // -------------------------------------------------------------------
+  def copurchaseLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 3)
+    val cnt = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val total = op.select(countDistinct(col("ok")).as("n_orders"))
+    pairs
+      .join(cnt.select(col("pk").as("pa"), col("n").as("na")), Seq("pa"))
+      .join(cnt.select(col("pk").as("pb"), col("n").as("nb")), Seq("pb"))
+      .crossJoin(broadcast(total))
+      .select(col("pa"), col("pb"), col("m"),
+        ((col("m") * col("n_orders")).cast("double") /
+          (col("na") * col("nb")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  val copurchaseLiftSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pr AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS m
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 3),
+      |c AS (SELECT pk, count(*) AS n FROM op GROUP BY pk),
+      |t AS (SELECT count(DISTINCT ok) AS n_orders FROM op)
+      |SELECT pr.pa, pr.pb, pr.m,
+      |       CAST(pr.m * t.n_orders AS DOUBLE)
+      |         / CAST(ca.n * cb.n AS DOUBLE) AS lift
+      |FROM pr JOIN c ca ON pr.pa = ca.pk
+      |        JOIN c cb ON pr.pb = cb.pk
+      |        CROSS JOIN t
+      |ORDER BY lift DESC, pa, pb
+      |LIMIT 20""".stripMargin
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -533,4 +533,74 @@ object QueriesRelational {
       |       coalesce(n_late, 0) - coalesce(n_early, 0) AS delta_orders
       |FROM early e FULL OUTER JOIN late l USING (o_custkey)
       |ORDER BY o_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q104 — RFM customer scoring: recency (days since last order vs the
+  // corpus max date), frequency (orders), monetary (exact DECIMAL spend
+  // sum). Quartile assignment follows q83's broadcast-cutpoint shape —
+  // one stats aggregate produces the three quartile arrays, a broadcast
+  // classify counts cutpoints below each metric — so there is NO global
+  // ranking window anywhere (the single-task sort trap of ntile-based
+  // RFM at scale). Cutpoint-boundary robustness: a metric can only flip
+  // quartile across engines if it falls strictly between the engines'
+  // interpolated cutpoints, but the nearest data values ARE the
+  // interpolation endpoints, which classify identically on both sides.
+  // -------------------------------------------------------------------
+  def rfmQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        expr("CAST(o_totalprice AS DECIMAL(18,2))").as("p"))
+    val asof = o.agg(max(col("d")).as("asof"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("frequency"),
+        sum(col("p")).as("msum"))
+      .crossJoin(broadcast(asof))
+      .select(col("o_custkey"),
+        datediff(col("asof"), col("last_d")).cast("long").as("recency_days"),
+        col("frequency"), col("msum").cast("double").as("monetary"))
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    val cuts = per.agg(
+      percentile(col("recency_days"), qs).as("rc"),
+      percentile(col("frequency"), qs).as("fc"),
+      percentile(col("monetary"), qs).as("mc"))
+    def quart(metric: Column, cutsCol: Column): Column =
+      (lit(1) + aggregate(cutsCol, lit(0), (acc, c) =>
+        acc + when(metric.cast("double") > c, 1).otherwise(0))).cast("int")
+    per.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        quart(col("recency_days"), col("rc")).as("r_q"),
+        quart(col("frequency"), col("fc")).as("f_q"),
+        quart(col("monetary"), col("mc")).as("m_q"))
+      .withColumn("rfm", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val rfmQuartilesSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |a AS (SELECT max(d) AS asof FROM o),
+      |per AS (
+      |  SELECT o_custkey,
+      |         CAST(a.asof - max(d) AS BIGINT) AS recency_days,
+      |         count(*) AS frequency,
+      |         CAST(sum(p) AS DOUBLE) AS monetary
+      |  FROM o CROSS JOIN a GROUP BY o_custkey, a.asof),
+      |c AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
+      |             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
+      |             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
+      |      FROM per),
+      |b AS (
+      |  SELECT per.*,
+      |         CAST(1 + len(list_filter(rc,
+      |           x -> CAST(recency_days AS DOUBLE) > x)) AS INT) AS r_q,
+      |         CAST(1 + len(list_filter(fc,
+      |           x -> CAST(frequency AS DOUBLE) > x)) AS INT) AS f_q,
+      |         CAST(1 + len(list_filter(mc, x -> monetary > x)) AS INT) AS m_q
+      |  FROM per CROSS JOIN c)
+      |SELECT o_custkey, recency_days, frequency, monetary, r_q, f_q, m_q,
+      |       r_q * 100 + f_q * 10 + m_q AS rfm
+      |FROM b ORDER BY o_custkey""".stripMargin
 }
