@@ -227,7 +227,11 @@ object Queries {
     Q("q104_rfm_quartiles", QueriesRelational.rfmQuartiles,
       Some(QueriesRelational.rfmQuartilesSql)),
     Q("q105_copurchase_lift", QueriesGraph.copurchaseLift,
-      Some(QueriesGraph.copurchaseLiftSql))
+      Some(QueriesGraph.copurchaseLiftSql)),
+    Q("q106_rate_anomalies", QueriesGraph.rateAnomalies,
+      Some(QueriesGraph.rateAnomaliesSql)),
+    Q("q107_time_to_convert", QueriesGraph.timeToConvert,
+      Some(QueriesGraph.timeToConvertSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -276,4 +276,91 @@ object QueriesGraph {
       |        CROSS JOIN t
       |ORDER BY lift DESC, pa, pb
       |LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q106 — event-rate anomaly flags with ALL-INTEGER statistics: per
+  // (event_type, hour) counts, flagged when the squared deviation from
+  // the type's mean exceeds k²·variance. The test
+  //   |x − μ| > k·σ  ⟺  (n·x − S)² > k²·(n·SS − S²)
+  // clears denominators, so both sides are exact BIGINTs — no float
+  // mean/stddev anywhere, bit-identical across engines and cluster runs
+  // (the wave-4 reproducibility rule applied to monitoring). Magnitude
+  // bound: n·x ≤ hours·max-rate and the squares stay ≪ 2^63 for any
+  // realistic per-type hourly rate; beyond that, stage the same identity
+  // in DECIMAL(38).
+  // -------------------------------------------------------------------
+  def rateAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 2L // flag beyond 2 sigma
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    hourly.join(stats, "event_type")
+      .select(col("event_type"),
+        unix_micros(col("h")).as("hour_us"), col("x"),
+        ((col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+          lit(k * k) * (col("n") * col("ss") - col("s") * col("s")))
+          .as("is_anomaly"))
+      .filter(col("is_anomaly"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  val rateAnomaliesSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS x
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |st AS (
+      |  SELECT event_type, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS s,
+      |         CAST(sum(x * x) AS BIGINT) AS ss
+      |  FROM hourly GROUP BY event_type)
+      |SELECT h.event_type, epoch_us(CAST(h.h AS TIMESTAMP)) AS hour_us,
+      |       h.x, TRUE AS is_anomaly
+      |FROM hourly h JOIN st USING (event_type)
+      |WHERE (st.n * h.x - st.s) * (st.n * h.x - st.s)
+      |        > 4 * (st.n * st.ss - st.s * st.s)
+      |ORDER BY h.event_type, hour_us""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q107 — time-to-convert histogram: seconds from a user's funnel
+  // entry (first view) to first strictly-later purchase, bucketed into
+  // exact half-hour bins (integer div). Complements q96: the funnel
+  // says WHO converts, this says HOW FAST.
+  // -------------------------------------------------------------------
+  def timeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_type")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+    val p = e.filter(col("event_type") === "purchase").as("p")
+      .join(v.as("v"), col("p.user_id") === col("v.user_id") &&
+        col("p.ts") > col("v.t0"))
+      .groupBy(col("p.user_id").as("user_id"), col("v.t0").as("t0"))
+      .agg(min(col("p.ts")).as("t1"))
+    p.select(expr("(unix_micros(t1) - unix_micros(t0)) div 1000000")
+        .as("secs"))
+      .select(expr("secs div 1800").as("bucket_30m"))
+      .groupBy(col("bucket_30m"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("bucket_30m"))
+  }
+
+  val timeToConvertSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, v.t0, min(e.ts) AS t1
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > v.t0
+      |  GROUP BY e.user_id, v.t0),
+      |s AS (
+      |  SELECT (epoch_us(CAST(t1 AS TIMESTAMP))
+      |            - epoch_us(CAST(t0 AS TIMESTAMP))) // 1000000 AS secs
+      |  FROM p)
+      |SELECT secs // 1800 AS bucket_30m, count(*) AS n_users
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
 }
