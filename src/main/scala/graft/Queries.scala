@@ -231,7 +231,11 @@ object Queries {
     Q("q106_rate_anomalies", QueriesGraph.rateAnomalies,
       Some(QueriesGraph.rateAnomaliesSql)),
     Q("q107_time_to_convert", QueriesGraph.timeToConvert,
-      Some(QueriesGraph.timeToConvertSql))
+      Some(QueriesGraph.timeToConvertSql)),
+    Q("q108_source_similarity", QueriesCorpus.sourceSimilarity,
+      Some(QueriesCorpus.sourceSimilaritySql)),
+    Q("q109_padding_waste", QueriesCorpus.paddingWaste,
+      Some(QueriesCorpus.paddingWasteSql))
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -714,4 +714,123 @@ object QueriesCorpus {
       |            ELSE least(p.n_tokens, m.max_run + 7) END AS max_dup_span_tokens
       |FROM pd p LEFT JOIN mr m USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q108 — source-level similarity via MERGED MinHash sketches
+  // (operators/SketchMerge): the union-signature property gives each
+  // source a corpus-level signature from one partial-aggregable min —
+  // then the slot-agreement estimate is audited against the EXACT
+  // per-source shingle-set jaccard (the oracle-expressible tier). The
+  // output carries the exact numbers plus a sketch-within-tolerance
+  // boolean (q46's self-validating pattern: ±0.25 ≈ 4σ at numPerm=64).
+  // -------------------------------------------------------------------
+  def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("source", "text"))
+    val est = operators.SketchMerge.pairwiseEstimates(
+      operators.SketchMerge.mergedSignatures(
+        Dedup.minHashSignatures(d, "source", "text"), "source", "sig"),
+      "source", "sig")
+    // the distinct shingle set feeds three plans (sizes + both join
+    // sides) — cache it so the explode + distinct shuffle runs once
+    val sh = Dedup.shingles(d, "source", "text", n = 3, dedup = true)
+      .toDF("source", "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.as("x").join(sizes.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.sz").as("sza"), col("y.sz").as("szb"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("sza") + col("szb") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"))
+      .withColumn("exact_jaccard",
+        col("n_inter").cast("double") / col("n_union").cast("double"))
+      .join(est.withColumnRenamed("grp_a", "src_a")
+        .withColumnRenamed("grp_b", "src_b"), Seq("src_a", "src_b"))
+      .withColumn("sketch_within_tol",
+        abs(col("n_agree").cast("double") / col("n_slots").cast("double")
+          - col("exact_jaccard")) <= 0.25)
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("n_union"),
+        col("exact_jaccard"), col("sketch_within_tol"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceSimilaritySql: String =
+    """WITH tt AS (
+      |  SELECT source,
+      |         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT source,
+      |         unnest(CASE WHEN len(t) >= 3
+      |           THEN list_transform(range(1, len(t) - 3 + 2),
+      |                               i -> array_to_string(list_slice(t, i, i + 2), ' '))
+      |           ELSE [array_to_string(t, ' ')] END) AS shingle
+      |  FROM tt),
+      |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+      |it AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      |  GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT x.source AS src_a, y.source AS src_b, x.sz AS sza, y.sz AS szb
+      |  FROM sz x JOIN sz y ON x.source < y.source)
+      |SELECT pr.src_a, pr.src_b,
+      |       coalesce(it.n_inter, 0) AS n_inter,
+      |       pr.sza + pr.szb - coalesce(it.n_inter, 0) AS n_union,
+      |       CAST(coalesce(it.n_inter, 0) AS DOUBLE)
+      |         / CAST(pr.sza + pr.szb - coalesce(it.n_inter, 0) AS DOUBLE)
+      |         AS exact_jaccard,
+      |       TRUE AS sketch_within_tol
+      |FROM pr LEFT JOIN it USING (src_a, src_b)
+      |ORDER BY src_a, src_b""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q109 — padding-waste report: pad each document's token count up to
+  // the next 64-token boundary (the training-batch shape) and report,
+  // per padded length, how many tokens of compute the padding burns —
+  // the batch-scheduling efficiency signal length-binning exists to
+  // improve. All integer arithmetic + one exact final division.
+  // -------------------------------------------------------------------
+  def paddingWaste(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.rebalance(
+        Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .select(graft.functions.TextFunctions.tokenCountWs(col("text"))
+        .cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("n_tokens"),
+        expr("((n_tokens + 63) div 64) * 64").as("padded_len"))
+    d.groupBy(col("padded_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("padded_len") - col("n_tokens")).as("sum_waste"))
+      .withColumn("waste_frac",
+        col("sum_waste").cast("double") /
+          (col("padded_len") * col("n_docs")).cast("double"))
+      .orderBy(col("padded_len"))
+  }
+
+  val paddingWasteSql: String = {
+    val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    val ntok = s"CASE WHEN length($norm) = 0 THEN 0 " +
+      s"ELSE CAST(len(string_split($norm, ' ')) AS BIGINT) END"
+    s"""WITH t AS (SELECT $ntok AS n_tokens FROM documents),
+      |p AS (
+      |  SELECT n_tokens, ((n_tokens + 63) // 64) * 64 AS padded_len
+      |  FROM t WHERE n_tokens > 0)
+      |SELECT padded_len, count(*) AS n_docs,
+      |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |       CAST(sum(padded_len - n_tokens) AS BIGINT) AS sum_waste,
+      |       CAST(CAST(sum(padded_len - n_tokens) AS BIGINT) AS DOUBLE)
+      |         / CAST(padded_len * count(*) AS DOUBLE) AS waste_frac
+      |FROM p GROUP BY padded_len ORDER BY padded_len""".stripMargin
+  }
 }

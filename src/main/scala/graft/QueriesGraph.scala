@@ -238,9 +238,12 @@ object QueriesGraph {
   // IEEE division is engine-exact; top-20 with full tiebreaks.
   // -------------------------------------------------------------------
   def copurchaseLift(spark: SparkSession, sfDir: String): DataFrame = {
+    // op anchors three aggregates (pair counts, item counts, order
+    // total) — cache it so the distinct shuffle happens once
     val op = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("pa"), col("b.pk").as("pb"))

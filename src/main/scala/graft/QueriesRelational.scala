@@ -550,10 +550,15 @@ object QueriesRelational {
     val o = Tables.orders(spark, sfDir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
         expr("CAST(o_totalprice AS DECIMAL(18,2))").as("p"))
-    val asof = o.agg(max(col("d")).as("asof"))
-    val per = o.groupBy(col("o_custkey"))
+    // ONE orders pass: the per-customer aggregate is cached (it feeds
+    // both the cutpoint aggregate and the final classify), and the
+    // as-of date is the max of the per-customer maxes — no extra scan
+    val per0 = o.groupBy(col("o_custkey"))
       .agg(max(col("d")).as("last_d"), count(lit(1)).as("frequency"),
         sum(col("p")).as("msum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val asof = per0.agg(max(col("last_d")).as("asof"))
+    val per = per0
       .crossJoin(broadcast(asof))
       .select(col("o_custkey"),
         datediff(col("asof"), col("last_d")).cast("long").as("recency_days"),

@@ -151,6 +151,33 @@ class Wave4Spec extends AnyFunSuite {
     assert(fast.toSeq == slow.toSeq)
   }
 
+  test("sketch merge: union-signature property and slot-agreement estimate") {
+    val docs = Seq(
+      ("g1", (1 to 50).map(i => s"w$i").mkString(" ")),
+      ("g1", (40 to 90).map(i => s"w$i").mkString(" ")),
+      // g2 duplicates g1's documents exactly → identical merged sketch
+      ("g2", (1 to 50).map(i => s"w$i").mkString(" ")),
+      ("g2", (40 to 90).map(i => s"w$i").mkString(" ")),
+      ("g3", (1 to 60).map(i => s"x$i").mkString(" "))) // unrelated
+      .toDF("source", "text")
+    val sigs = graft.operators.Dedup.minHashSignatures(docs, "source", "text")
+    val merged = graft.operators.SketchMerge
+      .mergedSignatures(sigs, "source", "sig")
+    // merged signature == elementwise min of the member signatures
+    val bySrc = sigs.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq.transpose.map(_.min)).toMap
+    val got = merged.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got == bySrc.toMap)
+    val est = graft.operators.SketchMerge
+      .pairwiseEstimates(merged, "source", "sig")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(est(("g1", "g2"))._1 == est(("g1", "g2"))._2) // identical: all slots agree
+    assert(est(("g1", "g3"))._1 == 0L)                   // disjoint shingles
+  }
+
   test("triangle census: ordered-edge identity counts each triangle once") {
     // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 4-5
     // edge and an isolated 6-7 edge (in no triangle)
