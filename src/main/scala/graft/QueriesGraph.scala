@@ -281,6 +281,59 @@ object QueriesGraph {
       |LIMIT 20""".stripMargin
 
   // -------------------------------------------------------------------
+  // q110 — random-walk-with-restart recommendations: personalized
+  // PageRank seeded at the 3 smallest part ids, top-20 non-seed parts
+  // by proximity. Same exact-token machinery as q94 (the oracle unrolls
+  // the 5 rounds), teleport restricted to the seed set.
+  // -------------------------------------------------------------------
+  def pprRecommendations(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val seeds = li.select(col("l_partkey")).distinct()
+      .orderBy(col("l_partkey")).limit(3)
+    PageRank.personalized(edges, "src", "dst", seeds, "l_partkey")
+      .join(seeds.withColumnRenamed("l_partkey", "id"), Seq("id"), "left_anti")
+      .select(col("id").as("part_id"), col("rank_tokens"))
+      .orderBy(col("rank_tokens").desc, col("part_id"))
+      .limit(20)
+  }
+
+  val pprRecommendationsSql: String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |seeds AS (SELECT DISTINCT l_partkey AS id FROM lineitem
+        |          ORDER BY id LIMIT 3),
+        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM seeds)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id,
+         |         CAST(sum((r.r * 85) // (100 * d.outdeg)) AS BIGINT) AS contrib
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.id
+         |               JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT id, CAST(sum(r) AS BIGINT) AS r FROM (
+         |    SELECT id, contrib AS r FROM c$i
+         |    UNION ALL SELECT id, 150000000000 FROM seeds)
+         |  GROUP BY id)""".stripMargin
+    }
+    (base +: iters).mkString(",\n") +
+      """
+        |SELECT id AS part_id, r AS rank_tokens FROM r5
+        |WHERE id NOT IN (SELECT id FROM seeds)
+        |ORDER BY rank_tokens DESC, part_id
+        |LIMIT 20""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q106 — event-rate anomaly flags with ALL-INTEGER statistics: per
   // (event_type, hour) counts, flagged when the squared deviation from
   // the type's mean exceeds k²·variance. The test

@@ -86,4 +86,49 @@ object PageRank {
     nodes.join(ranks.get, Seq("id"), "left")
       .select(col("id"), coalesce(col("r"), lit(teleport)).as("rank_tokens"))
   }
+
+  /** PERSONALIZED fixed-point PageRank: teleport mass flows only to the
+    * `seeds` node set, so ranks measure proximity to the seeds — the
+    * random-walk-with-restart recommender. Same exact-token semantics as
+    * [[fixedPoint]] (BIGINT sums, truncating division, dropped sink
+    * mass); non-seed nodes start at 0 and hold only propagated mass, so
+    * the result is exactly replayable by an external engine.
+    *
+    * The seed table is broadcast into the per-iteration rebase (it is a
+    * recommendation query's "user context" — small by construction);
+    * everything else keeps [[fixedPoint]]'s shape: stationary cached
+    * edges, node-sized shuffles. */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iterations: Int = 5, initTokens: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(initTokens % dampDen == 0,
+      s"initTokens=$initTokens must divide by dampDen=$dampDen")
+    val teleport = (initTokens / dampDen) * (dampDen - dampNum)
+
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val withDeg = e.join(deg, "src")
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+
+    // ranks stay sparse: nodes holding mass only. Round 1: seeds at
+    // initTokens. Each round: propagate, then re-add the seed teleport.
+    var ranks = seedIds.select(col("id"), lit(initTokens).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = withDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"),
+          expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      // propagated mass ∪ seed teleport rows, re-summed on the id key the
+      // contrib aggregate already established (co-partitioned, tiny)
+      ranks = contrib.select(col("dst").as("id"), col("contrib").as("r"))
+        .unionByName(seedIds.select(col("id"), lit(teleport).as("r")))
+        .groupBy(col("id")).agg(sum(col("r")).as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_tokens"))
+  }
 }

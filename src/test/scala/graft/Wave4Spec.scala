@@ -52,6 +52,24 @@ class Wave4Spec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("personalized pagerank: mass stays in the seed component, exact tokens") {
+    // 1→2 plus a disconnected 3→4; seed {1}. Node 2 is a sink (mass
+    // dropped), nodes 3/4 never receive anything and stay absent.
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val got = graft.operators.PageRank
+      .personalized(edges, "src", "dst", seeds, "id", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val T = 150000000000L
+    // r1 = {1: T, 2: 85% of 1e12}; r2 = {1: T, 2: 85% of T}
+    assert(got == Map(1L -> T, 2L -> T * 85L / 100L))
+    val again = graft.operators.PageRank
+      .personalized(edges.repartition(5), "src", "dst", seeds, "id",
+        iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("event funnel: stages only count strictly after the previous stage") {
     val events = Seq(
       // user 1 converts in order: reaches 3
