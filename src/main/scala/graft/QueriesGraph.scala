@@ -334,6 +334,65 @@ object QueriesGraph {
   }
 
   // -------------------------------------------------------------------
+  // q111 — co-purchase communities via deterministic label propagation
+  // (operators/LabelPropagation): synchronous rounds, most-frequent
+  // neighbor label, min-label ties — over the same top-10 sparsified
+  // graph as q102. Communities summarized as (community, n_members,
+  // min/max member) so the table stays small at any graph size.
+  // -------------------------------------------------------------------
+  def lpaCommunities(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val edges = operators.TriangleCensus.topKNeighborEdges(pairs, "src", "dst", k = 10)
+    operators.LabelPropagation.communities(edges, "u", "v", rounds = 4)
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("id")).as("min_member"), max(col("id")).as("max_member"))
+      .orderBy(col("community"))
+  }
+
+  val lpaCommunitiesSql: String = {
+    val base =
+      """WITH p AS (
+        |  SELECT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |m AS (SELECT x, y, count(*) AS m FROM p GROUP BY x, y),
+        |nb AS (SELECT x AS src, y AS dst, m FROM m
+        |       UNION ALL SELECT y, x, m FROM m),
+        |tk AS (SELECT src, dst FROM (
+        |         SELECT src, dst,
+        |                row_number() OVER (PARTITION BY src
+        |                                   ORDER BY m DESC, dst) AS rn
+        |         FROM nb) WHERE rn <= 10),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM tk),
+        |ue AS (SELECT u AS src, v AS dst FROM e0
+        |       UNION SELECT v, u FROM e0),
+        |l0 AS (SELECT DISTINCT src AS id, src AS lab FROM ue)""".stripMargin
+    val rounds = (1 to 4).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS id, l.lab, count(*) AS c
+         |  FROM ue e JOIN l${i - 1} l ON e.src = l.id
+         |  GROUP BY e.dst, l.lab),
+         |l$i AS (
+         |  SELECT id, lab FROM (
+         |    SELECT id, lab,
+         |           row_number() OVER (PARTITION BY id
+         |                              ORDER BY c DESC, lab) AS rn
+         |    FROM c$i) WHERE rn = 1)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      """
+        |SELECT lab AS community, count(*) AS n_members,
+        |       min(id) AS min_member, max(id) AS max_member
+        |FROM l4 GROUP BY lab ORDER BY community""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q106 — event-rate anomaly flags with ALL-INTEGER statistics: per
   // (event_type, hour) counts, flagged when the squared deviation from
   // the type's mean exceeds k²·variance. The test

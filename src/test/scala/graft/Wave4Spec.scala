@@ -169,6 +169,21 @@ class Wave4Spec extends AnyFunSuite {
     assert(fast.toSeq == slow.toSeq)
   }
 
+  test("label propagation: synchronous rounds with min-label ties, exact replay") {
+    // two triangles bridged by 3–10; hand-replayed 4 synchronous rounds
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("u", "v")
+    val got = graft.operators.LabelPropagation
+      .communities(edges, "u", "v", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+    val again = graft.operators.LabelPropagation
+      .communities(edges.repartition(5), "u", "v", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("sketch merge: union-signature property and slot-agreement estimate") {
     val docs = Seq(
       ("g1", (1 to 50).map(i => s"w$i").mkString(" ")),
