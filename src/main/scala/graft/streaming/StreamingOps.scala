@@ -134,6 +134,30 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-static anomaly screen — the continuous half of q106's exact
+    * integer 2σ test: hourly per-type counts aggregate in-stream
+    * (watermarked tumbling window) and each closed window is probed
+    * against STATIC per-type history stats `(n, s, ss)` via a broadcast
+    * stream-static join. The test `(n·x−S)² > k²·(n·SS−S²)` is all
+    * BIGINT, so a flagged hour is flagged identically on every run —
+    * alerting that can't flap with reduction order. State is the
+    * in-flight hour windows only (watermark-bounded).
+    *
+    * `stats` columns: (typeCol, n, s, ss) — e.g. the aggregate half of
+    * `QueriesGraph.rateAnomalies` run over the historical batch. */
+  def anomalyStream(events: DataFrame, typeCol: String, tsCol: String,
+      stats: DataFrame, k: Long = 2L,
+      watermark: String = "2 hours"): DataFrame = {
+    val dev = col("n") * col("x") - col("s")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("x"))
+      .join(broadcast(stats), typeCol)
+      .filter(dev * dev > lit(k * k) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col(typeCol), col("window.start").as("hour_start"), col("x"))
+  }
+
   /** Per-entity funnel progress for [[FunnelStream.funnelStream]]:
     * `reached` = stages completed, `t` = micros of the latest stage. */
   final case class FunnelState(reached: Int, t: Long)

@@ -124,6 +124,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static anomaly screen flags the spike hour, passes normal hours") {
+    implicit val sqlCtx = spark.sqlContext
+    // static history: type 'click' averages 4/hour over 8 hours with
+    // tiny variance → n=8, S=32, SS=130 (hand stats: six 4s, one 3, one 5)
+    val stats = Seq(("click", 8L, 32L, 130L)).toDF("event_type", "n", "s", "ss")
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.anomalyStream(events, "event_type", "ts", stats)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("anomalies").start()
+    try {
+      // hour 09: normal rate (4 events); hour 10: 40-event spike
+      val normal = (1 to 4).map(i => (ts(s"2026-08-10 09:0$i:00"), "click"))
+      val spike = (1 to 40).map(i =>
+        (ts(f"2026-08-10 10:${i % 60}%02d:30"), "click"))
+      mem.addData(normal ++ spike: _*)
+      // far-future event moves the watermark past both windows
+      mem.addData((ts("2026-08-11 12:00:00"), "click"))
+      q.processAllAvailable()
+      val got = spark.table("anomalies")
+        .select($"hour_start", $"x").as[(Timestamp, Long)].collect().toSet
+      assert(got.contains((ts("2026-08-10 10:00:00"), 40L)))
+      assert(!got.exists(_._1 == ts("2026-08-10 09:00:00")))
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the batch operator on in-order events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
