@@ -794,6 +794,125 @@ object QueriesCorpus {
       |ORDER BY src_a, src_b""".stripMargin
 
   // -------------------------------------------------------------------
+  // q112 — corpus-prep capstone v2: the wave operators COMPOSED as one
+  // plan — eval-split decontamination (q76) → exact dedup (q30) →
+  // √-temperature mixing (q99) → sequence packing (q79) — reported as a
+  // stage funnel (docs, tokens, bins per stage). The integration proof
+  // that the pieces chain: every stage count is oracle-replayed by the
+  // composed DuckDB CTEs.
+  // -------------------------------------------------------------------
+  def corpusPrep2(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ntok = graft.functions.TextFunctions.tokenCountWs(col("text"))
+      .cast("long")
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "text"))
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 10 === 0)
+    val contaminated = Decontaminate
+      .overlapReport(train, eval_, "doc_id", "text", n = 8)
+      .filter(col("contaminated")).select("doc_id")
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      .persist(MEMORY_AND_DISK)
+    val deduped = Dedup.exactDedup(clean, "doc_id", "text")
+      .persist(MEMORY_AND_DISK)
+    val targets = operators.Sampling
+      .sqrtTemperatureTargets(deduped.select("doc_id", "source"), "source")
+    val mixed = deduped
+      .join(operators.Sampling.temperatureMixSample(
+        deduped.select("doc_id", "source"), "source", "doc_id", targets)
+        .select("doc_id"), Seq("doc_id"))
+      .persist(MEMORY_AND_DISK)
+    val packed = Chunking.packSequences(
+      mixed.select(col("doc_id"), col("text")), "doc_id", "text", 256)
+    def stat(df: DataFrame, idx: Int, name: String) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(ntok), lit(0L)).as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"), lit(0L).as("n_bins"))
+    stat(train, 0, "input_train")
+      .unionByName(stat(clean, 1, "decontaminated"))
+      .unionByName(stat(deduped, 2, "deduped"))
+      .unionByName(stat(mixed, 3, "mixed"))
+      .unionByName(packed
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"),
+          coalesce(max(col("last_bin")) + 1, lit(0L)).as("n_bins"))
+        .select(lit(4).as("stage_idx"), lit("packed").as("stage"),
+          col("n_docs"), col("n_tokens"), col("n_bins")))
+      .orderBy(col("stage_idx"))
+  }
+
+  val corpusPrep2Sql: String = {
+    val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    val ntok = s"CASE WHEN length($norm) = 0 THEN 0 " +
+      s"ELSE CAST(len(string_split($norm, ' ')) AS BIGINT) END"
+    s"""WITH tr AS (
+      |  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 <> 0),
+      |toks8 AS (
+      |  SELECT doc_id,
+      |         string_split($norm, ' ') AS t
+      |  FROM documents
+      |  WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, gram FROM (
+      |    SELECT doc_id,
+      |           unnest(CASE WHEN len(t) >= 8
+      |             THEN list_transform(range(1, len(t) - 8 + 2),
+      |                                 i -> array_to_string(list_slice(t, i, i + 7), ' '))
+      |             ELSE [array_to_string(t, ' ')] END) AS gram
+      |    FROM toks8)),
+      |eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 = 0),
+      |bad AS (
+      |  SELECT DISTINCT g.doc_id FROM grams g JOIN eg USING (gram)
+      |  WHERE g.doc_id % 10 <> 0),
+      |clean AS (
+      |  SELECT * FROM tr WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+      |ded AS (
+      |  SELECT * FROM clean WHERE doc_id IN (
+      |    SELECT min(doc_id) FROM clean GROUP BY md5(text))),
+      |c AS (SELECT source, count(*) AS n_before FROM ded GROUP BY source),
+      |w AS (SELECT source, n_before,
+      |             CAST(floor(sqrt(CAST(n_before AS DOUBLE))) AS BIGINT) AS weight
+      |      FROM c),
+      |t AS (SELECT source, n_before, weight,
+      |             least(n_before,
+      |               (((SELECT CAST(sum(n_before) AS BIGINT) FROM c) // 2) * weight)
+      |                 // greatest((SELECT CAST(sum(weight) AS BIGINT) FROM w), 1)) AS target_n
+      |      FROM w),
+      |mixed AS (
+      |  SELECT d.* FROM ded d JOIN t USING (source)
+      |  WHERE (((d.doc_id * 48271) % 2147483647) * 48271 % 2147483647)
+      |          * t.n_before < t.target_n * 2147483647),
+      |mt AS (SELECT doc_id, $ntok AS n_tokens FROM mixed),
+      |pk AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT) AS so
+      |  FROM mt),
+      |nb AS (
+      |  SELECT coalesce(max((so + greatest(n_tokens, 1) - 1) // 256) + 1, 0) AS nb
+      |  FROM pk)
+      |SELECT * FROM (
+      |  SELECT 0 AS stage_idx, 'input_train' AS stage, count(*) AS n_docs,
+      |         CAST(coalesce(sum($ntok), 0) AS BIGINT) AS n_tokens,
+      |         CAST(0 AS BIGINT) AS n_bins FROM tr
+      |  UNION ALL
+      |  SELECT 1, 'decontaminated', count(*),
+      |         CAST(coalesce(sum($ntok), 0) AS BIGINT), 0 FROM clean
+      |  UNION ALL
+      |  SELECT 2, 'deduped', count(*),
+      |         CAST(coalesce(sum($ntok), 0) AS BIGINT), 0 FROM ded
+      |  UNION ALL
+      |  SELECT 3, 'mixed', count(*),
+      |         CAST(coalesce(sum($ntok), 0) AS BIGINT), 0 FROM mixed
+      |  UNION ALL
+      |  SELECT 4, 'packed', count(*),
+      |         CAST(coalesce(sum(n_tokens), 0) AS BIGINT),
+      |         CAST((SELECT nb FROM nb) AS BIGINT) FROM mt)
+      |ORDER BY stage_idx""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q109 — padding-waste report: pad each document's token count up to
   // the next 64-token boundary (the training-batch shape) and report,
   // per padded length, how many tokens of compute the padding burns —
