@@ -393,6 +393,80 @@ object QueriesGraph {
   }
 
   // -------------------------------------------------------------------
+  // q113 — k-hop BFS levels (operators/Bfs) from the 3 smallest part
+  // ids over the co-purchase graph: hop-distance summary (level,
+  // n_parts) — how fast the co-purchase neighborhood saturates.
+  // -------------------------------------------------------------------
+  def bfsLevels(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val edges = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    val seeds = li.select(col("l_partkey")).distinct()
+      .orderBy(col("l_partkey")).limit(3)
+    operators.Bfs.levels(edges, "src", "dst", seeds, "l_partkey", rounds = 3)
+      .groupBy(col("level")).agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("level"))
+  }
+
+  val bfsLevelsSql: String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |seeds AS (SELECT DISTINCT l_partkey AS id FROM lineitem
+        |          ORDER BY id LIMIT 3),
+        |l0 AS (SELECT id, CAST(0 AS BIGINT) AS level FROM seeds)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""l$i AS (
+         |  SELECT id, CAST(min(level) AS BIGINT) AS level FROM (
+         |    SELECT id, level FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, l.level + 1 AS level
+         |    FROM edges e JOIN l${i - 1} l ON e.src = l.id)
+         |  GROUP BY id)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      "\nSELECT level, count(*) AS n_parts FROM l3 GROUP BY level ORDER BY level"
+  }
+
+  // -------------------------------------------------------------------
+  // q114 — frequent triples (the Apriori step after q105's pairs):
+  // 3-itemsets co-purchased in ≥ 2 orders, top-20 by support (repeated
+  // triples are rare in sparse baskets — the threshold is the smallest
+  // that distinguishes signal from a single co-occurrence). The
+  // per-order expansion is C(k,3) with k bounded by order size — the
+  // shape stays linear in orders at any corpus scale.
+  // -------------------------------------------------------------------
+  def frequentTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    op.as("a")
+      .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .join(op.as("c"), col("b.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"), col("c.pk").as("p3"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+      .limit(20)
+  }
+
+  val frequentTriplesSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      |SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3, count(*) AS support
+      |FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |          JOIN op c ON b.ok = c.ok AND b.pk < c.pk
+      |GROUP BY a.pk, b.pk, c.pk HAVING count(*) >= 2
+      |ORDER BY support DESC, p1, p2, p3
+      |LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
   // q106 — event-rate anomaly flags with ALL-INTEGER statistics: per
   // (event_type, hour) counts, flagged when the squared deviation from
   // the type's mean exceeds k²·variance. The test

@@ -608,4 +608,37 @@ object QueriesRelational {
       |SELECT o_custkey, recency_days, frequency, monetary, r_q, f_q, m_q,
       |       r_q * 100 + f_q * 10 + m_q AS rfm
       |FROM b ORDER BY o_custkey""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q115 — order inter-arrival histogram: days between a customer's
+  // consecutive orders (lag over order date, customer-keyed window),
+  // bucketed into exact weeks. The purchase-cadence signal behind
+  // churn/survival models — all integer date arithmetic.
+  // -------------------------------------------------------------------
+  def interArrival(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .select(col("o_custkey"),
+        datediff(col("d"), lag(col("d"), 1).over(w)).as("gap_days"))
+      .filter(col("gap_days").isNotNull)
+      .select(expr("gap_days div 7").as("gap_weeks"))
+      .groupBy(col("gap_weeks")).agg(count(lit(1)).as("n_gaps"))
+      .orderBy(col("gap_weeks"))
+  }
+
+  val interArrivalSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
+      |  FROM orders),
+      |g AS (
+      |  SELECT CAST(d - lag(d, 1) OVER (PARTITION BY o_custkey
+      |                                  ORDER BY d, o_orderkey) AS BIGINT)
+      |           AS gap_days
+      |  FROM o)
+      |SELECT gap_days // 7 AS gap_weeks, count(*) AS n_gaps
+      |FROM g WHERE gap_days IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-round distributed BFS — hop distances from a seed set, the
+  * reachability/distance member of the iterative-graph family
+  * ([[PageRank]]: mass, [[LabelPropagation]]: communities, this:
+  * distance). Integer levels with a min-aggregate per round: exact,
+  * order-invariant, replayable by unrolled CTEs.
+  *
+  * Per round: one edge⋈frontier join against the cached pre-partitioned
+  * edge table and one (id, min level) aggregate — the level table holds
+  * REACHED nodes only, so early rounds shuffle frontier-sized data, and
+  * an unreached node simply never appears (no dense node table). Rounds
+  * are fixed (k-hop neighborhood semantics), not run-to-convergence:
+  * the caller picks the radius, the cost model stays predictable. */
+object Bfs {
+
+  /** Hop levels from `seeds` within `rounds` hops over DIRECTED edges
+    * (pass both orientations for undirected semantics). Returns
+    * (id, level) for reached nodes; seeds are level 0 even when also
+    * reachable by a longer path (min wins). */
+  def levels(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var lv = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .select(col("id"), lit(0L).as("level"))
+    for (_ <- 1 to rounds) {
+      val next = e.join(lv, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("level") + 1L).as("level"))
+      lv = lv.unionByName(next)
+        .groupBy(col("id")).agg(min(col("level")).as("level"))
+    }
+    lv
+  }
+}

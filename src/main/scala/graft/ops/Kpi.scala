@@ -106,10 +106,16 @@ object Kpi {
       else
         (graft.functions.NpPercentile.sortedValues(col("elapsed_ms")),
           c => graft.functions.NpPercentile.ofSorted(c, 0.9))
+    // BOTH tiers: mean from the exact DECIMAL(18,2) sum (elapsed is 2-dp
+    // by contract), divided once in double. The reference's np.mean is
+    // pairwise summation — in practice the correctly-rounded true mean —
+    // and the exact-sum path lands on the same nearest double. A plain
+    // double avg() does NOT: its error grows with naive left-fold
+    // summation and its value varies with partition order run to run,
+    // which flipped a py_round 2-dp boundary group (359.705…: ref 359.7,
+    // spark 359.71 — caught live by the parity gate, round 5).
     val avgRaw =
-      if (crossEngineExact)
-        sum(col("elapsed_ms").cast("decimal(18,2)")).cast("double") / count(lit(1))
-      else avg(col("elapsed_ms"))
+      sum(col("elapsed_ms").cast("decimal(18,2)")).cast("double") / count(lit(1))
     // py_round, not bround: Python rounds the exact binary double, bround
     // rounds its shortest decimal repr — they disagree on values like
     // 696.515 (see PyRoundExpression scaladoc; caught by the parity gate)
