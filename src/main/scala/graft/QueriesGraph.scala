@@ -442,14 +442,26 @@ object QueriesGraph {
   // shape stays linear in orders at any corpus scale.
   // -------------------------------------------------------------------
   def frequentTriples(spark: SparkSession, sfDir: String): DataFrame = {
-    val op = Tables.lineitem(spark, sfDir)
+    // basket expansion WITHOUT a three-way self-join (sourceOverlap's
+    // shape): gather each order's sorted distinct parts — baskets are
+    // bounded small — and emit the C(k,3) ordered triples from one array
+    // expression. One order-keyed shuffle + the triple-count aggregate,
+    // versus three co-keyed join passes over the containment table.
+    val baskets = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    op.as("a")
-      .join(op.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .join(op.as("c"), col("b.ok") === col("c.ok") && col("b.pk") < col("c.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"), col("c.pk").as("p3"))
+      .groupBy(col("ok"))
+      .agg(array_sort(collect_set(col("pk"))).as("s"))
+      .filter(size(col("s")) >= 3)
+    val n = size(col("s"))
+    val triples = flatten(flatten(
+      transform(sequence(lit(0), n - 3), i =>
+        transform(sequence(i + 1, n - 2), j =>
+          transform(sequence(j + 1, n - 1), k =>
+            struct(element_at(col("s"), i + 1).as("p1"),
+              element_at(col("s"), j + 1).as("p2"),
+              element_at(col("s"), k + 1).as("p3")))))))
+    baskets.select(explode(triples).as("t"))
+      .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"), col("t.p3").as("p3"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
       .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
