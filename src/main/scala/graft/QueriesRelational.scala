@@ -629,6 +629,75 @@ object QueriesRelational {
       .orderBy(col("gap_weeks"))
   }
 
+  // -------------------------------------------------------------------
+  // q117 — data-quality constraint suite (operators/Constraints): pk
+  // uniqueness, referential integrity, ranges, completeness, and the
+  // documents' own metadata consistency — one violation count per
+  // check, exact integers, alert on `passed`.
+  // -------------------------------------------------------------------
+  def qualityConstraints(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.Constraints
+    val li = Tables.lineitem(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val d = Tables.documents(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
+    Constraints.report(Seq(
+      Constraints.uniqueness(o, "orders_pk_unique", "o_orderkey"),
+      Constraints.uniqueness(c, "customer_pk_unique", "c_custkey"),
+      Constraints.referential(li, "l_orderkey", o, "o_orderkey",
+        "lineitem_fk_orders"),
+      Constraints.referential(o, "o_custkey", c, "c_custkey",
+        "orders_fk_customer"),
+      Constraints.violations(li, Seq(
+        "lineitem_qty_in_range" ->
+          (col("l_quantity") < 1.0 || col("l_quantity") > 50.0))),
+      Constraints.violations(e, Seq(
+        "events_value_nonnull" -> col("value").isNull)),
+      Constraints.violations(d, Seq(
+        "documents_nchars_consistent" -> (col("n_chars") =!= length(col("text"))),
+        "documents_lang_allowlist" ->
+          !col("lang").isin("en", "es", "fr", "de", "zh")))))
+  }
+
+  val qualityConstraintsSql: String =
+    """WITH checks AS (
+      |  SELECT 'orders_pk_unique' AS check_name,
+      |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'customer_pk_unique',
+      |         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) FROM customer
+      |  UNION ALL
+      |  SELECT 'lineitem_fk_orders',
+      |         CAST((SELECT count(*) FROM lineitem l
+      |               WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                                 WHERE o.o_orderkey = l.l_orderkey))
+      |              AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'orders_fk_customer',
+      |         CAST((SELECT count(*) FROM orders o
+      |               WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                                 WHERE c.c_custkey = o.o_custkey))
+      |              AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_in_range',
+      |         CAST(count(*) FILTER (WHERE l_quantity < 1.0 OR l_quantity > 50.0)
+      |              AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events_value_nonnull',
+      |         CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'documents_nchars_consistent',
+      |         CAST(count(*) FILTER (WHERE n_chars <> length(text)) AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'documents_lang_allowlist',
+      |         CAST(count(*) FILTER (WHERE lang NOT IN ('en','es','fr','de','zh'))
+      |              AS BIGINT) FROM documents)
+      |SELECT check_name, violations, violations = 0 AS passed
+      |FROM checks ORDER BY check_name""".stripMargin
+
   val interArrivalSql: String =
     """WITH o AS (
       |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
