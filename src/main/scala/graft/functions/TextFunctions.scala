@@ -19,6 +19,17 @@ object TextFunctions {
   def normalizeText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
+  /** Normalized whitespace tokens, BLANK-SAFE: empty/whitespace-only text
+    * yields an empty array (a bare `split` would yield `[""]` — a phantom
+    * token that corrupts counts). The one tokenization contract shared by
+    * the LM/retrieval/overlap operators and mirrored by the DuckDB
+    * oracles' `string_split` + empty-guard CTEs. */
+  def tokensWs(c: Column): Column = {
+    val norm = normalizeText(c)
+    when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, " "))
+  }
+
   /** Number of non-overlapping occurrences of `marker` (integer-exact). */
   def occurrences(c: Column, marker: String): Column =
     ((length(c) - length(expr_replace(c, marker))) / marker.length).cast("int")

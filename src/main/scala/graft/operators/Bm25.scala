@@ -30,11 +30,8 @@ import graft.functions.TextFunctions
   */
 object Bm25 {
 
-  private def toks(textCol: Column): Column = {
-    val norm = TextFunctions.normalizeText(textCol)
-    when(length(norm) === 0, array().cast("array<string>"))
-      .otherwise(split(norm, " "))
-  }
+  /** The shared blank-safe tokenization contract. */
+  private def toks(textCol: Column): Column = TextFunctions.tokensWs(textCol)
 
   /** Top-k BM25 results per query: (qid, rank, doc id, score).
     * `docs` must carry (idCol, textCol); `queries` (qidCol, qtextCol). */

@@ -67,9 +67,14 @@ object DupSpans {
     // window aggregate over the SAME exchange the rows already ride —
     // a groupBy + join-back formulation shuffles the window table twice
     val wCnt = Window.partitionBy(col("digest"))
+    // PERSIST: `flagged` feeds two aggregations (islands + per-doc
+    // counts); uncached, the tokenize → window explode → digest-keyed
+    // count-over-window pipeline — the expensive part of the query —
+    // would execute twice. 4 small columns per window row.
     val flagged = windows
       .select(col("id"), col("n_tokens"), col("widx"),
         (count(lit(1)).over(wCnt) > 1).as("dup"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // islands: within a doc, consecutive dup windows share
     // widx - row_number (computed over dup windows only)
     val wRun = Window.partitionBy(col("id")).orderBy(col("widx"))

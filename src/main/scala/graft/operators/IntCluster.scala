@@ -100,7 +100,13 @@ object IntCluster {
     var centroids = vecs.orderBy(col("id")).limit(k)
       .select((row_number().over(w) - 1).as("cluster"), col("codes"))
     for (_ <- 1 until iterations) {
+      // PERSIST per round: the centroid table is referenced twice per
+      // round (the assignment and the empty-cluster carry-over join), so
+      // an uncached loop doubles the centroid plan tree every round and
+      // each duplicated subtree re-runs a corpus-wide aggregation
+      // (2^rounds blowup — the Bfs.levels bug class). k rows.
       centroids = updateCentroids(assign(vecs, centroids), centroids)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     assign(vecs, centroids).select(col("id"), col("cluster"), col("dist2"))
   }

@@ -28,12 +28,8 @@ import graft.functions.TextFunctions
   */
 object NgramLm {
 
-  /** Normalized whitespace tokens (blank-safe). */
-  private def toks(textCol: Column): Column = {
-    val norm = TextFunctions.normalizeText(textCol)
-    when(length(norm) === 0, array().cast("array<string>"))
-      .otherwise(split(norm, " "))
-  }
+  /** The shared blank-safe tokenization contract. */
+  private def toks(textCol: Column): Column = TextFunctions.tokensWs(textCol)
 
   /** Per-document unigram cross-entropy under the corpus's own unigram
     * distribution: (id, n_tokens, avg_nll) where avg_nll is the mean over
@@ -42,8 +38,11 @@ object NgramLm {
     * [[scoreAgainst]] handles the held-out/OOV variant. */
   def unigramScores(df: DataFrame, idCol: String, textCol: String,
       broadcastModel: Boolean = true): DataFrame = {
+    // the token stream feeds BOTH the model fit and the scoring join —
+    // cache it so the corpus tokenizes once, not once per consumer
     val tokens = df
       .select(col(idCol), explode(toks(col(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = fitUnigrams(tokens)
     scoreTokens(tokens, idCol, model, broadcastModel)
   }
@@ -51,7 +50,10 @@ object NgramLm {
   /** Fit the unigram NLL table from a (.., tok) token stream:
     * (tok, nll) with nll = -ln(count/N) staged through DECIMAL(18,6). */
   def fitUnigrams(tokens: DataFrame): DataFrame = {
+    // vocab-sized; cached because it is aggregated twice (the N scalar
+    // below and the model projection the scoring join consumes)
     val counts = tokens.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // N is one driver-side scalar (bounded: a single long), the price of
     // avoiding a global cross-join or a second shuffle over the counts
     val n = counts.agg(sum(col("c"))).collect()(0).getLong(0)

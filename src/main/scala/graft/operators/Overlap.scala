@@ -22,11 +22,8 @@ import graft.functions.TextFunctions
   */
 object Overlap {
 
-  private def toks(textCol: Column): Column = {
-    val norm = TextFunctions.normalizeText(textCol)
-    when(length(norm) === 0, array().cast("array<string>"))
-      .otherwise(split(norm, " "))
-  }
+  /** The shared blank-safe tokenization contract. */
+  private def toks(textCol: Column): Column = TextFunctions.tokensWs(textCol)
 
   /** (source_a, source_b, n_shared_blocks) for source_a < source_b, only
     * pairs that share at least one block. */

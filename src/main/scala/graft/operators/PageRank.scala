@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   * truncate toward zero) and dangling-node mass is dropped rather than
   * redistributed: redistribution needs a global mass sum every
   * iteration, which reintroduces the float-order problem for no ranking
-  * benefit. Magnitudes: r stays ≤ initTokens·N/N ≈ initTokens, so
-  * `r·dampNum` is ~8.5e13 for the default 1e12 tokens — far from BIGINT
-  * overflow for any damping choice.
+  * benefit.
+  *
+  * Overflow bound: a node's rank is bounded by the TOTAL token mass (a
+  * perfect hub can receive nearly all of it), so `r·dampNum` must fit a
+  * BIGINT in the worst case — `nodes·initTokens·dampNum < 2^63`. The
+  * constructor counts nodes (one pass over the cached edge table) and
+  * rejects configurations that could wrap; large graphs pick a smaller
+  * `initTokens` (ranks only need relative resolution).
   *
   * Scale shape: the edge table is joined on `src` every iteration, so it
   * is hash-partitioned once and cached — per iteration only the rank
@@ -35,21 +40,17 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
-  /** Run `iterations` exact PageRank steps over `edges(srcCol, dstCol)`
-    * (duplicate edges are NOT deduplicated here — pre-`distinct` if the
-    * graph is simple). Returns (id, rank_tokens) for every node that
-    * appears as a source or a target. */
-  def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, initTokens: Long = 1000000000000L,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+  /** Shared prep: validated parameters + the cached, src-partitioned
+    * (src, dst, outdeg) table and the exact teleport share. */
+  private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, initTokens: Long, dampNum: Long,
+      dampDen: Long): (DataFrame, Long) = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0, 1]")
     require(initTokens % dampDen == 0,
       s"initTokens=$initTokens must divide by dampDen=$dampDen so the " +
         "teleport share is an exact integer (pick e.g. 10^12)")
-    val teleport = (initTokens / dampDen) * (dampDen - dampNum)
-
     val e = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
@@ -58,6 +59,41 @@ object PageRank {
     val withDeg = e.join(deg, "src")
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (withDeg, (initTokens / dampDen) * (dampDen - dampNum))
+  }
+
+  /** Reject token scales a perfect hub could overflow: worst-case rank ≈
+    * `massNodes·initTokens`, multiplied by dampNum inside the iteration.
+    * Costs one count over the (cached) edge table — it doubles as the
+    * cache materialization the first round would pay anyway. */
+  private def requireNoOverflow(withDeg: DataFrame, initTokens: Long,
+      dampNum: Long, massNodes: => Long): Unit = {
+    val n = math.max(massNodes, 1L)
+    require(n <= Long.MaxValue / math.max(dampNum, 1L) / initTokens,
+      s"$n mass-holding nodes x initTokens=$initTokens x dampNum=$dampNum " +
+        "could overflow BIGINT at a perfect hub - use a smaller initTokens " +
+        "(ranks only need relative resolution)")
+  }
+
+  private def contribution(withRank: DataFrame, dampNum: Long,
+      dampDen: Long): DataFrame =
+    withRank
+      .select(col("dst"),
+        expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+
+  /** Run `iterations` exact PageRank steps over `edges(srcCol, dstCol)`
+    * (duplicate edges are NOT deduplicated here — pre-`distinct` if the
+    * graph is simple). Returns (id, rank_tokens) for every node that
+    * appears as a source or a target. */
+  def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, initTokens: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    val (withDeg, teleport) =
+      prepare(edges, srcCol, dstCol, iterations, initTokens, dampNum, dampDen)
+    requireNoOverflow(withDeg, initTokens, dampNum,
+      withDeg.select(col("src")).union(withDeg.select(col("dst")))
+        .distinct().count())
     // The rank table stays SPARSE: it only carries nodes with in-edges.
     // A node absent from it has a known rank — `initTokens` before the
     // first round, exactly `teleport` afterwards (no in-edges ⟹ nothing
@@ -72,10 +108,7 @@ object PageRank {
         case Some(rk) => withDeg.join(rk, col("src") === col("id"), "left")
           .withColumn("r", coalesce(col("r"), lit(default)))
       }
-      val contrib = withRank
-        .select(col("dst"),
-          expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      val contrib = contribution(withRank, dampNum, dampDen)
       ranks = Some(contrib.select(col("dst").as("id"),
         (lit(teleport) + col("contrib")).as("r")))
       default = teleport
@@ -92,37 +125,28 @@ object PageRank {
     * random-walk-with-restart recommender. Same exact-token semantics as
     * [[fixedPoint]] (BIGINT sums, truncating division, dropped sink
     * mass); non-seed nodes start at 0 and hold only propagated mass, so
-    * the result is exactly replayable by an external engine.
+    * the result is exactly replayable by an external engine. Total mass
+    * is seeds·initTokens, so the overflow guard counts seeds, not nodes.
     *
-    * The seed table is broadcast into the per-iteration rebase (it is a
-    * recommendation query's "user context" — small by construction);
-    * everything else keeps [[fixedPoint]]'s shape: stationary cached
-    * edges, node-sized shuffles. */
+    * Everything keeps [[fixedPoint]]'s shape: stationary cached edges,
+    * node-sized shuffles; the seed teleport re-enters through a
+    * co-partitioned union+sum. */
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
       iterations: Int = 5, initTokens: Long = 1000000000000L,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    require(iterations >= 1, s"iterations=$iterations must be >= 1")
-    require(initTokens % dampDen == 0,
-      s"initTokens=$initTokens must divide by dampDen=$dampDen")
-    val teleport = (initTokens / dampDen) * (dampDen - dampNum)
-
-    val e = edges.select(
-      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val withDeg = e.join(deg, "src")
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (withDeg, teleport) =
+      prepare(edges, srcCol, dstCol, iterations, initTokens, dampNum, dampDen)
     val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    requireNoOverflow(withDeg, initTokens, dampNum, seedIds.count())
 
     // ranks stay sparse: nodes holding mass only. Round 1: seeds at
     // initTokens. Each round: propagate, then re-add the seed teleport.
     var ranks = seedIds.select(col("id"), lit(initTokens).as("r"))
     for (_ <- 1 to iterations) {
-      val contrib = withDeg.join(ranks, col("src") === col("id"))
-        .select(col("dst"),
-          expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      val withRank = withDeg.join(ranks, col("src") === col("id"))
+      val contrib = contribution(withRank, dampNum, dampDen)
       // propagated mass ∪ seed teleport rows, re-summed on the id key the
       // contrib aggregate already established (co-partitioned, tiny)
       ranks = contrib.select(col("dst").as("id"), col("contrib").as("r"))
