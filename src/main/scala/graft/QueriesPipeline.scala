@@ -672,4 +672,41 @@ object QueriesPipeline {
       |WHERE l_quantity BETWEEN 5 AND 15
       |  AND l_extendedprice BETWEEN 10000 AND 30000
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q116 — shuffle-key skew profile (Profile.keySkew): per join/agg key,
+  // distinct counts and the heaviest key's share — the operational
+  // pre-flight for deciding where SkewSalt/AQE skew handling is needed.
+  // -------------------------------------------------------------------
+  def skewProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.Profile
+    Profile.keySkew(Tables.lineitem(spark, sfDir),
+        "lineitem.l_orderkey", "l_orderkey")
+      .unionByName(Profile.keySkew(Tables.lineitem(spark, sfDir),
+        "lineitem.l_partkey", "l_partkey"))
+      .unionByName(Profile.keySkew(Tables.orders(spark, sfDir),
+        "orders.o_custkey", "o_custkey"))
+      .unionByName(Profile.keySkew(Tables.events(spark, sfDir),
+        "events.user_id", "user_id"))
+      .unionByName(Profile.keySkew(Tables.documents(spark, sfDir),
+        "documents.source", "source"))
+      .orderBy(col("profiled_key"))
+  }
+
+  val skewProfileSql: String = {
+    def one(label: String, table: String, key: String): String =
+      s"""SELECT '$label' AS profiled_key,
+         |       CAST(sum(c) AS BIGINT) AS n_rows,
+         |       count(*) AS n_distinct,
+         |       CAST(max(c) AS BIGINT) AS max_per_key,
+         |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_share
+         |FROM (SELECT count(*) AS c FROM $table GROUP BY $key)""".stripMargin
+    Seq(one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      one("lineitem.l_partkey", "lineitem", "l_partkey"),
+      one("orders.o_custkey", "orders", "o_custkey"),
+      one("events.user_id", "events", "user_id"),
+      one("documents.source", "documents", "source"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        ")\nORDER BY profiled_key")
+  }
 }

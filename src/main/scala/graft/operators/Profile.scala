@@ -38,4 +38,19 @@ object Profile {
       .select(col("p.column"), col("n_rows"), col("p.n_nulls"),
         col("p.n_distinct"), col("p.min_str"), col("p.max_str"))
   }
+
+  /** Shuffle-key skew profile for one (table, key): row count, distinct
+    * keys, the heaviest key's row count, and its share of the table —
+    * the numbers that predict whether a join/aggregate on this key needs
+    * salting (operators/SkewSalt) before it ships to a cluster. Two
+    * aggregates (per-key counts with map-side partials, then one summary
+    * row); `top_share` is one exact-int IEEE division. */
+  def keySkew(df: DataFrame, label: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_per_key"))
+      .select(lit(label).as("profiled_key"), col("n_rows"),
+        col("n_distinct"), col("max_per_key"),
+        (col("max_per_key").cast("double") / col("n_rows").cast("double"))
+          .as("top_share"))
 }
