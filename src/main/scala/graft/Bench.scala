@@ -35,7 +35,13 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           false
         }
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop the query's persisted intermediates OUTSIDE its clock: each
+      // invocation builds NEW DataFrames, so cached tables from finished
+      // queries are dead weight that can only evict or stall later
+      // queries (every query still pays its own cache builds in-clock)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      q.name -> (if (ok) dt else -1.0)
     }
     // two full passes, min per query: the container's host exhibits
     // transient multi-second stalls that land on random queries; the min
