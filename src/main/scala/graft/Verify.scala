@@ -16,8 +16,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // finished queries' persisted intermediates are dead weight in a
+        // 100+-query session (fresh DataFrames each call never reuse
+        // them) — drop them so late queries aren't evicting or spilling
+        spark.catalog.clearCache()
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // a failed query must not leave a STALE result from an earlier run
