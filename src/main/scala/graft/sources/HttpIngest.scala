@@ -42,18 +42,28 @@ object HttpIngest {
         get_json_object(col("body"), "$.url").as("echoed_url"),
         get_json_object(col("body"), "$.args").as("args_json"))
 
-  /** P12 — XML slide extraction via Spark 4 native from_xml:
-    * `.//slide` → array of (type attr, title child), http_client.py:130-132. */
-  def extractXmlSlides(spark: SparkSession, url: String): DataFrame = {
-    val slideSchema = StructType(Seq(
-      StructField("slide", ArrayType(StructType(Seq(
-        StructField("_type", StringType),
-        StructField("title", StringType)))))))
-    read(spark, Seq(url), Map.empty)
-      .select(col("url"),
-        from_xml(col("body"), slideSchema, Map.empty[String, String].asJava).as("doc"))
-      .select(col("url"), explode(col("doc.slide")).as("s"))
-      .select(col("url"), col("s._type").as("slide_type"), col("s.title").as("title"))
+  private val slideSchema = StructType(Seq(
+    StructField("slide", ArrayType(StructType(Seq(
+      StructField("_type", StringType),
+      StructField("title", StringType)))))))
+
+  /** P12 core — `.//slide` → rows of (type attr, title child) over a `body`
+    * column, http_client.py:130-132, on Spark 4 native from_xml. */
+  private def slidesOf(df: DataFrame, keep: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.select(keep :+
+        from_xml(col("body"), slideSchema, Map.empty[String, String].asJava).as("doc"): _*)
+      .select(keep :+ explode(col("doc.slide")).as("s"): _*)
+      .select(keep ++ Seq(col("s._type").as("slide_type"), col("s.title").as("title")): _*)
+
+  /** P12 — XML slide extraction from a URL fetch. */
+  def extractXmlSlides(spark: SparkSession, url: String): DataFrame =
+    slidesOf(read(spark, Seq(url), Map.empty), Seq(col("url")))
+
+  /** P12 over an in-hand body: the stage-[1] CLI persists the raw body AND
+    * prints the parse from ONE fetch (http_client.py:126-136). */
+  def xmlSlidesOfBody(spark: SparkSession, body: String): DataFrame = {
+    import spark.implicits._
+    slidesOf(Seq(body).toDF("body"), Seq.empty)
   }
 
   /** P13 — HTML title extraction chain: <title> → first <h1> → SIN_TITULO

@@ -176,6 +176,35 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[String]("final_args").contains("redirect"))
   }
 
+  test("K3/K4 stage-[1] CLI e2e: 8 tasks in order, writes the 3 artifacts") {
+    val out = java.nio.file.Files.createTempDirectory("graft_stage1")
+    graft.cli.ClienteHttp.run(spark, base, out)
+
+    // K3 — pretty /get JSON (http_client.py:121): parses back to the stub
+    // body and carries the indent-2 layout
+    val datosJson = new String(
+      java.nio.file.Files.readAllBytes(out.resolve("datos.json")), StandardCharsets.UTF_8)
+    assert(datosJson.startsWith("{\n  \"args\""))
+    assert(datosJson.contains(s""""url": "$base/get""""))
+    // K4 — raw XML body verbatim (http_client.py:135)
+    val datosXml = new String(
+      java.nio.file.Files.readAllBytes(out.resolve("datos.xml")), StandardCharsets.UTF_8)
+    assert(datosXml.startsWith("""<?xml version="1.0"?><slideshow>"""))
+    assert(datosXml.contains("<title>Wake up</title>"))
+    // K4 — extracted title only, not the whole page (http_client.py:167)
+    val titulo = new String(
+      java.nio.file.Files.readAllBytes(out.resolve("titulo.html")), StandardCharsets.UTF_8)
+    assert(titulo == "Herman Melville - Moby-Dick")
+  }
+
+  test("prettyJson matches python json.dumps(ensure_ascii=False, indent=2)") {
+    val raw =
+      """{"a": {}, "b": [1, 2.5, "ñandú", true, null], "c": {"d": "line\nbreak \"q\"", "e": []}}"""
+    val expected = // literal output of CPython json.dumps on the same payload
+      "{\n  \"a\": {},\n  \"b\": [\n    1,\n    2.5,\n    \"ñandú\",\n    true,\n    null\n  ],\n  \"c\": {\n    \"d\": \"line\\nbreak \\\"q\\\"\",\n    \"e\": []\n  }\n}"
+    assert(graft.sources.HttpArtifacts.prettyJson(raw) == expected)
+  }
+
   test("parallel partitioning: one task per url without cookieSession") {
     val df = graft.sources.HttpIngest.read(spark,
       Seq(s"$base/get?a=1", s"$base/get?a=2", s"$base/get?a=3"), Map.empty)
