@@ -20,12 +20,7 @@ object QueriesGraph {
   // token-passing iterations, damping 85/100.
   // -------------------------------------------------------------------
   def copurchasePagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    val edges = Tables.copurchaseEdges(spark, sfDir)
     PageRank.fixedPoint(edges, "src", "dst", iterations = 5)
       .select(col("id").as("part_id"), col("rank_tokens"))
       .orderBy(col("part_id"))
@@ -39,10 +34,15 @@ object QueriesGraph {
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+        |init AS (SELECT CAST(least(1000000000000,
+        |  ((9223372036854775807 // 85 // greatest(count(*), 1)) // 100) * 100)
+        |  AS BIGINT) AS tok FROM nodes),
+        |r0 AS (SELECT id, (SELECT tok FROM init) AS r FROM nodes)""".stripMargin
     // one CTE pair per exact iteration: per-target token sums (BIGINT,
     // order-invariant) + teleport re-base; `//` truncates toward zero
-    // exactly like Spark's `div`
+    // exactly like Spark's `div`. `init` replays PageRank.autoInitTokens
+    // (largest dampDen-multiple with nodes·init·85 < 2^63, capped 10^12)
+    // so the oracle derives the same token scale at ANY data scale.
     val iters = (1 to 5).map { i =>
       s"""c$i AS (
          |  SELECT e.dst AS id,
@@ -51,7 +51,8 @@ object QueriesGraph {
          |               JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst),
          |r$i AS (
-         |  SELECT n.id, CAST(150000000000 + coalesce(c.contrib, 0) AS BIGINT) AS r
+         |  SELECT n.id, CAST((SELECT (tok // 100) * 15 FROM init)
+         |    + coalesce(c.contrib, 0) AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
     }
     (base +: iters).mkString(",\n") +
@@ -147,11 +148,7 @@ object QueriesGraph {
   // triangle exactly once.
   // -------------------------------------------------------------------
   def triangleCensus(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val pairs = Tables.copurchasePairs(spark, sfDir)
     val edges = operators.TriangleCensus.topKNeighborEdges(pairs, "src", "dst", k = 10)
     operators.TriangleCensus.perNodeTriangles(edges)
       .select(col("id").as("part_id"), col("n_triangles"))
@@ -251,15 +248,18 @@ object QueriesGraph {
       .filter(col("m") >= 3)
     val cnt = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
     val total = op.select(countDistinct(col("ok")).as("n_orders"))
-    pairs
-      .join(cnt.select(col("pk").as("pa"), col("n").as("na")), Seq("pa"))
-      .join(cnt.select(col("pk").as("pb"), col("n").as("nb")), Seq("pb"))
-      .crossJoin(broadcast(total))
-      .select(col("pa"), col("pb"), col("m"),
-        ((col("m") * col("n_orders")).cast("double") /
-          (col("na") * col("nb")).cast("double")).as("lift"))
-      .orderBy(col("lift").desc, col("pa"), col("pb"))
-      .limit(20)
+    // pin the 20-row result, release the distinct-(order,part) anchor
+    operators.LoopCache.finish(
+      pairs
+        .join(cnt.select(col("pk").as("pa"), col("n").as("na")), Seq("pa"))
+        .join(cnt.select(col("pk").as("pb"), col("n").as("nb")), Seq("pb"))
+        .crossJoin(broadcast(total))
+        .select(col("pa"), col("pb"), col("m"),
+          ((col("m") * col("n_orders")).cast("double") /
+            (col("na") * col("nb")).cast("double")).as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(20),
+      op)
   }
 
   val copurchaseLiftSql: String =
@@ -287,14 +287,9 @@ object QueriesGraph {
   // the 5 rounds), teleport restricted to the seed set.
   // -------------------------------------------------------------------
   def pprRecommendations(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-    val seeds = li.select(col("l_partkey")).distinct()
-      .orderBy(col("l_partkey")).limit(3)
+    val edges = Tables.copurchaseEdges(spark, sfDir)
+    val seeds = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+      .distinct().orderBy(col("l_partkey")).limit(3)
     PageRank.personalized(edges, "src", "dst", seeds, "l_partkey")
       .join(seeds.withColumnRenamed("l_partkey", "id"), Seq("id"), "left_anti")
       .select(col("id").as("part_id"), col("rank_tokens"))
@@ -311,7 +306,12 @@ object QueriesGraph {
         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
         |seeds AS (SELECT DISTINCT l_partkey AS id FROM lineitem
         |          ORDER BY id LIMIT 3),
-        |r0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS r FROM seeds)""".stripMargin
+        |init AS (SELECT CAST(least(1000000000000,
+        |  ((9223372036854775807 // 85 // greatest(count(*), 1)) // 100) * 100)
+        |  AS BIGINT) AS tok FROM seeds),
+        |r0 AS (SELECT id, (SELECT tok FROM init) AS r FROM seeds)""".stripMargin
+    // `init` mirrors PageRank.autoInitTokens over the SEED count (total
+    // PPR mass is seeds·initTokens, so that's the overflow-relevant n)
     val iters = (1 to 5).map { i =>
       s"""c$i AS (
          |  SELECT e.dst AS id,
@@ -322,7 +322,8 @@ object QueriesGraph {
          |r$i AS (
          |  SELECT id, CAST(sum(r) AS BIGINT) AS r FROM (
          |    SELECT id, contrib AS r FROM c$i
-         |    UNION ALL SELECT id, 150000000000 FROM seeds)
+         |    UNION ALL SELECT id, (SELECT (tok // 100) * 15 FROM init)
+         |    FROM seeds)
          |  GROUP BY id)""".stripMargin
     }
     (base +: iters).mkString(",\n") +
@@ -341,11 +342,7 @@ object QueriesGraph {
   // min/max member) so the table stays small at any graph size.
   // -------------------------------------------------------------------
   def lpaCommunities(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    val pairs = Tables.copurchasePairs(spark, sfDir)
     val edges = operators.TriangleCensus.topKNeighborEdges(pairs, "src", "dst", k = 10)
     operators.LabelPropagation.communities(edges, "u", "v", rounds = 4)
       .groupBy(col("community"))
@@ -398,14 +395,9 @@ object QueriesGraph {
   // n_parts) — how fast the co-purchase neighborhood saturates.
   // -------------------------------------------------------------------
   def bfsLevels(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
-    val edges = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-    val seeds = li.select(col("l_partkey")).distinct()
-      .orderBy(col("l_partkey")).limit(3)
+    val edges = Tables.copurchaseEdges(spark, sfDir)
+    val seeds = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+      .distinct().orderBy(col("l_partkey")).limit(3)
     operators.Bfs.levels(edges, "src", "dst", seeds, "l_partkey", rounds = 3)
       .groupBy(col("level")).agg(count(lit(1)).as("n_parts"))
       .orderBy(col("level"))

@@ -63,6 +63,31 @@ object Tables {
     if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
   }
 
+  /** Directed co-purchase edges over parts: (src, dst) when both parts
+    * appear in the same order, src ≠ dst, DEDUPLICATED — the shared graph
+    * for q94 PageRank / q110 PPR / q113 BFS. Per-order fanout is bounded
+    * by basket size (≤ 7 lineitems → ≤ 42 directed pairs), so the
+    * self-join stays linear in orders at any corpus scale. */
+  def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+  }
+
+  /** Ordered co-purchase pairs WITH multiplicity: one (src < dst) row per
+    * shared order — q102 triangles / q111 LPA sparsify on the repeat
+    * count, so no distinct here. Same bounded per-order fanout. */
+  def copurchasePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+  }
+
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")

@@ -26,10 +26,14 @@ import org.apache.spark.sql.functions._
   *
   * Overflow bound: a node's rank is bounded by the TOTAL token mass (a
   * perfect hub can receive nearly all of it), so `r·dampNum` must fit a
-  * BIGINT in the worst case — `nodes·initTokens·dampNum < 2^63`. The
-  * constructor counts nodes (one pass over the cached edge table) and
-  * rejects configurations that could wrap; large graphs pick a smaller
-  * `initTokens` (ranks only need relative resolution).
+  * BIGINT in the worst case — `nodes·initTokens·dampNum < 2^63`. By
+  * default ([[AutoTokens]]) the token scale is DERIVED from the
+  * mass-holding node count via [[autoInitTokens]]: full 10^12 resolution
+  * up to ~108k nodes, scaled down beyond that so the bound always holds
+  * (ranks only need relative resolution). The same pure-integer
+  * derivation is replayed inside the oracle SQL, so auto-scaling stays
+  * cross-engine exact at any data size. Explicit `initTokens` requests
+  * are still validated and rejected loudly if they could wrap.
   *
   * Scale shape: the edge table is joined on `src` every iteration, so it
   * is hash-partitioned once and cached — per iteration only the rank
@@ -40,39 +44,74 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Sentinel default for `initTokens`: derive the token scale from the
+    * graph size via [[autoInitTokens]] instead of a fixed constant. */
+  val AutoTokens: Long = -1L
+
+  /** Default resolution cap: 10^12 tokens per node. Graphs under ~108k
+    * mass-holding nodes (at damping 85/100) run at full cap; larger
+    * graphs scale the tokens down so the overflow bound always holds. */
+  val TokenCap: Long = 1000000000000L
+
+  /** The largest per-node token grant that (a) is an exact multiple of
+    * `dampDen` (so the teleport share is an exact integer) and (b) cannot
+    * overflow BIGINT even if a perfect hub collected the entire mass:
+    * `massNodes · init · dampNum ≤ 2^63−1`. Capped at [[TokenCap]] so
+    * small graphs keep full resolution — and so the auto default changes
+    * nothing for graphs that fit the cap. Pure integer arithmetic: any
+    * other engine replays it exactly (`//` division in the DuckDB
+    * oracle, QueriesGraph.copurchasePagerankSql). */
+  def autoInitTokens(massNodes: Long, dampNum: Long = 85L,
+      dampDen: Long = 100L, cap: Long = TokenCap): Long = {
+    val n = math.max(massNodes, 1L)
+    val maxInit = Long.MaxValue / math.max(dampNum, 1L) / n
+    val scaled = (maxInit / dampDen) * dampDen
+    require(scaled > 0,
+      s"graph too large for exact token PageRank: $n mass-holding nodes " +
+        s"leaves no BIGINT headroom at damping $dampNum/$dampDen")
+    math.min(cap, scaled)
+  }
+
   /** Shared prep: validated parameters + the cached, src-partitioned
-    * (src, dst, outdeg) table and the exact teleport share. */
+    * (src, dst, outdeg) table. */
   private def prepare(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int, initTokens: Long, dampNum: Long,
-      dampDen: Long): (DataFrame, Long) = {
+      iterations: Int, dampNum: Long, dampDen: Long): DataFrame = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0, 1]")
-    require(initTokens % dampDen == 0,
-      s"initTokens=$initTokens must divide by dampDen=$dampDen so the " +
-        "teleport share is an exact integer (pick e.g. 10^12)")
     val e = edges.select(
       col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // stationary per-iteration operand: edges + out-degree, partitioned
     // by src ONCE and cached — iterations re-shuffle only the rank table
-    val withDeg = e.join(deg, "src")
+    e.join(deg, "src")
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (withDeg, (initTokens / dampDen) * (dampDen - dampNum))
   }
 
-  /** Reject token scales a perfect hub could overflow: worst-case rank ≈
-    * `massNodes·initTokens`, multiplied by dampNum inside the iteration.
-    * Costs one count over the (cached) edge table — it doubles as the
-    * cache materialization the first round would pay anyway. */
-  private def requireNoOverflow(withDeg: DataFrame, initTokens: Long,
-      dampNum: Long, massNodes: => Long): Unit = {
+  /** Resolve the token scale: auto-derive from the mass-holding node
+    * count ([[AutoTokens]]), or validate an explicit request — worst-case
+    * rank ≈ `massNodes·initTokens`, multiplied by dampNum inside the
+    * iteration, must fit BIGINT. The count costs one pass over the cached
+    * edge table, which doubles as the cache materialization the first
+    * round would pay anyway. Returns (initTokens, teleport share). */
+  private def resolveTokens(initTokens: Long, dampNum: Long, dampDen: Long,
+      massNodes: => Long): (Long, Long) = {
     val n = math.max(massNodes, 1L)
-    require(n <= Long.MaxValue / math.max(dampNum, 1L) / initTokens,
-      s"$n mass-holding nodes x initTokens=$initTokens x dampNum=$dampNum " +
-        "could overflow BIGINT at a perfect hub - use a smaller initTokens " +
-        "(ranks only need relative resolution)")
+    val tokens =
+      if (initTokens == AutoTokens) autoInitTokens(n, dampNum, dampDen)
+      else {
+        require(initTokens > 0 && initTokens % dampDen == 0,
+          s"initTokens=$initTokens must be a positive multiple of " +
+            s"dampDen=$dampDen so the teleport share is an exact integer " +
+            "(pick e.g. 10^12, or leave the AutoTokens default)")
+        require(n <= Long.MaxValue / math.max(dampNum, 1L) / initTokens,
+          s"$n mass-holding nodes x initTokens=$initTokens x dampNum=$dampNum " +
+            "could overflow BIGINT at a perfect hub - use a smaller initTokens " +
+            "(ranks only need relative resolution) or the AutoTokens default")
+        initTokens
+      }
+    (tokens, (tokens / dampDen) * (dampDen - dampNum))
   }
 
   private def contribution(withRank: DataFrame, dampNum: Long,
@@ -87,11 +126,10 @@ object PageRank {
     * graph is simple). Returns (id, rank_tokens) for every node that
     * appears as a source or a target. */
   def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, initTokens: Long = 1000000000000L,
+      iterations: Int = 5, initTokens: Long = AutoTokens,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    val (withDeg, teleport) =
-      prepare(edges, srcCol, dstCol, iterations, initTokens, dampNum, dampDen)
-    requireNoOverflow(withDeg, initTokens, dampNum,
+    val withDeg = prepare(edges, srcCol, dstCol, iterations, dampNum, dampDen)
+    val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
       withDeg.select(col("src")).union(withDeg.select(col("dst")))
         .distinct().count())
     // The rank table stays SPARSE: it only carries nodes with in-edges.
@@ -101,10 +139,10 @@ object PageRank {
     // per-iteration node join, halving the stages per round: one edge⋈rank
     // join + one token sum, nothing else.
     var ranks: Option[DataFrame] = None
-    var default = initTokens
+    var default = initTok
     for (_ <- 1 to iterations) {
       val withRank = ranks match {
-        case None => withDeg.withColumn("r", lit(initTokens)) // round 1: uniform
+        case None => withDeg.withColumn("r", lit(initTok)) // round 1: uniform
         case Some(rk) => withDeg.join(rk, col("src") === col("id"), "left")
           .withColumn("r", coalesce(col("r"), lit(default)))
       }
@@ -113,11 +151,14 @@ object PageRank {
         (lit(teleport) + col("contrib")).as("r")))
       default = teleport
     }
-    // densify once at the end: sources ∪ targets, teleport-only fill
+    // densify once at the end: sources ∪ targets, teleport-only fill —
+    // then pin the result and release the edge anchor (LoopCache)
     val nodes = withDeg.select(col("src").as("id"))
       .union(withDeg.select(col("dst").as("id"))).distinct()
-    nodes.join(ranks.get, Seq("id"), "left")
-      .select(col("id"), coalesce(col("r"), lit(teleport)).as("rank_tokens"))
+    LoopCache.finish(
+      nodes.join(ranks.get, Seq("id"), "left")
+        .select(col("id"), coalesce(col("r"), lit(teleport)).as("rank_tokens")),
+      withDeg)
   }
 
   /** PERSONALIZED fixed-point PageRank: teleport mass flows only to the
@@ -133,17 +174,19 @@ object PageRank {
     * co-partitioned union+sum. */
   def personalized(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
-      iterations: Int = 5, initTokens: Long = 1000000000000L,
+      iterations: Int = 5, initTokens: Long = AutoTokens,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    val (withDeg, teleport) =
-      prepare(edges, srcCol, dstCol, iterations, initTokens, dampNum, dampDen)
+    val withDeg = prepare(edges, srcCol, dstCol, iterations, dampNum, dampDen)
     val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    requireNoOverflow(withDeg, initTokens, dampNum, seedIds.count())
+    // total mass is seeds·initTokens, so the token scale derives from the
+    // SEED count, not the node count (mirrored by the q110 oracle SQL)
+    val (initTok, teleport) =
+      resolveTokens(initTokens, dampNum, dampDen, seedIds.count())
 
     // ranks stay sparse: nodes holding mass only. Round 1: seeds at
     // initTokens. Each round: propagate, then re-add the seed teleport.
-    var ranks = seedIds.select(col("id"), lit(initTokens).as("r"))
+    var ranks = seedIds.select(col("id"), lit(initTok).as("r"))
     for (_ <- 1 to iterations) {
       val withRank = withDeg.join(ranks, col("src") === col("id"))
       val contrib = contribution(withRank, dampNum, dampDen)
@@ -153,6 +196,7 @@ object PageRank {
         .unionByName(seedIds.select(col("id"), lit(teleport).as("r")))
         .groupBy(col("id")).agg(sum(col("r")).as("r"))
     }
-    ranks.select(col("id"), col("r").as("rank_tokens"))
+    LoopCache.finish(
+      ranks.select(col("id"), col("r").as("rank_tokens")), withDeg, seedIds)
   }
 }

@@ -62,4 +62,20 @@ class Wave5Spec extends AnyFunSuite {
     assert(PageRank.fixedPoint(edges, "src", "dst", iterations = 1)
       .count() == 2L)
   }
+
+  test("autoInitTokens: cap for small graphs, safe scale-down for large") {
+    // under ~108k nodes the cap keeps the historical 10^12 resolution,
+    // so the AutoTokens default changes nothing for existing graphs
+    assert(PageRank.autoInitTokens(2L) == 1000000000000L)
+    assert(PageRank.autoInitTokens(100000L) == 1000000000000L)
+    // beyond the cap boundary: largest 100-multiple under the bound
+    for (n <- Seq(200000L, 6000000L, 10000000000L)) {
+      val tok = PageRank.autoInitTokens(n)
+      assert(tok > 0 && tok % 100L == 0)
+      assert(n <= Long.MaxValue / 85L / tok)              // no hub overflow
+      assert(n > Long.MaxValue / 85L / (tok + 100L))      // and maximal
+    }
+    // a TPC-H sf1-sized part graph (~200k nodes) now auto-fits
+    assert(PageRank.autoInitTokens(200000L) == 542551296200L)
+  }
 }
