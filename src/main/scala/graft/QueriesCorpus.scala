@@ -671,7 +671,11 @@ object QueriesCorpus {
   def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.rebalance(
       Tables.documents(spark, sfDir).select("doc_id", "text"))
-    operators.DupSpans.report(docs, "doc_id", "text", windowTokens = 8)
+    // hashed=false: md5-of-window-text keys, the tier the DuckDB oracle
+    // replays VERBATIM (no xxhash64 2^-64 collision caveat on the gate);
+    // the hashed scale tier stays covered by the hashed≡string spec
+    operators.DupSpans.report(docs, "doc_id", "text", windowTokens = 8,
+        hashed = false)
       .orderBy(col("doc_id"))
   }
 
@@ -761,6 +765,8 @@ object QueriesCorpus {
       .select(col("src_a"), col("src_b"), col("n_inter"), col("n_union"),
         col("exact_jaccard"), col("sketch_within_tol"))
       .orderBy(col("src_a"), col("src_b"))
+      // pin the per-pair result, release the shingle anchor
+      .transform(operators.LoopCache.finish(_, sh))
   }
 
   val sourceSimilaritySql: String =
@@ -841,6 +847,8 @@ object QueriesCorpus {
         .select(lit(4).as("stage_idx"), lit("packed").as("stage"),
           col("n_docs"), col("n_tokens"), col("n_bins")))
       .orderBy(col("stage_idx"))
+      // pin the 5-row funnel stats, release the three stage anchors
+      .transform(operators.LoopCache.finish(_, clean, deduped, mixed))
   }
 
   val corpusPrep2Sql: String = {

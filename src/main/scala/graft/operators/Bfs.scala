@@ -33,15 +33,19 @@ object Bfs {
     for (_ <- 1 to rounds) {
       val next = e.join(lv, col("src") === col("id"))
         .select(col("dst").as("id"), (col("level") + 1L).as("level"))
-      // PERSIST each round: the level table is referenced twice per
-      // round (kept side of the union + the next frontier join), so an
-      // uncached formulation doubles the plan tree every round —
-      // 2^rounds re-executions (measured: 48 s for 3 rounds at sf0.1,
-      // 2 s cached). The table is one (id, level) row per REACHED node.
-      lv = lv.unionByName(next)
-        .groupBy(col("id")).agg(min(col("level")).as("level"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // PIN each round, RELEASE the previous (LoopCache): the level table
+      // is referenced twice per round (kept side of the union + the next
+      // frontier join), so an uncached formulation doubles the plan tree
+      // every round — 2^rounds re-executions (measured: 48 s for 3 rounds
+      // at sf0.1, 2 s cached) — while keeping every superseded round
+      // pinned leaks N tables per invocation. One (id, level) row per
+      // REACHED node.
+      lv = LoopCache.step(
+        lv.unionByName(next)
+          .groupBy(col("id")).agg(min(col("level")).as("level")),
+        lv)
     }
+    e.unpersist(blocking = false) // final lv is materialized; edges done
     lv
   }
 }

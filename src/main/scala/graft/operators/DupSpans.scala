@@ -87,13 +87,16 @@ object DupSpans {
       .agg(first(col("n_tokens")).as("n_tokens"),
         count(lit(1)).as("n_windows"),
         count_if(col("dup")).as("n_dup_windows"))
-    perDoc.join(runs, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_tokens").cast("long").as("n_tokens"),
-        col("n_windows"), col("n_dup_windows"),
-        // run of R windows ≡ span of R+W−1 tokens, capped by the doc
-        // (the short-doc whole-text window would otherwise overstate)
-        when(col("max_run").isNull, lit(0L))
-          .otherwise(least(col("n_tokens").cast("long"),
-            col("max_run") + (w - 1))).as("max_dup_span_tokens"))
+    // pin the per-doc report, release the window-level anchor
+    LoopCache.finish(
+      perDoc.join(runs, Seq("id"), "left")
+        .select(col("id").as(idCol), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_windows"), col("n_dup_windows"),
+          // run of R windows ≡ span of R+W−1 tokens, capped by the doc
+          // (the short-doc whole-text window would otherwise overstate)
+          when(col("max_run").isNull, lit(0L))
+            .otherwise(least(col("n_tokens").cast("long"),
+              col("max_run") + (w - 1))).as("max_dup_span_tokens")),
+      flagged)
   }
 }

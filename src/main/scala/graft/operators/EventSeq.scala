@@ -45,17 +45,19 @@ object EventSeq {
             col(s"e.$tsCol") > col("p.t"))
         .groupBy(col(s"e.$entityCol").as(entityCol))
         .agg(min(col(s"e.$tsCol")).as("t_next"))
-      // PERSIST per stage: `reached` is referenced twice per stage (the
-      // gated filter feeding `next` + the kept side of the left join), so
-      // an uncached loop doubles the plan tree every stage — 2^stages
-      // re-executions of the stage-0 aggregate (the Bfs.levels bug
-      // class). The table is one row per funnel entrant.
-      reached = reached.join(next, Seq(entityCol), "left")
-        .select(ent,
-          when(col("t_next").isNotNull, col("reached") + 1)
-            .otherwise(col("reached")).as("reached"),
-          coalesce(col("t_next"), col("t")).as("t"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // PIN per stage, RELEASE the previous (LoopCache): `reached` is
+      // referenced twice per stage (the gated filter feeding `next` + the
+      // kept side of the left join), so an uncached loop doubles the plan
+      // tree every stage — 2^stages re-executions of the stage-0
+      // aggregate (the Bfs.levels bug class) — and keeping every stage
+      // pinned leaks one entrant-sized table per stage.
+      reached = LoopCache.step(
+        reached.join(next, Seq(entityCol), "left")
+          .select(ent,
+            when(col("t_next").isNotNull, col("reached") + 1)
+              .otherwise(col("reached")).as("reached"),
+            coalesce(col("t_next"), col("t")).as("t")),
+        reached)
     }
     reached.select(ent, col("reached"))
   }

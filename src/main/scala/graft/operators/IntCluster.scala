@@ -100,15 +100,19 @@ object IntCluster {
     var centroids = vecs.orderBy(col("id")).limit(k)
       .select((row_number().over(w) - 1).as("cluster"), col("codes"))
     for (_ <- 1 until iterations) {
-      // PERSIST per round: the centroid table is referenced twice per
-      // round (the assignment and the empty-cluster carry-over join), so
-      // an uncached loop doubles the centroid plan tree every round and
-      // each duplicated subtree re-runs a corpus-wide aggregation
-      // (2^rounds blowup — the Bfs.levels bug class). k rows.
-      centroids = updateCentroids(assign(vecs, centroids), centroids)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // PIN per round, RELEASE the previous (LoopCache): the centroid
+      // table is referenced twice per round (the assignment and the
+      // empty-cluster carry-over join), so an uncached loop doubles the
+      // centroid plan tree every round and each duplicated subtree
+      // re-runs a corpus-wide aggregation (2^rounds blowup — the
+      // Bfs.levels bug class). k rows per round table.
+      centroids = LoopCache.step(
+        updateCentroids(assign(vecs, centroids), centroids), centroids)
     }
-    assign(vecs, centroids).select(col("id"), col("cluster"), col("dist2"))
+    // pin the final assignment, release the corpus anchor + last centroids
+    LoopCache.finish(
+      assign(vecs, centroids).select(col("id"), col("cluster"), col("dist2")),
+      vecs, centroids)
   }
 
   /** Per-group centroid outliers: each group's exact integer centroid

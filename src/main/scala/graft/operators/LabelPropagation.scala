@@ -42,6 +42,8 @@ object LabelPropagation {
         .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("best"))
         .select(col("dst").as("id"), (-col("best.nl")).as("lab"))
     }
-    labels.select(col("id"), col("lab").as("community"))
+    // labels are single-referenced per round (no 2^rounds risk), so only
+    // the final table is pinned; the edge anchor is released once it is
+    LoopCache.finish(labels.select(col("id"), col("lab").as("community")), ue)
   }
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Cache lifecycle for iterative/anchored operators: pin the new state,
+  * FORCE it, then release what it superseded — so an N-round loop (or an
+  * N-anchor pipeline) leaves O(1) live cache entries instead of N
+  * (regression-pinned by ScaleSpec).
+  *
+  * The eager count is load-bearing, not bookkeeping: caches are lazy, so
+  * unpersisting round N−1 BEFORE round N materializes would make round N
+  * recompute N−1 from its (by then also-unpersisted) lineage — the exact
+  * 2^rounds plan blowup the per-round persist exists to kill. Forcing the
+  * new table first means the release only ever drops data nothing still
+  * needs. Cost: one count job per step over an already-cached table.
+  *
+  * Eviction safety: a released entry can still be recomputed from lineage
+  * if an executor later loses the pinned copy — correctness never depends
+  * on the cache, only the cost model does (MEMORY_AND_DISK keeps that
+  * path cold).
+  */
+object LoopCache {
+
+  /** One loop step: pin + force `next`, release `prev` (a no-op when
+    * `prev` was never persisted, e.g. the round-0 seed table). */
+  def step(next: DataFrame, prev: DataFrame): DataFrame = {
+    val pinned = next.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    prev.unpersist(blocking = false)
+    pinned
+  }
+
+  /** Operator epilogue: pin + force the final `result`, then release the
+    * operator's internal `anchors` (edge tables, token streams, …). The
+    * caller gets a materialized table; the operator leaves exactly one
+    * live cache entry behind. */
+  def finish(result: DataFrame, anchors: DataFrame*): DataFrame = {
+    val pinned = result.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    anchors.foreach(_.unpersist(blocking = false))
+    pinned
+  }
+}

@@ -44,7 +44,9 @@ object NgramLm {
       .select(col(idCol), explode(toks(col(textCol))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = fitUnigrams(tokens)
-    scoreTokens(tokens, idCol, model, broadcastModel)
+    // pin the per-doc scores, release the token stream + fitted model
+    LoopCache.finish(
+      scoreTokens(tokens, idCol, model, broadcastModel), tokens, model)
   }
 
   /** Fit the unigram NLL table from a (.., tok) token stream:
@@ -57,9 +59,14 @@ object NgramLm {
     // N is one driver-side scalar (bounded: a single long), the price of
     // avoiding a global cross-join or a second shuffle over the counts
     val n = counts.agg(sum(col("c"))).collect()(0).getLong(0)
-    counts.select(col("tok"),
-      (-log(col("c").cast("double") / lit(n.toDouble)))
-        .cast("decimal(18,6)").as("nll"))
+    // pin the vocab-sized model, release the raw counts it was built from
+    // (the caller owns the model's lifetime — unigramScores releases it
+    // once the scores are materialized)
+    LoopCache.finish(
+      counts.select(col("tok"),
+        (-log(col("c").cast("double") / lit(n.toDouble)))
+          .cast("decimal(18,6)").as("nll")),
+      counts)
   }
 
   /** Score a token stream against a fitted (tok, nll) model: unseen tokens

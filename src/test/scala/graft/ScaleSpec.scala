@@ -35,6 +35,36 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("LoopCache: N-round iterative ops leave O(1) live cache entries") {
+    val sc = spark.sparkContext
+    // small undirected-ish graph with enough structure for 5 rounds
+    val edges = (for {
+      a <- 1L to 30L; b <- 1L to 30L
+      if a != b && (a % 7 == b % 7 || a + 1 == b)
+    } yield (a, b)).toDF("src", "dst")
+    val seeds = Seq(1L, 2L).toDF("id")
+
+    def delta[T](before: Int)(run: => T): Int = {
+      run; sc.getPersistentRDDs.size - before
+    }
+    // each operator may keep its pinned FINAL table, nothing per-round:
+    // 5 rounds without the release would leak 5-6 entries per run
+    assert(delta(sc.getPersistentRDDs.size) {
+      operators.Bfs.levels(edges, "src", "dst", seeds, "id", rounds = 5).count()
+    } <= 1, "Bfs leaked per-round level tables")
+    assert(delta(sc.getPersistentRDDs.size) {
+      operators.PageRank.fixedPoint(edges, "src", "dst", iterations = 5).count()
+    } <= 1, "PageRank leaked its edge anchor")
+    assert(delta(sc.getPersistentRDDs.size) {
+      operators.LabelPropagation.communities(edges, "src", "dst", rounds = 5).count()
+    } <= 1, "LPA leaked its edge anchor")
+    assert(delta(sc.getPersistentRDDs.size) {
+      val vecs = (1L to 40L).map(i => (i, Seq.tabulate(4)(d => ((i * 7 + d) % 13).toInt)))
+        .toDF("id", "codes")
+      operators.IntCluster.kmeans(vecs, "id", "codes", k = 3, iterations = 4).count()
+    } <= 1, "kmeans leaked per-round centroid tables / the corpus anchor")
+  }
+
   test("selective filters and projections reach the parquet scan") {
     val sf = "/root/testdata/sf0.001"
     val q11 = QueriesRelational.filterRevenue(spark, sf)
