@@ -45,18 +45,24 @@ object Bench {
     // two full passes, min per query: the container's host exhibits
     // transient multi-second stalls that land on random queries; the min
     // of two widely-separated runs reports steady-state per-query cost
-    // (a failure in either pass still reports as failed)
+    // (a failure in either pass still reports as failed). BOTH tiers are
+    // reported: "queries"/"value" stay the warm min-of-two (comparable to
+    // prior rounds), "queries_cold"/"total_cold" are the pass-1 times —
+    // what a first run actually costs, cache-cold — so neither number
+    // hides the other.
     val passA = onePass()
     val passB = onePass()
     val results = passA.zip(passB).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    def qjson(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def totalOf(rs: Seq[(String, Double)]) =
+      rs.collect { case (_, v) if v >= 0 => v }.sum
+    val total = totalOf(results)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${qjson(results)},"total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,10 +19,6 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        // finished queries' persisted intermediates are dead weight in a
-        // 100+-query session (fresh DataFrames each call never reuse
-        // them) — drop them so late queries aren't evicting or spilling
-        spark.catalog.clearCache()
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -45,6 +41,11 @@ object Verify {
           System.err.println(s"[verify] $name stale-cleanup failed: ${c.getMessage}")
         }
       }
+      // finished queries' persisted intermediates are dead weight in a
+      // 100+-query session (fresh DataFrames each call never reuse them)
+      // — drop them so late queries aren't evicting or spilling. In a
+      // `finally` so a THROWING query also releases what it pinned.
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -17,14 +17,17 @@ import org.apache.spark.sql.functions._
 object Constraints {
 
   /** Violation-count rows, one per (name, condition) over `df` — a
-    * single aggregate pass however many conditions are given. */
+    * single aggregate pass however many conditions are given. Built from
+    * typed Columns end to end, so a check name is DATA, never SQL text —
+    * names with quotes/spaces/hyphens can't break parsing or inject. */
   def violations(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
-    val aggs = checks.map { case (n, cond) => count_if(cond).as(n) }
-    df.agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${checks.size}, " +
-        checks.map(c => s"'${c._1}', ${c._1}").mkString(", ") +
-        ") AS (check_name, violations)")
+    val pairs = checks.map { case (n, cond) =>
+      struct(lit(n).as("check_name"), count_if(cond).as("violations"))
+    }
+    df.agg(array(pairs: _*).as("a"))
+      .select(explode(col("a")).as("s"))
+      .select(col("s.check_name"), col("s.violations"))
   }
 
   /** Uniqueness violations: rows beyond one per key. */

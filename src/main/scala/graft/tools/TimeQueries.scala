@@ -27,6 +27,10 @@ object TimeQueries {
       }
       once() // warm
       println(f"[time] $n: ${math.min(once(), once())}%.3f s")
+      // drop this query's persisted plans so the NEXT query's timing
+      // doesn't silently read a warm cross-query cache (within-query
+      // warm reuse across the two passes is the point and stays)
+      spark.catalog.clearCache()
     }
     spark.stop()
   }
