@@ -27,25 +27,34 @@ object Bfs {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var lv = seeds.select(col(seedCol).cast("long").as("id")).distinct()
-      .select(col("id"), lit(0L).as("level"))
-    for (_ <- 1 to rounds) {
-      val next = e.join(lv, col("src") === col("id"))
-        .select(col("dst").as("id"), (col("level") + 1L).as("level"))
-      // PIN each round, RELEASE the previous (LoopCache): the level table
-      // is referenced twice per round (kept side of the union + the next
-      // frontier join), so an uncached formulation doubles the plan tree
-      // every round — 2^rounds re-executions (measured: 48 s for 3 rounds
-      // at sf0.1, 2 s cached) — while keeping every superseded round
-      // pinned leaks N tables per invocation. One (id, level) row per
-      // REACHED node.
-      lv = LoopCache.step(
-        lv.unionByName(next)
-          .groupBy(col("id")).agg(min(col("level")).as("level")),
-        lv)
+    def loop(step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      var lv = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+        .select(col("id"), lit(0L).as("level"))
+      for (_ <- 1 to rounds) {
+        val next = e.join(lv, col("src") === col("id"))
+          .select(col("dst").as("id"), (col("level") + 1L).as("level"))
+        lv = step(
+          lv.unionByName(next)
+            .groupBy(col("id")).agg(min(col("level")).as("level")),
+          lv)
+      }
+      lv
     }
+    // cache probe: a prior invocation pinned this exact final plan —
+    // reuse it instead of re-driving the rounds (the plan-only loop is
+    // cheap to build; nothing executes on a probe hit)
+    val probe = loop((next, _) => next)
+    if (LoopCache.cached(probe)) return probe
+    // PIN each round, RELEASE the previous (LoopCache.step): the level
+    // table is referenced twice per round (kept side of the union + the
+    // next frontier join), so an uncached formulation doubles the plan
+    // tree every round — 2^rounds re-executions (measured: 48 s for 3
+    // rounds at sf0.1, 2 s cached) — while keeping every superseded
+    // round pinned leaks N tables per invocation. One (id, level) row
+    // per REACHED node.
+    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = loop(LoopCache.step)
     e.unpersist(blocking = false) // final lv is materialized; edges done
-    lv
+    out
   }
 }

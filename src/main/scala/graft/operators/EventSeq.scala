@@ -29,37 +29,46 @@ object EventSeq {
       typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val ent = col(entityCol)
-    // stage 0: earliest occurrence of the entry event per entity
-    var reached = events.filter(col(typeCol) === stages.head)
-      .groupBy(ent).agg(min(col(tsCol)).as("t"))
-      .select(ent, lit(1).as("reached"), col("t"))
-    for ((stage, i) <- stages.tail.zipWithIndex) {
-      // strict-after refinement: min ts of this stage's events later than
-      // the previous stage's reach time — gated on the entity sitting at
-      // EXACTLY the previous stage (`reached = i+1`), so a skipped stage
-      // can never be jumped over (view→purchase without the click doesn't
-      // advance). Entities that stall keep (reached, t) via the left join.
-      val next = events.filter(col(typeCol) === stage).as("e")
-        .join(reached.filter(col("reached") === i + 1).as("p"),
-          col(s"e.$entityCol") === col(s"p.$entityCol") &&
-            col(s"e.$tsCol") > col("p.t"))
-        .groupBy(col(s"e.$entityCol").as(entityCol))
-        .agg(min(col(s"e.$tsCol")).as("t_next"))
-      // PIN per stage, RELEASE the previous (LoopCache): `reached` is
-      // referenced twice per stage (the gated filter feeding `next` + the
-      // kept side of the left join), so an uncached loop doubles the plan
-      // tree every stage — 2^stages re-executions of the stage-0
-      // aggregate (the Bfs.levels bug class) — and keeping every stage
-      // pinned leaks one entrant-sized table per stage.
-      reached = LoopCache.step(
-        reached.join(next, Seq(entityCol), "left")
-          .select(ent,
-            when(col("t_next").isNotNull, col("reached") + 1)
-              .otherwise(col("reached")).as("reached"),
-            coalesce(col("t_next"), col("t")).as("t")),
-        reached)
+    def loop(step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      // stage 0: earliest occurrence of the entry event per entity
+      var reached = events.filter(col(typeCol) === stages.head)
+        .groupBy(ent).agg(min(col(tsCol)).as("t"))
+        .select(ent, lit(1).as("reached"), col("t"))
+      for ((stage, i) <- stages.tail.zipWithIndex) {
+        // strict-after refinement: min ts of this stage's events later
+        // than the previous stage's reach time — gated on the entity
+        // sitting at EXACTLY the previous stage (`reached = i+1`), so a
+        // skipped stage can never be jumped over (view→purchase without
+        // the click doesn't advance). Entities that stall keep
+        // (reached, t) via the left join.
+        val next = events.filter(col(typeCol) === stage).as("e")
+          .join(reached.filter(col("reached") === i + 1).as("p"),
+            col(s"e.$entityCol") === col(s"p.$entityCol") &&
+              col(s"e.$tsCol") > col("p.t"))
+          .groupBy(col(s"e.$entityCol").as(entityCol))
+          .agg(min(col(s"e.$tsCol")).as("t_next"))
+        reached = step(
+          reached.join(next, Seq(entityCol), "left")
+            .select(ent,
+              when(col("t_next").isNotNull, col("reached") + 1)
+                .otherwise(col("reached")).as("reached"),
+              coalesce(col("t_next"), col("t")).as("t")),
+          reached)
+      }
+      reached // the (entity, reached, t) table — what a stepped run pins
     }
-    reached.select(ent, col("reached"))
+    // cache probe: a prior invocation pinned this funnel's final stage
+    // table — reuse instead of re-driving every stage (the probe targets
+    // the PINNED table, not the projection on top of it)
+    val probe = loop((next, _) => next)
+    if (LoopCache.cached(probe)) return probe.select(ent, col("reached"))
+    // PIN per stage, RELEASE the previous (LoopCache.step): `reached` is
+    // referenced twice per stage (the gated filter feeding `next` + the
+    // kept side of the left join), so an uncached loop doubles the plan
+    // tree every stage — 2^stages re-executions of the stage-0
+    // aggregate (the Bfs.levels bug class) — and keeping every stage
+    // pinned leaks one entrant-sized table per stage.
+    loop(LoopCache.step).select(ent, col("reached"))
   }
 
   /** First-order transition counts: order each entity's events by

@@ -92,27 +92,36 @@ object IntCluster {
       s"k=$k and iterations=$iterations must be >= 1")
     val vecs = df.select(col(idCol).cast("long").as("id"),
         col(codesCol).as("codes"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.orderBy(col("id"))
-    // deterministic seed: the k smallest ids, cluster = seed order. The
-    // global row_number window only ever sees k+ε rows (limit pushes the
-    // top-k selection map-side), so the single-partition sort is bounded.
-    var centroids = vecs.orderBy(col("id")).limit(k)
-      .select((row_number().over(w) - 1).as("cluster"), col("codes"))
-    for (_ <- 1 until iterations) {
-      // PIN per round, RELEASE the previous (LoopCache): the centroid
-      // table is referenced twice per round (the assignment and the
-      // empty-cluster carry-over join), so an uncached loop doubles the
-      // centroid plan tree every round and each duplicated subtree
-      // re-runs a corpus-wide aggregation (2^rounds blowup — the
-      // Bfs.levels bug class). k rows per round table.
-      centroids = LoopCache.step(
-        updateCentroids(assign(vecs, centroids), centroids), centroids)
+    var lastCentroids: DataFrame = null
+    def loop(step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      // deterministic seed: the k smallest ids, cluster = seed order. The
+      // global row_number window only ever sees k+ε rows (limit pushes
+      // the top-k selection map-side), so the single-partition sort is
+      // bounded.
+      var centroids = vecs.orderBy(col("id")).limit(k)
+        .select((row_number().over(w) - 1).as("cluster"), col("codes"))
+      for (_ <- 1 until iterations) {
+        centroids = step(
+          updateCentroids(assign(vecs, centroids), centroids), centroids)
+      }
+      lastCentroids = centroids
+      assign(vecs, centroids).select(col("id"), col("cluster"), col("dist2"))
     }
+    // cache probe: a prior invocation pinned this exact final assignment
+    // — reuse instead of re-running Lloyd rounds. (The plan-only probe
+    // loop doubles the centroid plan tree per round — 2^iterations plan
+    // NODES, nothing executed — fine at the ≤5 iterations in use.)
+    val probe = loop((next, _) => next)
+    if (LoopCache.cached(probe)) return probe
+    // PIN per round, RELEASE the previous (LoopCache.step): the centroid
+    // table is referenced twice per round (the assignment and the
+    // empty-cluster carry-over join), so an uncached stepped loop
+    // re-runs a corpus-wide aggregation per duplicated subtree (2^rounds
+    // blowup — the Bfs.levels bug class). k rows per round table.
+    vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // pin the final assignment, release the corpus anchor + last centroids
-    LoopCache.finish(
-      assign(vecs, centroids).select(col("id"), col("cluster"), col("dist2")),
-      vecs, centroids)
+    LoopCache.finish(loop(LoopCache.step), vecs, lastCentroids)
   }
 
   /** Per-group centroid outliers: each group's exact integer centroid

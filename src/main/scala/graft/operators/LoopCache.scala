@@ -22,6 +22,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object LoopCache {
 
+  /** True when a semantically-equal plan is already pinned — i.e. a
+    * prior invocation of the same operator on the same inputs ran
+    * [[finish]] and its result cache is still live. `storageLevel` is
+    * the public API over CacheManager's canonicalized-plan lookup (the
+    * same match Spark applies at execution), so a fresh DataFrame built
+    * by a re-invoked query factory still probes true. */
+  def cached(df: DataFrame): Boolean = df.storageLevel != StorageLevel.NONE
+
   /** One loop step: pin + force `next`, release `prev` (a no-op when
     * `prev` was never persisted, e.g. the round-0 seed table). */
   def step(next: DataFrame, prev: DataFrame): DataFrame = {
@@ -34,11 +42,21 @@ object LoopCache {
   /** Operator epilogue: pin + force the final `result`, then release the
     * operator's internal `anchors` (edge tables, token streams, …). The
     * caller gets a materialized table; the operator leaves exactly one
-    * live cache entry behind. */
+    * live cache entry behind.
+    *
+    * Idempotent re-invocation: when the result plan is already pinned
+    * (this operator ran before in the session and nothing dropped its
+    * final), skip the force entirely and just release the anchors' lazy
+    * persist marks — execution will substitute the live cache. This is
+    * what keeps warm re-runs warm AFTER the anchor cleanup: without the
+    * probe, releasing internals would make every re-invocation re-drive
+    * the whole pipeline that the still-pinned final already answers. */
   def finish(result: DataFrame, anchors: DataFrame*): DataFrame = {
-    val pinned = result.persist(StorageLevel.MEMORY_AND_DISK)
-    pinned.count()
+    if (!cached(result)) {
+      result.persist(StorageLevel.MEMORY_AND_DISK)
+      result.count()
+    }
     anchors.foreach(_.unpersist(blocking = false))
-    pinned
+    result
   }
 }

@@ -167,13 +167,27 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("bloom semi join result is exactly the plain semi join") {
-    val left = (1L to 500L).map(i => (i, i % 7)).toDF("k", "payload")
+    // parquet-backed probe side: over a LocalRelation the optimizer
+    // evaluates the bloom predicate at plan time and the Filter node we
+    // assert on below folds away entirely (and parquet is the realistic
+    // shape — the probe side is the huge scan)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    (1L to 500L).map(i => (i, i % 7)).toDF("k", "payload")
+      .write.mode("overwrite").parquet(dir)
+    val left = spark.read.parquet(dir)
     val right = (1L to 500L by 5L).toDF("rk")
-    val got = BloomJoin.bloomSemiJoin(left, right, "k", "rk", expectedItems = 200L)
-      .select($"k").as[Long].collect().sorted.toSeq
+    val bloomed = BloomJoin.bloomSemiJoin(left, right, "k", "rk", expectedItems = 200L)
+    val got = bloomed.collect().map(_.getAs[Long]("k")).sorted.toSeq
     val want = left.join(right, $"k" === $"rk", "left_semi")
       .select($"k").as[Long].collect().sorted.toSeq
     assert(got == want)
+    // the probe is the native Catalyst predicate inside a whole-stage
+    // codegen span ("*(n) Filter ... might_contain"), not a Scala UDF
+    // (collect() above finalized the adaptive plan we assert on)
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("UDF"), plan)
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Filter[^\\n]*might_contain.*"), plan)
   }
 
   test("int8 quantization: codes bounded, extremes saturate, error within bound") {
