@@ -556,4 +556,47 @@ object QueriesGraph {
       |  FROM p)
       |SELECT secs // 1800 AS bucket_30m, count(*) AS n_users
       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q118 — k-core of the co-purchase graph: three parallel-peeling
+  // rounds at a scale-adaptive threshold k = 3·(mean degree)/4 (exact
+  // integer division both engines). The threshold is derived INSIDE the
+  // plan (one-row broadcast), so the query runs unchanged at any SF —
+  // the same rule as q94's auto token scale. 3·mean/4 is the measured
+  // sweet spot on this graph family: every round peels (1827→1721→1626
+  // survivors at sf0.01), so the cascade — the thing that makes k-core
+  // iterative rather than a single degree filter — is genuinely
+  // exercised; mean-degree collapses to an empty core by round 3.
+  // -------------------------------------------------------------------
+  def kcoreParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.copurchaseEdges(spark, sfDir)
+    operators.KCore
+      .survivorsAtMeanFraction(edges, "src", "dst", num = 3, den = 4, rounds = 3)
+      .select(col("id").as("part_id"), col("degree").as("core_degree"))
+      .orderBy(col("part_id"))
+  }
+
+  val kcorePartsSql: String = {
+    val base =
+      """WITH edges AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |a0 AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+        |       FROM edges GROUP BY src),
+        |th AS (SELECT CAST(sum(degree) * 3 // (count(*) * 4) AS BIGINT) AS k
+        |       FROM a0)""".stripMargin
+    // one CTE per peeling round: degree over the subgraph induced by the
+    // previous survivors, kept when >= k (same truncating integer ops as
+    // Spark's DIV — cross-engine exact)
+    val rounds = (1 to 3).map { i =>
+      s"""a$i AS (
+         |  SELECT e.src AS id, CAST(count(*) AS BIGINT) AS degree
+         |  FROM edges e JOIN a${i - 1} s ON e.src = s.id
+         |               JOIN a${i - 1} t ON e.dst = t.id
+         |  GROUP BY e.src HAVING count(*) >= (SELECT k FROM th))""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      "\nSELECT id AS part_id, degree AS core_degree FROM a3 ORDER BY part_id"
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{BloomJoin, Sampling, TfIdf, TopK, ZOrder}
+import graft.operators.{BloomJoin, DistinctSketch, Sampling, TfIdf, TopK, ZOrder}
 
 /** Pipeline-utility queries (q45-q52): the selection / sizing / scrubbing
   * operations around the dedup+similarity core of a training-data pipeline
@@ -709,4 +709,57 @@ object QueriesPipeline {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         ")\nORDER BY profiled_key")
   }
+
+  // ------------------------------------------------------------------
+  // q119 — mergeable distinct-count registers (engine-exact HLL state,
+  // operators/DistinctSketch): per return flag, the 256-register sketch
+  // of distinct order keys, summarized as exact integers (reg_sum =
+  // Σ 2^(53−max_rho), registers_hit) alongside the exact distinct
+  // count. Unlike q70's self-validating TRUE column, the sketch STATE
+  // itself is oracle-hashed — DuckDB rebuilds the same registers from
+  // the same md5 bits. The estimate's accuracy (≤ 10% here, σ ≈ 6.5%)
+  // is asserted in the spec, off DistinctSketch.estimate. At 100 TB the
+  // register table (≤ 256 rows/group) replaces the distinct shuffle and
+  // merges across days/shards by union + re-max.
+  // ------------------------------------------------------------------
+  def distinctRegisters(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_orderkey"))
+    val sk = DistinctSketch.summary(
+      DistinctSketch.registers(li, Seq("l_returnflag"), "l_orderkey"),
+      Seq("l_returnflag"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+    sk.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("exact_distinct"),
+        col("reg_sum"), col("registers_hit"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val distinctRegistersSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+      |           1, 2) AS BIGINT) AS INT) AS reg,
+      |         CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)),
+      |           3, 13) AS BIGINT) AS v
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, reg,
+      |         max(CASE WHEN v = 0 THEN 53
+      |             ELSE 53 - CAST(length(bin(v)) AS INT) END) AS max_rho
+      |  FROM b GROUP BY flag, reg),
+      |s AS (
+      |  SELECT flag,
+      |         CAST(sum(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT)
+      |           AS reg_sum,
+      |         CAST(count(*) AS BIGINT) AS registers_hit
+      |  FROM r GROUP BY flag),
+      |e AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      |  FROM lineitem GROUP BY 1)
+      |SELECT s.flag AS l_returnflag, e.exact_distinct, s.reg_sum,
+      |       s.registers_hit
+      |FROM s JOIN e USING (flag) ORDER BY l_returnflag""".stripMargin
 }

@@ -20,8 +20,12 @@ object DumpQueries {
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     names.foreach { n =>
-      Queries.queries(n)(spark, sfDir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$n")
+      val df = Queries.queries(n)(spark, sfDir)
+      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
+      // SPARK_GRAFT_EXPLAIN=1: print the final adaptive plan (after the
+      // action, so AQE has finalized joins/partitioning)
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
+        println(s"[plan] $n\n" + df.queryExecution.executedPlan.toString)
       println(s"[dump] wrote $outDir/$n")
     }
     // matching oracle subset so tools/check_oracle.py works on the dump dir
