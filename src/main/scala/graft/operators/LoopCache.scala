@@ -30,6 +30,27 @@ object LoopCache {
     * by a re-invoked query factory still probes true. */
   def cached(df: DataFrame): Boolean = df.storageLevel != StorageLevel.NONE
 
+  /** Pin-and-read a tiny aggregate whose VALUE feeds plan construction
+    * (PageRank's token scale from the node count, sampling-rate
+    * targets): the frame is persisted on first read, so re-invocations
+    * of the same operator read the cached row instead of re-driving the
+    * scan behind it — without this, a data-derived constant forces a
+    * full pass per invocation even when the operator's final table is
+    * still pinned. One deliberate session-lived cache entry per distinct
+    * frame, bounded by its single-row size. */
+  def pinnedRow(df: DataFrame): org.apache.spark.sql.Row = {
+    if (!cached(df)) df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.head()
+  }
+
+  /** [[pinnedRow]] for small multi-row aggregates (per-stratum counts
+    * feeding sampling rates/targets): pin + collect. Callers use it only
+    * for ≤|strata|-sized frames, so the session-lived entry stays tiny. */
+  def pinnedRows(df: DataFrame): Array[org.apache.spark.sql.Row] = {
+    if (!cached(df)) df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.collect()
+  }
+
   /** One loop step: pin + force `next`, release `prev` (a no-op when
     * `prev` was never persisted, e.g. the round-0 seed table). */
   def step(next: DataFrame, prev: DataFrame): DataFrame = {

@@ -57,8 +57,9 @@ object NgramLm {
     val counts = tokens.groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // N is one driver-side scalar (bounded: a single long), the price of
-    // avoiding a global cross-join or a second shuffle over the counts
-    val n = counts.agg(sum(col("c"))).collect()(0).getLong(0)
+    // avoiding a global cross-join or a second shuffle over the counts;
+    // pinned so warm re-invocations skip the token-stream pass entirely
+    val n = LoopCache.pinnedRow(counts.agg(sum(col("c")))).getLong(0)
     // pin the vocab-sized model, release the raw counts it was built from
     // (the caller owns the model's lifetime — unigramScores releases it
     // once the scores are materialized)
@@ -134,7 +135,7 @@ object NgramLm {
     val base = tokenArrays(df, idCol, textCol)
     val uniCounts = base.select(explode(col("ts")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
-    val n = uniCounts.agg(sum(col("c1"))).collect()(0).getLong(0)
+    val n = LoopCache.pinnedRow(uniCounts.agg(sum(col("c1")))).getLong(0)
     val biCounts = bigramStream(base, idCol).groupBy(col("prev"), col("tok"))
       .agg(count(lit(1)).as("c2"))
     BigramModel(uniCounts, biCounts, n)

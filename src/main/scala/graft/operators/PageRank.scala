@@ -129,9 +129,15 @@ object PageRank {
       iterations: Int = 5, initTokens: Long = AutoTokens,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
     val withDeg = prepare(edges, srcCol, dstCol, iterations, dampNum, dampDen)
+    // the node count feeds the token scale, i.e. PLAN construction — a
+    // pinned 1-row aggregate (LoopCache.pinnedRow) so only the first
+    // invocation pays the pass (which doubles as the edge-cache
+    // materialization); warm re-invocations read the cached row and then
+    // reuse the pinned final via finish's probe
     val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
-      withDeg.select(col("src")).union(withDeg.select(col("dst")))
-        .distinct().count())
+      LoopCache.pinnedRow(
+        withDeg.select(col("src")).union(withDeg.select(col("dst")))
+          .distinct().agg(count(lit(1)))).getLong(0))
     // The rank table stays SPARSE: it only carries nodes with in-edges.
     // A node absent from it has a known rank — `initTokens` before the
     // first round, exactly `teleport` afterwards (no in-edges ⟹ nothing
@@ -180,9 +186,10 @@ object PageRank {
     val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // total mass is seeds·initTokens, so the token scale derives from the
-    // SEED count, not the node count (mirrored by the q110 oracle SQL)
-    val (initTok, teleport) =
-      resolveTokens(initTokens, dampNum, dampDen, seedIds.count())
+    // SEED count, not the node count (mirrored by the q110 oracle SQL);
+    // pinned 1-row aggregate — same warm-path rationale as fixedPoint
+    val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
+      LoopCache.pinnedRow(seedIds.agg(count(lit(1)))).getLong(0))
 
     // ranks stay sparse: nodes holding mass only. Round 1: seeds at
     // initTokens. Each round: propagate, then re-add the seed teleport.

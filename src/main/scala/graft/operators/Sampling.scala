@@ -92,9 +92,12 @@ object Sampling {
     // ONE corpus pass: the per-stratum counts aggregate is collected
     // (≤ |strata| rows) and the total derived from it driver-side — a
     // df.count() here would re-scan the whole corpus for a number the
-    // counts already contain
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_before"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // counts already contain. Pinned (LoopCache.pinnedRow rationale): the
+    // rates feed PLAN construction, so re-invocations read the cached
+    // stratum rows instead of re-scanning the corpus.
+    val counts = LoopCache.pinnedRows(
+        df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_before")))
+      .map(r => r.getString(0) -> r.getLong(1))
     val nTotal = counts.map(_._2).sum
     // min(1, w·N/n) in driver doubles: multiply-then-divide, the same two
     // IEEE ops in the same order as the SQL-side least(1.0, w*N/n) — the
@@ -136,8 +139,9 @@ object Sampling {
         org.apache.spark.sql.types.StringType,
       s"sqrtTemperatureTargets requires a string strata column; " +
         s"'$strataCol' is ${df.schema(strataCol).dataType.simpleString}")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_before"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val counts = LoopCache.pinnedRows(
+        df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_before")))
+      .map(r => r.getString(0) -> r.getLong(1))
     val target = counts.map(_._2).sum * totalFracNum / totalFracDen
     val weights = counts.map { case (s, n) =>
       (s, n, math.floor(math.sqrt(n.toDouble)).toLong)

@@ -52,9 +52,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(delta(sc.getPersistentRDDs.size) {
       operators.Bfs.levels(edges, "src", "dst", seeds, "id", rounds = 5).count()
     } <= 1, "Bfs leaked per-round level tables")
+    // PageRank keeps TWO deliberate entries: the pinned final plus the
+    // 1-row node-count aggregate (LoopCache.pinnedRow — the token scale
+    // feeds plan construction, so caching the count is what lets warm
+    // re-invocations skip the edge pass entirely)
     assert(delta(sc.getPersistentRDDs.size) {
       operators.PageRank.fixedPoint(edges, "src", "dst", iterations = 5).count()
-    } <= 1, "PageRank leaked its edge anchor")
+    } <= 2, "PageRank leaked its edge anchor")
+    // re-invocation must add NOTHING: count row + final both probe cached
+    assert(delta(sc.getPersistentRDDs.size) {
+      operators.PageRank.fixedPoint(edges, "src", "dst", iterations = 5).count()
+    } == 0, "warm PageRank re-invocation missed its pinned count/final")
     assert(delta(sc.getPersistentRDDs.size) {
       operators.LabelPropagation.communities(edges, "src", "dst", rounds = 5).count()
     } <= 1, "LPA leaked its edge anchor")
