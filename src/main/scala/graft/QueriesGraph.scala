@@ -599,4 +599,48 @@ object QueriesGraph {
     (base +: rounds).mkString(",\n") +
       "\nSELECT id AS part_id, degree AS core_degree FROM a3 ORDER BY part_id"
   }
+
+  // -------------------------------------------------------------------
+  // q120 — link prediction (operators/LinkPredict): the 20 non-adjacent
+  // part pairs with the most common neighbors in the same sparsified
+  // top-10 co-purchase graph as q102/q111 — "these two parts are not
+  // co-bought yet but share a neighborhood". Integer counts rank;
+  // the Jaccard column is one exact-integer IEEE division.
+  // -------------------------------------------------------------------
+  def linkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = Tables.copurchasePairs(spark, sfDir)
+    val edges = operators.TriangleCensus.topKNeighborEdges(pairs, "src", "dst", k = 10)
+    operators.LinkPredict.topCommonNeighborPairs(edges, topN = 20)
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("common_neighbors"), col("jaccard"))
+  }
+
+  val linkPredictionSql: String =
+    """WITH p AS (
+      |  SELECT a.l_partkey AS x, b.l_partkey AS y
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |m AS (SELECT x, y, count(*) AS m FROM p GROUP BY x, y),
+      |nb AS (SELECT x AS src, y AS dst, m FROM m
+      |       UNION ALL SELECT y, x, m FROM m),
+      |tk AS (SELECT src, dst FROM (
+      |         SELECT src, dst,
+      |                row_number() OVER (PARTITION BY src
+      |                                   ORDER BY m DESC, dst) AS rn
+      |         FROM nb) WHERE rn <= 10),
+      |e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |       FROM tk),
+      |ad AS (SELECT u AS n, v AS nb FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM ad GROUP BY n),
+      |cn AS (SELECT x.nb AS a, y.nb AS b, CAST(count(*) AS BIGINT) AS common
+      |       FROM ad x JOIN ad y ON x.n = y.n AND x.nb < y.nb
+      |       GROUP BY x.nb, y.nb),
+      |cand AS (SELECT * FROM cn
+      |         WHERE NOT EXISTS (SELECT 1 FROM e0
+      |                           WHERE e0.u = cn.a AND e0.v = cn.b))
+      |SELECT c.a AS part_a, c.b AS part_b, c.common AS common_neighbors,
+      |       CAST(c.common AS DOUBLE) /
+      |         CAST(da.dg + db.dg - c.common AS DOUBLE) AS jaccard
+      |FROM cand c JOIN deg da ON c.a = da.n JOIN deg db ON c.b = db.n
+      |ORDER BY c.common DESC, c.a, c.b LIMIT 20""".stripMargin
 }

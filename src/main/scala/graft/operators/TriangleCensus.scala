@@ -56,7 +56,15 @@ object TriangleCensus {
       .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
     val tris = wedges.join(e,
       wedges("a") === e("u") && wedges("c") === e("v"), "left_semi")
-    tris.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+    val out = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+    // probe-or-pin (LoopCache): the edge set is referenced three times
+    // (both wedge legs + the closing semi join), so pin it for the single
+    // drive — without it the sparsification window re-runs three times —
+    // and keep only the node-sized census pinned for warm re-invocations
+    if (LoopCache.cached(out)) return out
+    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    LoopCache.finish(out, e)
   }
 }

@@ -66,6 +66,21 @@ class Wave6Spec extends AnyFunSuite {
       s2.head.getLong(2) == s.getLong(2))
   }
 
+  test("link prediction: hand-scored square + pendant, edges excluded") {
+    // square 1-2-3-4-1 with pendant 4-5. Non-adjacent distance-2 pairs:
+    // (1,3) via {2,4}: jaccard 2/(2+2-2) = 1.0; (2,4) via {1,3}: deg(4)=3
+    // (pendant), so 2/(2+3-2) = 2/3; (1,5) and (3,5) via {4}: deg(5)=1,
+    // so 1/(2+1-1) = 0.5. Adjacent pairs must not appear.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    val got = operators.LinkPredict.topCommonNeighborPairs(edges, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      (1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 2.0 / 3.0),
+      (1L, 5L) -> (1L, 0.5), (3L, 5L) -> (1L, 0.5)))
+  }
+
   test("distinct registers merge across shards exactly") {
     val all = (1L to 3000L).map(i => ("g", i)).toDF("g", "k")
     val shard1 = all.filter(col("k") % 3 =!= 0)
