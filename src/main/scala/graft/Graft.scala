@@ -127,4 +127,58 @@ object Graft {
   def columnProfile(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false): DataFrame =
     Profile.columnProfile(df, cols, approxDistinct)
+
+  // --- graph & event-sequence analytics (exact integer numerics) ---
+
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame =
+    PageRank.fixedPoint(edges, srcCol, dstCol, iterations)
+
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int = 5): DataFrame =
+    PageRank.personalized(edges, srcCol, dstCol, seeds, seedCol, iterations)
+
+  def communities(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 4): DataFrame =
+    LabelPropagation.communities(edges, srcCol, dstCol, rounds)
+
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame =
+    Bfs.levels(edges, srcCol, dstCol, seeds, seedCol, rounds)
+
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Long, rounds: Int): DataFrame =
+    KCore.survivors(edges, srcCol, dstCol, k, rounds)
+
+  def triangleCounts(pairs: DataFrame, srcCol: String, dstCol: String,
+      topKNeighbors: Int = 10): DataFrame =
+    TriangleCensus.perNodeTriangles(
+      TriangleCensus.topKNeighborEdges(pairs, srcCol, dstCol, topKNeighbors))
+
+  def linkPredictions(pairs: DataFrame, srcCol: String, dstCol: String,
+      topKNeighbors: Int = 10, topN: Int = 20): DataFrame =
+    LinkPredict.topCommonNeighborPairs(
+      TriangleCensus.topKNeighborEdges(pairs, srcCol, dstCol, topKNeighbors),
+      topN)
+
+  def funnel(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame =
+    EventSeq.funnel(events, entityCol, tsCol, typeCol, stages)
+
+  def kMeansInt8(df: DataFrame, idCol: String, codesCol: String,
+      k: Int, iterations: Int): DataFrame =
+    IntCluster.kmeans(df, idCol, codesCol, k, iterations)
+
+  // --- mergeable distinct-count registers (engine-exact HLL state) ---
+
+  def distinctRegisters(df: DataFrame, groupCols: Seq[String],
+      keyCol: String): DataFrame =
+    DistinctSketch.registers(df, groupCols, keyCol)
+
+  def distinctSketchSummary(registers: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    DistinctSketch.summary(registers, groupCols)
+
+  def distinctEstimate(regSum: Long, registersHit: Long): Double =
+    DistinctSketch.estimate(regSum, registersHit)
 }

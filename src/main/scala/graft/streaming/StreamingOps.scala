@@ -134,6 +134,23 @@ object StreamingOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Streaming distinct-count registers — the continuous half of q119's
+    * engine-exact sketch (operators/DistinctSketch): the same md5-derived
+    * (group, reg, max_rho) state, maintained as a plain streaming
+    * aggregation. No watermark needed: max(rho) is monotone and the state
+    * is BOUNDED BY CONSTRUCTION at ≤ 256 rows per group forever — which
+    * is exactly why register sketches are the streaming distinct-count
+    * (exact distinct state grows with every new key; this doesn't).
+    * Because the state transition (max) is associative, commutative and
+    * idempotent, the streaming registers after any prefix equal the batch
+    * registers over the same rows — the spec asserts it. */
+  def distinctRegistersStream(df: DataFrame, groupCol: String,
+      keyCol: String): DataFrame = {
+    import graft.operators.DistinctSketch
+    df.groupBy(col(groupCol), DistinctSketch.reg(col(keyCol)).as("reg"))
+      .agg(max(DistinctSketch.rho(col(keyCol))).as("max_rho"))
+  }
+
   /** Stream-static anomaly screen — the continuous half of q106's exact
     * integer 2σ test: hourly per-type counts aggregate in-stream
     * (watermarked tumbling window) and each closed window is probed

@@ -124,6 +124,32 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming distinct registers equal the batch sketch over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingOps.distinctRegistersStream(
+        mem.toDF().toDF("g", "k"), "g", "k")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("regs").start()
+    try {
+      // two micro-batches with overlapping keys: the monotone max state
+      // must land exactly where one batch pass over all rows lands
+      mem.addData((1L to 400L).map(i => ("a", i * 31L)) ++
+        (1L to 150L).map(i => ("b", i * 7L)): _*)
+      q.processAllAvailable()
+      mem.addData((200L to 700L).map(i => ("a", i * 31L)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("regs")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      val allRows = ((1L to 700L).map(i => ("a", i * 31L)) ++
+        (1L to 150L).map(i => ("b", i * 7L))).toDF("g", "k")
+      val batch = graft.operators.DistinctSketch
+        .registers(allRows, Seq("g"), "k")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("stream-static anomaly screen flags the spike hour, passes normal hours") {
     implicit val sqlCtx = spark.sqlContext
     // static history: type 'click' averages 4/hour over 8 hours with
