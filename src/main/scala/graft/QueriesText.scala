@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{RollingHashExpression, TextFunctions}
-import graft.operators.{Dedup, Funnel, Multimodal, Quantize, Sessionize, Similarity}
+import graft.operators.{Dedup, Funnel, FuzzyMatch, Multimodal, Quantize, Sessionize, Similarity}
 
 /** Training-data pipeline queries over `documents` / `embeddings` / `events`:
   * dedup (exact, near-exact, MinHash-LSH, SimHash, n-gram jaccard),
@@ -728,4 +728,29 @@ object QueriesText {
       |FROM geom g JOIN energies e ON g.doc_id = e.doc_id
       |GROUP BY g.source
       |ORDER BY g.source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q121 — blocked edit-distance matching (operators/FuzzyMatch): the
+  // typo-level dedup tier between q30's exact digests and q32's shingle
+  // similarity. Prefix blocking makes candidate generation one bounded
+  // equi-join; the levenshtein verdict is unit-integer edit costs, so
+  // the whole result is engine-exact (DuckDB replays it verbatim).
+  // ------------------------------------------------------------------
+  def fuzzyMatches(spark: SparkSession, sfDir: String): DataFrame =
+    FuzzyMatch.blockedPairs(Tables.documents(spark, sfDir), "doc_id", "text",
+        blockLen = 12, prefixLen = 64, maxDist = 5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val fuzzyMatchesSql: String =
+    s"""WITH n AS (
+      |  SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+      |b AS (
+      |  SELECT doc_id, substring(norm, 1, 12) AS blk,
+      |         substring(norm, 1, 64) AS pfx
+      |  FROM n WHERE length(norm) > 0)
+      |SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |       CAST(levenshtein(x.pfx, y.pfx) AS INT) AS edit_distance
+      |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+      |WHERE levenshtein(x.pfx, y.pfx) <= 5
+      |ORDER BY id_a, id_b""".stripMargin
 }

@@ -81,6 +81,25 @@ class Wave6Spec extends AnyFunSuite {
       (1L, 5L) -> (1L, 0.5), (3L, 5L) -> (1L, 0.5)))
   }
 
+  test("fuzzy match: typo pairs verified, block-key edits missed by design") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy cat tonight"), // 3 edits vs 1
+      (3L, "teh quick brown fox jumps over the lazy dog tonight"), // typo IN block key
+      (4L, "completely different text with nothing in common here"),
+      (5L, "the quick brOWN   fox jumps over the lazy dog tonight") // normalizes to 1
+    ).toDF("doc_id", "text")
+    val got = operators.FuzzyMatch
+      .blockedPairs(docs, "doc_id", "text", blockLen = 12, prefixLen = 64,
+        maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // 1↔2: dog→cat = 3 substitutions; 1↔5 normalize identical = 0; 2↔5 =
+    // 3. Doc 3 shares no block with anyone (its typo sits inside the
+    // block key — the documented blocking recall trade); 4 matches
+    // nothing.
+    assert(got == Map((1L, 2L) -> 3, (1L, 5L) -> 0, (2L, 5L) -> 3))
+  }
+
   test("distinct registers merge across shards exactly") {
     val all = (1L to 3000L).map(i => ("g", i)).toDF("g", "k")
     val shard1 = all.filter(col("k") % 3 =!= 0)
