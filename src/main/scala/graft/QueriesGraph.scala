@@ -643,4 +643,154 @@ object QueriesGraph {
       |         CAST(da.dg + db.dg - c.common AS DOUBLE) AS jaccard
       |FROM cand c JOIN deg da ON c.a = da.n JOIN deg db ON c.b = db.n
       |ORDER BY c.common DESC, c.a, c.b LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q122 — integer HITS (operators/Hits) over the customer→part
+  // bipartite purchase graph: hub customers (buy many authoritative
+  // parts) vs authority parts (bought by many hub customers) — the
+  // two-role score PageRank's single rank conflates. Three exact
+  // rounds; top-10 per role via TakeOrdered (no single-task window).
+  // -------------------------------------------------------------------
+  def hitsScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = Tables.orders(spark, sfDir).as("o")
+      .join(Tables.lineitem(spark, sfDir).as("l"),
+        col("o.o_orderkey") === col("l.l_orderkey"))
+      .select(col("o.o_custkey").as("custkey"),
+        col("l.l_partkey").as("partkey"))
+      .distinct()
+    val s = operators.Hits.scores(edges, "custkey", "partkey", rounds = 3)
+    def top(role: String): DataFrame = s.filter(col("role") === role)
+      .orderBy(col("score").desc, col("id")).limit(10)
+    top("auth").unionByName(top("hub"))
+      .orderBy(col("role"), col("score").desc, col("id"))
+  }
+
+  val hitsScoresSql: String = {
+    val base =
+      """WITH e AS (
+        |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS s
+        |       FROM e)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""a${i}r AS (
+         |  SELECT e.dst AS id, CAST(sum(h.s) AS BIGINT) AS r
+         |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+         |a$i AS (
+         |  SELECT id, r // greatest((SELECT max(r) FROM a${i}r) // 1000000,
+         |                           1) AS s FROM a${i}r),
+         |h${i}r AS (
+         |  SELECT e.src AS id, CAST(sum(a.s) AS BIGINT) AS r
+         |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+         |h$i AS (
+         |  SELECT id, r // greatest((SELECT max(r) FROM h${i}r) // 1000000,
+         |                           1) AS s FROM h${i}r)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      """
+        |SELECT * FROM (
+        |  SELECT 'auth' AS role, id, s AS score FROM a3
+        |  ORDER BY s DESC, id LIMIT 10)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT 'hub' AS role, id, s AS score FROM h3
+        |  ORDER BY s DESC, id LIMIT 10)
+        |ORDER BY role, score DESC, id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q123 — bounded-hop weighted shortest paths (operators/ShortestPath):
+  // affinity distance between parts, where a hop between frequently
+  // co-purchased parts is cheap (w = 1000000 div co-purchase count) and
+  // seeds are the p_size=50 parts. Three exact Bellman-Ford relaxations
+  // — BIGINT path sums + per-node min, replayed by unrolled CTEs.
+  // -------------------------------------------------------------------
+  def cheapestRoutes(spark: SparkSession, sfDir: String): DataFrame = {
+    val pc = Tables.copurchasePairs(spark, sfDir)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val half = pc.select(col("src"), col("dst"),
+      expr("1000000L div cnt").as("w"))
+    val e = half.unionByName( // undirected: both orientations, same w
+      half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val seeds = Tables.part(spark, sfDir)
+      .filter(col("p_size") === 50).select(col("p_partkey"))
+    operators.ShortestPath
+      .distances(e, "src", "dst", "w", seeds, "p_partkey", rounds = 3)
+      .select(col("id").as("part_id"), col("cost"))
+      .orderBy(col("part_id"))
+  }
+
+  val cheapestRoutesSql: String = {
+    val base =
+      """WITH pc AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT src, dst, CAST(1000000 // cnt AS BIGINT) AS w FROM pc
+        |  UNION ALL
+        |  SELECT dst, src, CAST(1000000 // cnt AS BIGINT) AS w FROM pc),
+        |d0 AS (
+        |  SELECT DISTINCT p_partkey AS id, CAST(0 AS BIGINT) AS cost
+        |  FROM part WHERE p_size = 50)""".stripMargin
+    val rounds = (1 to 3).map { i =>
+      s"""d$i AS (
+         |  SELECT id, min(cost) AS cost FROM (
+         |    SELECT id, cost FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, d.cost + e.w AS cost
+         |    FROM e JOIN d${i - 1} d ON e.src = d.id) GROUP BY id)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n") +
+      "\nSELECT id AS part_id, cost FROM d3 ORDER BY part_id"
+  }
+
+  // -------------------------------------------------------------------
+  // q125 — gapped sequential patterns (PrefixSpan-style support): how
+  // many users exhibit event-type subsequence a…b…c with ANY gaps —
+  // the non-contiguous complement of q103's adjacent 3-step paths.
+  // Greedy matching is exact for subsequence EXISTENCE (earliest a,
+  // then earliest b after it, then any c after that), so support is
+  // three user-keyed hops: a per-(user,a) min, a per-(user,a,b)
+  // conditional min, a per-(user,a,b,c) exists — each join keyed by
+  // user with fanout ≤ |event types| (5), never a per-user blowup;
+  // state between hops is (users × patterns), not events. All
+  // timestamp comparisons, zero arithmetic — bit-exact cross-engine.
+  // -------------------------------------------------------------------
+  def sequentialPatterns(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val a = ev.groupBy(col("user_id"), col("event_type").as("e1"))
+      .agg(min(col("ts")).as("t1"))
+    val ab = ev.join(a, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id"), col("e1"), col("event_type").as("e2"))
+      .agg(min(col("ts")).as("t2"))
+    val abc = ev.join(ab, "user_id")
+      .filter(col("ts") > col("t2"))
+      .select(col("user_id"), col("e1"), col("e2"),
+        col("event_type").as("e3"))
+      .distinct()
+    abc.groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("e1"), col("e2"), col("e3"))
+      .limit(20)
+  }
+
+  val sequentialPatternsSql: String =
+    """WITH a AS (
+      |  SELECT user_id, event_type AS e1, min(ts) AS t1
+      |  FROM events GROUP BY 1, 2),
+      |ab AS (
+      |  SELECT ev.user_id, a.e1, ev.event_type AS e2, min(ev.ts) AS t2
+      |  FROM events ev JOIN a ON ev.user_id = a.user_id AND ev.ts > a.t1
+      |  GROUP BY 1, 2, 3),
+      |abc AS (
+      |  SELECT DISTINCT ev.user_id, ab.e1, ab.e2, ev.event_type AS e3
+      |  FROM events ev JOIN ab ON ev.user_id = ab.user_id AND ev.ts > ab.t2)
+      |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_users
+      |FROM abc GROUP BY 1, 2, 3
+      |ORDER BY n_users DESC, e1, e2, e3 LIMIT 20""".stripMargin
 }

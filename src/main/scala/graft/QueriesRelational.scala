@@ -710,4 +710,37 @@ object QueriesRelational {
       |SELECT gap_days // 7 AS gap_weeks, count(*) AS n_gaps
       |FROM g WHERE gap_days IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q126 — rolling 7-day DISTINCT customers per order date: the sliding-
+  // window distinct count, the one window shape a RANGE frame cannot
+  // express (q23's trailing frame counts rows; COUNT(DISTINCT) OVER
+  // RANGE is unsupported in both engines). Scale path: each (day, cust)
+  // pair is EXPANDED to the ≤7 report days it covers (a fixed ×7 map,
+  // no range join against the full fact table), then two-level
+  // aggregated per day — shuffle keys are (day, cust) then day, never a
+  // per-day rescan. The oracle states the same result as a days×pairs
+  // range join, which is fine at oracle scale and makes the intent
+  // obvious.
+  // -------------------------------------------------------------------
+  def rollingActiveCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val dc = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_custkey").as("cust")).distinct()
+    val days = dc.select(col("day").as("d")).distinct()
+    dc.withColumn("k", explode(expr("sequence(0, 6)")))
+      .select(expr("date_add(day, k)").as("d"), col("cust"))
+      .join(broadcast(days), "d") // keep real report days only
+      .groupBy(col("d")).agg(countDistinct(col("cust")).as("active_7d"))
+      .orderBy(col("d"))
+  }
+
+  val rollingActiveCustomersSql: String =
+    """WITH dc AS (
+      |  SELECT DISTINCT CAST(o_orderdate AS DATE) AS day, o_custkey AS cust
+      |  FROM orders),
+      |days AS (SELECT DISTINCT day AS d FROM dc)
+      |SELECT d, CAST(count(DISTINCT cust) AS BIGINT) AS active_7d
+      |FROM days JOIN dc ON dc.day BETWEEN d - 6 AND d
+      |GROUP BY d ORDER BY d""".stripMargin
 }

@@ -753,4 +753,40 @@ object QueriesText {
       |FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
       |WHERE levenshtein(x.pfx, y.pfx) <= 5
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q124 — exact set-similarity self-join via rare-first prefix
+  // filtering (operators/PrefixJoin, the PPJoin family): 3-word-shingle
+  // Jaccard ≥ 80% document pairs. Shingles, not words — this corpus
+  // shares most of its word vocabulary (word-level Jaccard puts 57% of
+  // ALL pairs over 60%), while shingle similarity separates planted
+  // near-dups (≥90%) from background (≤6%), exactly the separation the
+  // MinHash tier (q32) exploits; the prefix screen's pruning power
+  // depends on that discrimination. The screen is LOSSLESS, so the
+  // oracle needs no prefix logic: it computes all-pairs Jaccard from
+  // the shared-shingle join directly — if the prefix screen ever
+  // dropped a true pair, the hash compare would fail. Integer
+  // similarity only ((100·|∩|) div |∪|), no float accumulation.
+  // ------------------------------------------------------------------
+  def prefixJoinPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.shingleArray(col("text"), 3).as("toks"))
+    operators.PrefixJoin.selfJoin(docs, "doc_id", "toks", tNum = 80,
+        tDen = 100)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("inter_sz"), col("union_sz"), col("jacc_pct"))
+  }
+
+  val prefixJoinPairsSql: String =
+    s"""WITH $shingleJaccardCte,
+       |pairs AS (
+       |  SELECT s.id_a AS doc_a, s.id_b AS doc_b,
+       |         CAST(s.shared AS BIGINT) AS inter_sz,
+       |         CAST(na.n_sh + nb.n_sh - s.shared AS BIGINT) AS union_sz
+       |  FROM shared s JOIN sizes na ON na.id = s.id_a
+       |                JOIN sizes nb ON nb.id = s.id_b)
+       |SELECT doc_a, doc_b, inter_sz, union_sz,
+       |       (100 * inter_sz) // union_sz AS jacc_pct
+       |FROM pairs WHERE inter_sz * 100 >= union_sz * 80
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

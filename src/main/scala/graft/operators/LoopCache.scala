@@ -60,6 +60,34 @@ object LoopCache {
     pinned
   }
 
+  /** Driver-side result memo for operators whose round plans embed
+    * DATA-DEPENDENT literals (HITS bakes each round's max into the next
+    * divisor): their final plan cannot even be CONSTRUCTED without
+    * executing the loop, so the plan-identity warm probe ([[cached]] on
+    * a rebuilt final) is structurally unavailable. Keyed by the
+    * canonicalized input plan + parameters — the same semantic-equality
+    * basis CacheManager uses — so a re-invoked query factory (new
+    * Dataset objects, equal plans) returns the SAME result frame, whose
+    * pinned backing the first run left live: zero jobs, zero new cache
+    * entries. Session-lived like every pin in this engine; after a
+    * `clearCache()` the memoized frame lazily recomputes through its
+    * lineage (slower, still correct — the cache is cost model, never
+    * correctness). */
+  private val memoMap =
+    scala.collection.mutable.HashMap.empty[Seq[Any], DataFrame]
+
+  /** Canonicalized-plan memo key component for `df`. */
+  def planKey(df: DataFrame): Any =
+    df.queryExecution.analyzed.canonicalized
+
+  def memo(key: Seq[Any])(build: => DataFrame): DataFrame =
+    memoMap.synchronized(memoMap.get(key)) match {
+      case Some(hit) => hit
+      case None =>
+        val built = build // outside the lock: builds run jobs
+        memoMap.synchronized(memoMap.getOrElseUpdate(key, built))
+    }
+
   /** Operator epilogue: pin + force the final `result`, then release the
     * operator's internal `anchors` (edge tables, token streams, …). The
     * caller gets a materialized table; the operator leaves exactly one

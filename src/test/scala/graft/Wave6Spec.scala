@@ -100,6 +100,98 @@ class Wave6Spec extends AnyFunSuite {
     assert(got == Map((1L, 2L) -> 3, (1L, 5L) -> 0, (2L, 5L) -> 3))
   }
 
+  test("integer HITS: mutual reinforcement separates roles, replayable") {
+    // bipartite: customer 1 buys the 3 popular parts, 4 only part 13.
+    // Expected values hand-simulated (3 rounds, divide-first L∞ norm):
+    // authority of 13 decays each round because its only buyer is the
+    // weakest hub — the mutual reinforcement a degree count can't see.
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (4L, 13L)).toDF("cust", "part")
+    val got = operators.Hits.scores(edges, "cust", "part", rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      ("auth", 10L) -> 1458332L, ("auth", 11L) -> 1166665L,
+      ("auth", 12L) -> 645832L, ("auth", 13L) -> 20833L,
+      ("hub", 1L) -> 1090276L, ("hub", 2L) -> 874999L,
+      ("hub", 3L) -> 486110L, ("hub", 4L) -> 6944L))
+  }
+
+  test("HITS keeps 2 live cache entries; warm re-invocation memo-hits") {
+    val sc = spark.sparkContext
+    // rounds=6 would OOM the driver under the pre-re-root plan nesting
+    // (exponential plan-string rendering) — the depth is the regression
+    // being pinned here, on top of the O(1)-entries contract
+    val edges = (for (c <- 1L to 12L; p <- 100L to 100L + c % 5)
+      yield (c, p)).toDF("cust", "part")
+    val before = sc.getPersistentRDDs.size
+    operators.Hits.scores(edges, "cust", "part", rounds = 6).count()
+    val afterFirst = sc.getPersistentRDDs.size
+    // 2 score finals (hub + auth) survive; every superseded round and
+    // the raw/edge anchors are released
+    assert(afterFirst - before == 2,
+      s"expected 2 live entries, got ${afterFirst - before}")
+    // warm re-invocation: data-derived divisors make the final plan
+    // unbuildable without re-running the loop, so the warm path is the
+    // operator memo — same frame back, no new entries
+    val again = operators.Hits.scores(edges, "cust", "part", rounds = 6)
+    again.count()
+    assert(sc.getPersistentRDDs.size == afterFirst)
+  }
+
+  test("weighted shortest path: relaxation beats greedy hop, bounded hops") {
+    // 1→2 direct costs 10; 1→3→2 costs 2+3=5. Node 4 is 3 hops out
+    // (1→3→2→4), so it appears at rounds=3 but not rounds=2 — both the
+    // min-plus relaxation and the hop bound are observable.
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L),
+      (2L, 4L, 1L)).toDF("s", "d", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    def run(rounds: Int): Map[Long, Long] =
+      operators.ShortestPath.distances(edges, "s", "d", "w", seeds, "n",
+        rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 11L))
+    assert(run(3) == Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L))
+  }
+
+  test("shortest path keeps 1 live cache entry; warm memo-hits") {
+    val sc = spark.sparkContext
+    val edges = (1L to 30L).map(i => (i, i + 1L, i % 7L))
+      .toDF("s", "d", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("n")
+    val before = sc.getPersistentRDDs.size
+    // depth 8: far past where un-re-rooted nested round plans blow up
+    operators.ShortestPath.distances(edges, "s", "d", "w", seeds, "n",
+      rounds = 8).count()
+    val afterFirst = sc.getPersistentRDDs.size
+    assert(afterFirst - before == 1,
+      s"expected 1 live entry, got ${afterFirst - before}")
+    operators.ShortestPath.distances(edges, "s", "d", "w", seeds, "n",
+      rounds = 8).count()
+    assert(sc.getPersistentRDDs.size == afterFirst)
+  }
+
+  test("prefix-filter set join: exact pairs, screen is lossless") {
+    // docs 1,2: 4/5 shared tokens → J=4/6=66% ≥ 60 (kept, pct 66).
+    // docs 1,3: 2 shared of 5+3 → J=2/6=33% (dropped by verify).
+    // docs 4,5: identical sets → J=100.
+    // doc 6 shares ONLY frequent tokens with 1 → must be screened or
+    // verified away without a false positive.
+    val docs = Seq(
+      (1L, Seq("x", "q", "r", "s", "t")),
+      (2L, Seq("x", "q", "r", "s", "u")),
+      (3L, Seq("q", "r", "zz", "yy", "ww")),
+      (4L, Seq("aa", "bb", "cc")),
+      (5L, Seq("cc", "aa", "bb", "aa")), // dup token: distinct first
+      (6L, Seq("q", "r"))
+    ).toDF("id", "toks")
+    val got = operators.PrefixJoin.selfJoin(docs, "id", "toks", 60, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map((1L, 2L) -> ((4L, 6L, 66L)),
+      (4L, 5L) -> ((3L, 3L, 100L))))
+  }
+
   test("distinct registers merge across shards exactly") {
     val all = (1L to 3000L).map(i => ("g", i)).toDF("g", "k")
     val shard1 = all.filter(col("k") % 3 =!= 0)
