@@ -767,4 +767,58 @@ object QueriesPipeline {
       |SELECT s.flag AS l_returnflag, e.exact_distinct, s.reg_sum,
       |       s.registers_hit
       |FROM s JOIN e USING (flag) ORDER BY l_returnflag""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q127 — tokenizer coverage under a fixed vocabulary budget: the
+  // OCCURRENCE-weighted UNK rate per source against the top-500 terms
+  // by corpus frequency — what a tokenizer with that vocab would map
+  // to <unk>. Complements q55 (the vocab listing itself) and q67
+  // (per-doc TYPE rarity): coverage weights by occurrences, which is
+  // the quantity a token budget actually spends. Scale shape: the
+  // vocab is a bounded sort-limit over the term-count table and joins
+  // BROADCAST against the occurrence stream (left join, null ⇒ OOV);
+  // the only full-corpus shuffle keys on `source` (a handful of
+  // groups, partial-aggregated map-side). Rates are integer basis
+  // points ((10000·oov) div total) — exact cross-engine.
+  // ------------------------------------------------------------------
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val norm = TextFunctions.normalizeText(col("text"))
+    val toks = d.filter(length(norm) > 0)
+      .select(col("source"), explode(split(norm, " ")).as("term"))
+    val vocab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(500)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_occ"),
+        count_if(col("in_vocab").isNull).as("oov_occ"),
+        countDistinct(when(col("in_vocab").isNull, col("term")))
+          .as("oov_types"))
+      .select(col("source"), col("total_occ"), col("oov_occ"),
+        col("oov_types"),
+        expr("(10000 * oov_occ) div total_occ").as("oov_bps"))
+      .orderBy(col("source"))
+  }
+
+  val vocabCoverageSql: String = {
+    val norm = normSql("text")
+    s"""WITH toks AS (
+      |  SELECT source, unnest(string_split($norm, ' ')) AS term
+      |  FROM documents WHERE length($norm) > 0),
+      |vocab AS (
+      |  SELECT term FROM toks GROUP BY term
+      |  ORDER BY count(*) DESC, term LIMIT 500)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS total_occ,
+      |       CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT)
+      |         AS oov_occ,
+      |       CAST(count(DISTINCT t.term) FILTER (WHERE v.term IS NULL)
+      |         AS BIGINT) AS oov_types,
+      |       (10000 * count(*) FILTER (WHERE v.term IS NULL)) // count(*)
+      |         AS oov_bps
+      |FROM toks t LEFT JOIN vocab v ON t.term = v.term
+      |GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -769,7 +769,9 @@ object QueriesText {
   // similarity only ((100·|∩|) div |∪|), no float accumulation.
   // ------------------------------------------------------------------
   def prefixJoinPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // rebalance: the shingle chain is CPU-heavy and the documents
+    // parquet is few-partition — spread it across cores first
+    val docs = Tables.rebalance(Tables.documents(spark, sfDir))
       .select(col("doc_id"), Dedup.shingleArray(col("text"), 3).as("toks"))
     operators.PrefixJoin.selfJoin(docs, "doc_id", "toks", tNum = 80,
         tDen = 100)

@@ -23,9 +23,20 @@ import org.apache.spark.sql.functions._
   * (`max(|A|,|B|)·tNum ≤ min(|A|,|B|)·tDen`, necessary for J ≥ t)
   * prunes cross-size pairs before the distinct. The per-set ordering
   * window partitions by set id (small per-doc groups, never global).
-  * Verification is per-candidate `array_intersect` on the distinct
-  * token arrays — integer sizes only, no float similarity anywhere:
-  * `jacc_pct = (100·|∩|) div |∪|`.
+  *
+  * Everything stays FLAT (id, n, token) end to end — candidates are
+  * verified by joining the token stream back on (id, token) and
+  * counting matches, not by intersecting collected arrays: the flat
+  * verify is an ordinary distributed join keyed by the candidate ids,
+  * and nothing array-typed is ever cached (columnar cache encoding of
+  * array<string> cost ~10 s alone at sf0.1 — more than the whole
+  * operator). Integer similarity only: `jacc_pct = (100·|∩|) div |∪|`.
+  *
+  * Anchor lifecycle: the token stream feeds three plans (frequency agg,
+  * prefix rank, verify) and the prefix table both self-join sides —
+  * each is pinned for the invocation and released once the pinned
+  * result materializes ([[LoopCache.finish]]), which also gives warm
+  * re-invocations the plan-identity fast path.
   */
 object PrefixJoin {
 
@@ -35,35 +46,39 @@ object PrefixJoin {
   def selfJoin(docs: DataFrame, idCol: String, tokensCol: String,
       tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen, s"threshold $tNum/$tDen not in (0,1]")
-    val sets = docs.select(col(idCol).cast("long").as("id"),
+    val tok = docs
+      .select(col(idCol).cast("long").as("id"),
         array_distinct(col(tokensCol)).as("ts"))
-      .filter(size(col("ts")) > 0)
-    val tok = sets.select(col("id"), explode(col("ts")).as("tok"))
+      .select(col("id"), size(col("ts")).cast("long").as("n"),
+        explode(col("ts")).as("tok"))
+    tok.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // rare-first rank within each set; prefix keeps pos ≤ n − ⌈t·n⌉ + 1
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))
     val prefix = tok.join(df, "tok")
-      .select(col("id"), col("tok"), col("df"),
-        row_number().over(w).as("pos"),
-        count(lit(1)).over(Window.partitionBy(col("id"))).as("n"))
+      .select(col("id"), col("tok"), col("n"),
+        row_number().over(w).as("pos"))
       .filter(col("pos") <=
         col("n") - ((col("n") * tNum + tDen - 1) / tDen).cast("long") + 1L)
+    prefix.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           col("a.n") * tNum <= col("b.n") * tDen &&
           col("b.n") * tNum <= col("a.n") * tDen)
-      .select(col("a.id").as("a"), col("b.id").as("b")).distinct()
-    cand.join(sets.select(col("id").as("a"), col("ts").as("ats")), "a")
-      .join(sets.select(col("id").as("b"), col("ts").as("bts")), "b")
-      .select(col("a"), col("b"),
-        size(array_intersect(col("ats"), col("bts"))).cast("long")
-          .as("inter_sz"),
-        (size(col("ats")) + size(col("bts"))).cast("long").as("u2"))
+      .select(col("a.id").as("a"), col("a.n").as("na"),
+        col("b.id").as("b"), col("b.n").as("nb"))
+      .distinct()
+    val out = cand
+      .join(tok.select(col("id").as("a"), col("tok")), "a")
+      .join(tok.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter_sz"))
       .select(col("a"), col("b"), col("inter_sz"),
-        (col("u2") - col("inter_sz")).as("union_sz"))
+        (col("na") + col("nb") - col("inter_sz")).as("union_sz"))
       .filter(col("inter_sz") * tDen >= col("union_sz") * tNum)
       .select(col("a"), col("b"), col("inter_sz"), col("union_sz"),
         expr("(100 * inter_sz) div union_sz").as("jacc_pct"))
       .orderBy(col("a"), col("b"))
+    LoopCache.finish(out, tok, prefix)
   }
 }
