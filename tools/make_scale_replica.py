@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Build the SCALE.md 10x replica of an sf dir (driver-side tooling).
+
+Ten disjoint key-shifted copies: TPC-H keys shifted per replica (10x
+nodes AND 10x edges in the co-purchase / purchase graphs, same degree
+distribution); documents get shifted doc_ids and a per-replica token
+prefix so cross-replica text shares NO shingles (dedup/similarity
+structure scales linearly instead of exploding on 10-way planted
+near-dups); events keep their TIMESTAMP(NANOS) physical type (written
+via pyarrow — DuckDB's parquet writer downgrades ns to us, which
+breaks graft.Tables.events' nanosAsLong read path).
+
+Usage: python3 tools/make_scale_replica.py [src_sf_dir] [dst_dir]
+"""
+import os
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
+SHIFT = 10_000_000  # > every key in sf<=1 inputs
+REPLICAS = 10
+
+con = duckdb.connect()
+con.sql("SET preserve_insertion_order=false")
+rep = f"(SELECT unnest(range({REPLICAS})) AS i) r"
+shifted = {
+    "lineitem": "l_orderkey + r.i * {s} AS l_orderkey, "
+                "l_partkey + r.i * {s} AS l_partkey, "
+                "l_suppkey + r.i * {s} AS l_suppkey",
+    "orders": "o_orderkey + r.i * {s} AS o_orderkey, "
+              "o_custkey + r.i * {s} AS o_custkey",
+    "part": "p_partkey + r.i * {s} AS p_partkey",
+    "customer": "c_custkey + r.i * {s} AS c_custkey",
+}
+os.makedirs(DST, exist_ok=True)
+for t, repl in shifted.items():
+    con.sql(
+        f"COPY (SELECT * EXCLUDE (i) REPLACE ({repl.format(s=SHIFT)}) "
+        f"FROM '{SRC}/{t}.parquet', {rep}) "
+        f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+    print(f"[replica] {t}: done")
+
+# documents: shift ids AND prefix every token per replica so
+# cross-replica shingle sets are disjoint
+con.sql(
+    f"COPY (SELECT doc_id + r.i * {SHIFT} AS doc_id, "
+    f"  array_to_string(list_transform(string_split(text, ' '), "
+    f"    t -> 'r' || r.i || '_' || t), ' ') AS text, "
+    f"  lang, source, n_chars "
+    f"FROM '{SRC}/documents.parquet', {rep}) "
+    f"TO '{DST}/documents.parquet' (FORMAT PARQUET)")
+print("[replica] documents: done")
+
+# events via pyarrow: ts column copied verbatim (stays timestamp[ns])
+src_events = pq.read_table(f"{SRC}/events.parquet")
+copies = []
+for i in range(REPLICAS):
+    t = src_events
+    for key in ("event_id", "user_id"):
+        idx = t.schema.get_field_index(key)
+        t = t.set_column(idx, key, pc.add(t.column(key), i * SHIFT))
+    copies.append(t)
+pq.write_table(pa.concat_tables(copies), f"{DST}/events.parquet")
+print("[replica] events: done")
