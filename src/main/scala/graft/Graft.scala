@@ -150,6 +150,20 @@ object Graft {
       k: Long, rounds: Int): DataFrame =
     KCore.survivors(edges, srcCol, dstCol, k, rounds)
 
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame =
+    Hits.scores(edges, srcCol, dstCol, rounds)
+
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int = 3): DataFrame =
+    ShortestPath.distances(edges, srcCol, dstCol, weightCol, seeds,
+      seedCol, rounds)
+
+  def setSimilarityJoin(docs: DataFrame, idCol: String, tokensCol: String,
+      tNum: Int, tDen: Int): DataFrame =
+    PrefixJoin.selfJoin(docs, idCol, tokensCol, tNum, tDen)
+
   def triangleCounts(pairs: DataFrame, srcCol: String, dstCol: String,
       topKNeighbors: Int = 10): DataFrame =
     TriangleCensus.perNodeTriangles(
