@@ -759,25 +759,13 @@ object QueriesGraph {
   // state between hops is (users × patterns), not events. All
   // timestamp comparisons, zero arithmetic — bit-exact cross-engine.
   // -------------------------------------------------------------------
-  def sequentialPatterns(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_type"), col("ts"))
-    val a = ev.groupBy(col("user_id"), col("event_type").as("e1"))
-      .agg(min(col("ts")).as("t1"))
-    val ab = ev.join(a, "user_id")
-      .filter(col("ts") > col("t1"))
-      .groupBy(col("user_id"), col("e1"), col("event_type").as("e2"))
-      .agg(min(col("ts")).as("t2"))
-    val abc = ev.join(ab, "user_id")
-      .filter(col("ts") > col("t2"))
-      .select(col("user_id"), col("e1"), col("e2"),
-        col("event_type").as("e3"))
-      .distinct()
-    abc.groupBy(col("e1"), col("e2"), col("e3"))
-      .agg(count(lit(1)).as("n_users"))
+  def sequentialPatterns(spark: SparkSession, sfDir: String): DataFrame =
+    EventSeq.sequentialSupport(Tables.events(spark, sfDir),
+        "user_id", "ts", "event_type")
+      .select(col("e1"), col("e2"), col("e3"),
+        col("n_entities").as("n_users"))
       .orderBy(col("n_users").desc, col("e1"), col("e2"), col("e3"))
       .limit(20)
-  }
 
   val sequentialPatternsSql: String =
     """WITH a AS (

@@ -94,4 +94,35 @@ object EventSeq {
       col("n_transitions").cast("double") /
         sum(col("n_transitions")).over(wSrc).cast("double"))
   }
+
+  /** Gapped sequential-pattern support (PrefixSpan-style, length 3):
+    * how many entities exhibit event-type subsequence e1…e2…e3 with ANY
+    * gaps — the non-contiguous complement of adjacent-path counting.
+    * Greedy matching is EXACT for subsequence existence (the earliest
+    * e1, then the earliest e2 after it, then any e3 after that: an
+    * earlier intermediate occurrence can only widen the remaining
+    * window, so greedy never misses a witness), so support is three
+    * entity-keyed hops: a per-(entity,e1) min, a per-(entity,e1,e2)
+    * conditional min, a per-(entity,e1,e2,e3) exists. Each join is
+    * keyed by entity with fanout ≤ |event types|; state between hops is
+    * entities × patterns, never a per-entity combinatorial expansion.
+    * Timestamp comparisons only, zero arithmetic — bit-exact
+    * cross-engine. Returns (e1, e2, e3, n_entities). */
+  def sequentialSupport(events: DataFrame, entityCol: String,
+      tsCol: String, typeCol: String): DataFrame = {
+    val ev = events.select(col(entityCol).as("ent"),
+      col(typeCol).as("ty"), col(tsCol).as("ts"))
+    val a = ev.groupBy(col("ent"), col("ty").as("e1"))
+      .agg(min(col("ts")).as("t1"))
+    val ab = ev.join(a, "ent")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("ent"), col("e1"), col("ty").as("e2"))
+      .agg(min(col("ts")).as("t2"))
+    ev.join(ab, "ent")
+      .filter(col("ts") > col("t2"))
+      .select(col("ent"), col("e1"), col("e2"), col("ty").as("e3"))
+      .distinct()
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_entities"))
+  }
 }

@@ -192,6 +192,25 @@ class Wave6Spec extends AnyFunSuite {
       (4L, 5L) -> ((3L, 3L, 100L))))
   }
 
+  test("sequential patterns: greedy subsequence support, hand-enumerated") {
+    // u3 is the greedy-critical witness for (a,b,c): the b@2 occurrence
+    // must be chosen over b@5 (after which no c remains) — earliest
+    // intermediate always maximizes the remaining window.
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      (2L, "b", 1L), (2L, "a", 2L), (2L, "b", 3L), (2L, "c", 4L),
+      (3L, "a", 1L), (3L, "b", 2L), (3L, "c", 3L), (3L, "b", 5L)
+    ).toDF("u", "ty", "ts")
+    val got = operators.EventSeq.sequentialSupport(ev, "u", "ts", "ty")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got == Map(
+      ("a", "b", "c") -> 3L, ("a", "b", "b") -> 1L, ("a", "c", "b") -> 1L,
+      ("b", "c", "b") -> 1L, ("b", "a", "b") -> 1L, ("b", "a", "c") -> 1L,
+      ("b", "b", "c") -> 1L))
+  }
+
   test("distinct registers merge across shards exactly") {
     val all = (1L to 3000L).map(i => ("g", i)).toDF("g", "k")
     val shard1 = all.filter(col("k") % 3 =!= 0)
