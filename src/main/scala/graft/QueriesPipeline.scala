@@ -784,6 +784,14 @@ object QueriesPipeline {
   def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
     val norm = TextFunctions.normalizeText(col("text"))
+    // The occurrence stream feeds BOTH the vocab aggregate and the
+    // coverage join, and is DELIBERATELY not pinned: it is a cheap
+    // narrow chain over the corpus scan, and the exploded token stream
+    // is LARGER than the corpus — caching it to save the second scan
+    // measured 3x slower at sf0.1 and would be a worse trade at 100 TB
+    // (write+hold a super-corpus-sized cache vs re-run a pruned scan).
+    // Contrast PrefixJoin/NgramLm, whose pinned streams feed 3+ plans
+    // including joins back into themselves.
     val toks = d.filter(length(norm) > 0)
       .select(col("source"), explode(split(norm, " ")).as("term"))
     val vocab = toks.groupBy(col("term"))

@@ -44,8 +44,13 @@ object Verify {
       // finished queries' persisted intermediates are dead weight in a
       // 100+-query session (fresh DataFrames each call never reuse them)
       // — drop them so late queries aren't evicting or spilling. In a
-      // `finally` so a THROWING query also releases what it pinned.
-      finally spark.catalog.clearCache()
+      // `finally` so a THROWING query also releases what it pinned. The
+      // operator memo goes with it: its entries hold the dropped pins'
+      // plans/RDDs, and nothing later reuses them.
+      finally {
+        spark.catalog.clearCache()
+        graft.operators.LoopCache.clearMemo()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -53,7 +53,8 @@ object KCore {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .repartition(col("src"))
-    def loop(step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    def loop(step: (DataFrame, DataFrame) => DataFrame,
+        execute: Boolean): DataFrame = {
       // round 0: every node, with its full-graph degree (symmetric edges
       // ⇒ every node appears as a src). Pinned like any other round —
       // it is referenced by round 1's two semi-joins AND by the
@@ -62,8 +63,18 @@ object KCore {
       var alive = step(
         e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree")),
         e.limit(0))
-      // one row; broadcast so the per-round filter is a map-side compare
-      val kdf = broadcast(threshold(alive))
+      // one row; broadcast so the per-round filter is a map-side compare.
+      // Pinned + forced for the loop's duration (while round 0 is still
+      // live, so the derivation reads its cache): round 1's step releases
+      // round 0, after which each round's broadcast would otherwise
+      // re-derive the threshold by re-running the full-graph degree
+      // aggregate from lineage — one wasted edge-cache pass per round.
+      val kdfF = threshold(alive)
+      if (execute) {
+        kdfF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kdfF.head()
+      }
+      val kdf = broadcast(kdfF)
       for (_ <- 1 to rounds) {
         val ids = alive.select(col("id"))
         val next = e
@@ -74,12 +85,15 @@ object KCore {
           .select(col("id"), col("degree"))
         alive = step(next, alive)
       }
+      // final survivors were forced by the last step — the threshold row
+      // is no longer load-bearing
+      if (execute) kdfF.unpersist(blocking = false)
       alive
     }
     // cache probe: a prior invocation pinned this exact survivor plan —
     // reuse it instead of re-driving the peeling rounds (plan-only loop,
     // nothing executes on a probe hit)
-    val probe = loop((next, _) => next)
+    val probe = loop((next, _) => next, execute = false)
     if (LoopCache.cached(probe)) return probe
     // PIN each round, RELEASE the previous (LoopCache.step): the alive
     // set is referenced twice per round (the two endpoint semi-joins),
@@ -88,7 +102,7 @@ object KCore {
     // round pinned leaks one node-sized table per round. The edge table
     // anchors every round — pin it for the drive, release at the end.
     e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = loop(LoopCache.step)
+    val out = loop(LoopCache.step, execute = true)
     e.unpersist(blocking = false) // final survivors are materialized
     out
   }

@@ -88,6 +88,14 @@ object LoopCache {
         memoMap.synchronized(memoMap.getOrElseUpdate(key, built))
     }
 
+  /** Forget every memoized result — the memo-side counterpart of
+    * `spark.catalog.clearCache()`. Timing/verification harnesses that
+    * clear the cache between queries for cold honesty must ALSO clear
+    * the memo, or a memoized operator's "cold" run silently returns the
+    * previous invocation's frame (and the session-lived map keeps its
+    * captured plans/RDDs alive). */
+  def clearMemo(): Unit = memoMap.synchronized(memoMap.clear())
+
   /** Operator epilogue: pin + force the final `result`, then release the
     * operator's internal `anchors` (edge tables, token streams, …). The
     * caller gets a materialized table; the operator leaves exactly one

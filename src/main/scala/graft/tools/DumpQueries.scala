@@ -21,11 +21,14 @@ object DumpQueries {
     new java.io.File(outDir).mkdirs()
     names.foreach { n =>
       val df = Queries.queries(n)(spark, sfDir)
-      df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n")
-      // SPARK_GRAFT_EXPLAIN=1: print the final adaptive plan (after the
-      // action, so AQE has finalized joins/partitioning)
+      val out = df.coalesce(1)
+      out.write.mode("overwrite").parquet(s"$outDir/$n")
+      // SPARK_GRAFT_EXPLAIN=1: print the final adaptive plan of the
+      // FRAME THE ACTION DROVE (the coalesced one) — an un-executed
+      // sibling QueryExecution would still show isFinalPlan=false with
+      // AQE's runtime join/partitioning choices missing
       if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1"))
-        println(s"[plan] $n\n" + df.queryExecution.executedPlan.toString)
+        println(s"[plan] $n\n" + out.queryExecution.executedPlan.toString)
       println(s"[dump] wrote $outDir/$n")
     }
     // matching oracle subset so tools/check_oracle.py works on the dump dir

@@ -30,10 +30,12 @@ object TimeQueries {
       // cold run legitimately pinned (LoopCache finals, semantic cache)
       val cold = once()
       println(f"[time] $n: cold $cold%.3f s, warm ${math.min(once(), once())}%.3f s")
-      // drop this query's persisted plans so the NEXT query's timing
-      // doesn't silently read a warm cross-query cache (within-query
-      // warm reuse across the passes is the point and stays)
+      // drop this query's persisted plans AND operator memos so the
+      // NEXT query's timing doesn't silently read a warm cross-query
+      // cache (within-query warm reuse across the passes is the point
+      // and stays — the memo is what makes Hits/SSSP warm zero-job)
       spark.catalog.clearCache()
+      graft.operators.LoopCache.clearMemo()
     }
     spark.stop()
   }

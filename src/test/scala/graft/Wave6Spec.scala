@@ -220,7 +220,11 @@ class Wave6Spec extends AnyFunSuite {
       DistinctSketch.registers(shard2, Seq("g"), "k"))
     val whole = DistinctSketch.registers(all, Seq("g"), "k")
     // overlapping shards (keys < 100 in both) still merge to the whole-
-    // corpus sketch: union + re-max is idempotent on the overlap
+    // corpus sketch: union + re-max is idempotent on the overlap.
+    // BOTH directions: equal row counts rules out merged ⊂ whole (a
+    // register-dropping merge would pass the subset check alone), and
+    // union-distinct == whole rules out any differing register value
+    assert(merged.count() == whole.count())
     assert(merged.unionByName(whole).distinct().count() == whole.count())
   }
 }

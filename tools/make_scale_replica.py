@@ -36,6 +36,7 @@ shifted = {
               "o_custkey + r.i * {s} AS o_custkey",
     "part": "p_partkey + r.i * {s} AS p_partkey",
     "customer": "c_custkey + r.i * {s} AS c_custkey",
+    "supplier": "s_suppkey + r.i * {s} AS s_suppkey",
 }
 os.makedirs(DST, exist_ok=True)
 for t, repl in shifted.items():
@@ -43,6 +44,13 @@ for t, repl in shifted.items():
         f"COPY (SELECT * EXCLUDE (i) REPLACE ({repl.format(s=SHIFT)}) "
         f"FROM '{SRC}/{t}.parquet', {rep}) "
         f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+    print(f"[replica] {t}: done")
+
+# nation/region: tiny dimensions, replicated membership — copy verbatim
+# (every replica's shifted suppliers/customers keep their nationkey)
+for t in ("nation", "region"):
+    con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+            f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
     print(f"[replica] {t}: done")
 
 # documents: shift ids AND prefix every token per replica so
@@ -55,6 +63,19 @@ con.sql(
     f"FROM '{SRC}/documents.parquet', {rep}) "
     f"TO '{DST}/documents.parquet' (FORMAT PARQUET)")
 print("[replica] documents: done")
+
+# embeddings: shift ids and nudge the first dimension by a per-replica
+# epsilon — verbatim copies would make every vector a 10-way exact
+# cross-replica duplicate, turning near-dup/similarity screens
+# quadratic in the replica count instead of scaling the corpus
+con.sql(
+    f"COPY (SELECT vec_id + r.i * {SHIFT} AS vec_id, "
+    f"  list_prepend(CAST(embedding[1] + r.i * 0.001 AS FLOAT), "
+    f"    embedding[2:]) AS embedding, "
+    f"  label "
+    f"FROM '{SRC}/embeddings.parquet', {rep}) "
+    f"TO '{DST}/embeddings.parquet' (FORMAT PARQUET)")
+print("[replica] embeddings: done")
 
 # events via pyarrow: ts column copied verbatim (stays timestamp[ns])
 src_events = pq.read_table(f"{SRC}/events.parquet")
