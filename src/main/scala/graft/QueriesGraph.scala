@@ -767,6 +767,73 @@ object QueriesGraph {
       .orderBy(col("n_users").desc, col("e1"), col("e2"), col("e3"))
       .limit(20)
 
+  // -------------------------------------------------------------------
+  // q128 — bounded-hop strongly-connected membership (directed SCC) on
+  // the line-number PRECEDENCE graph: part a → part b when a appears
+  // with a smaller linenumber than b in the same order. Unlike the
+  // symmetric co-purchase graph, this one is genuinely directed, and
+  // its SCC around the pivot = parts whose purchase order is mutually
+  // inconsistent (a before b somewhere, b before a somewhere —
+  // transitively). Forward-backward [[operators.Bfs]] sweeps from a
+  // deterministic pivot (the smallest source part, read through a
+  // pinned single-row aggregate so warm re-runs skip the scan) and an
+  // id-join of the two reach sets — the classic FW-BW kernel, with the
+  // honest bounded-hop contract the other iterative operators use.
+  // BIGINT levels + min only; the oracle unrolls both sweeps.
+  // -------------------------------------------------------------------
+  def precedenceScc(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    val e = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_linenumber") < col("b.l_linenumber") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pivot = operators.LoopCache
+      .pinnedRow(e.agg(min(col("src")).as("p"))).getLong(0)
+    val seed = Seq(pivot).toDF("id")
+    val fwd = operators.Bfs.levels(e, "src", "dst", seed, "id", rounds = 3)
+    val bwd = operators.Bfs.levels(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      "src", "dst", seed, "id", rounds = 3)
+    e.unpersist(blocking = false) // both sweeps' finals are pinned
+    fwd.as("f").join(bwd.as("b"), col("f.id") === col("b.id"))
+      .select(col("f.id").as("part_id"), col("f.level").as("fwd_level"),
+        col("b.level").as("bwd_level"))
+      .orderBy(col("part_id"))
+  }
+
+  val precedenceSccSql: String = {
+    val base =
+      """WITH e AS (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_linenumber < b.l_linenumber
+        |   AND a.l_partkey <> b.l_partkey),
+        |f0 AS (SELECT (SELECT min(src) FROM e) AS id,
+        |              CAST(0 AS BIGINT) AS level),
+        |b0 AS (SELECT id, level FROM f0)""".stripMargin
+    def sweep(tag: String, s: String, d: String): Seq[String] =
+      (1 to 3).map { i =>
+        s"""$tag$i AS (
+           |  SELECT id, CAST(min(level) AS BIGINT) AS level FROM (
+           |    SELECT id, level FROM $tag${i - 1}
+           |    UNION ALL
+           |    SELECT e.$d AS id, v.level + 1 AS level
+           |    FROM e JOIN $tag${i - 1} v ON e.$s = v.id) GROUP BY id)""".stripMargin
+      }
+    (base +: (sweep("f", "src", "dst") ++ sweep("b", "dst", "src")))
+      .mkString(",\n") +
+      """
+        |SELECT f.id AS part_id, f.level AS fwd_level, b.level AS bwd_level
+        |FROM f3 f JOIN b3 b ON f.id = b.id
+        |ORDER BY part_id""".stripMargin
+  }
+
   val sequentialPatternsSql: String =
     """WITH a AS (
       |  SELECT user_id, event_type AS e1, min(ts) AS t1

@@ -211,6 +211,23 @@ class Wave6Spec extends AnyFunSuite {
       ("b", "b", "c") -> 1L))
   }
 
+  test("FW-BW SCC kernel: cycle kept, one-way branches excluded") {
+    // 1→2→3→1 is the cycle; 4 is forward-only from 1, 5 backward-only.
+    // The q128 kernel: forward ∩ backward reach from the pivot.
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 1L))
+      .toDF("s", "d")
+    val seed = Seq(1L).toDF("id")
+    val fwd = operators.Bfs.levels(e, "s", "d", seed, "id", rounds = 3)
+    val bwd = operators.Bfs.levels(
+      e.select(col("d").as("s"), col("s").as("d")), "s", "d", seed, "id",
+      rounds = 3)
+    val scc = fwd.as("f").join(bwd.as("b"), col("f.id") === col("b.id"))
+      .select(col("f.id"), col("f.level").as("fl"), col("b.level").as("bl"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(scc == Map(1L -> ((0L, 0L)), 2L -> ((1L, 2L)), 3L -> ((2L, 1L))))
+  }
+
   test("distinct registers merge across shards exactly") {
     val all = (1L to 3000L).map(i => ("g", i)).toDF("g", "k")
     val shard1 = all.filter(col("k") % 3 =!= 0)
