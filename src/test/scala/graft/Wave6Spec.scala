@@ -211,6 +211,20 @@ class Wave6Spec extends AnyFunSuite {
       ("b", "b", "c") -> 1L))
   }
 
+  test("wave-6 operators tolerate empty/degenerate inputs") {
+    val noEdges = Seq.empty[(Long, Long)].toDF("s", "d")
+    assert(operators.Hits.scores(noEdges, "s", "d", rounds = 2)
+      .count() == 0) // empty graph: null max guarded, divide by 1
+    val wEdges = Seq((1L, 2L, 5L)).toDF("s", "d", "w")
+    val noSeeds = Seq.empty[Tuple1[Long]].toDF("n")
+    assert(operators.ShortestPath
+      .distances(wEdges, "s", "d", "w", noSeeds, "n", rounds = 2)
+      .count() == 0) // no seeds: nothing reached
+    val oneDoc = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
+    assert(operators.PrefixJoin.selfJoin(oneDoc, "id", "toks", 60, 100)
+      .count() == 0) // no pair to form
+  }
+
   test("FW-BW SCC kernel: cycle kept, one-way branches excluded") {
     // 1→2→3→1 is the cycle; 4 is forward-only from 1, 5 backward-only.
     // The q128 kernel: forward ∩ backward reach from the pivot.
