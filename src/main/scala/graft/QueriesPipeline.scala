@@ -769,6 +769,57 @@ object QueriesPipeline {
       |FROM s JOIN e USING (flag) ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------------------------
+  // q129 — rolling 7-day distinct customers, SKETCH tier: the 100 TB
+  // path for q126's question. The exact tier expands (day, customer)
+  // pairs ×7; this one sketches each day ONCE into ≤256 registers
+  // (operators/DistinctSketch — engine-exact HLL state, q119), expands
+  // the REGISTER rows ×7, and re-maxes per (report day, register) —
+  // the mergeable-sketch window merge, constant work per day whatever
+  // the customer count. Output is the exact integer summary the
+  // oracle replays bit-for-bit (reg_sum, registers_hit); the spec
+  // asserts the estimate tracks the exact rolling distinct.
+  // ------------------------------------------------------------------
+  def rollingDistinctSketch(spark: SparkSession, sfDir: String): DataFrame = {
+    val dc = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_custkey").as("cust"))
+    val dayRegs = DistinctSketch.registers(dc, Seq("day"), "cust")
+    val days = dc.select(col("day").as("d")).distinct()
+    val rolled = dayRegs.withColumn("k", explode(expr("sequence(0, 6)")))
+      .select(expr("date_add(day, k)").as("d"), col("reg"), col("max_rho"))
+      .join(broadcast(days), "d")
+      .groupBy(col("d"), col("reg")).agg(max(col("max_rho")).as("max_rho"))
+    DistinctSketch.summary(rolled, Seq("d")).orderBy(col("d"))
+  }
+
+  val rollingDistinctSketchSql: String =
+    """WITH dc AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, o_custkey AS cust
+      |  FROM orders),
+      |b AS (
+      |  SELECT day,
+      |         CAST(CAST('0x' || substring(md5(CAST(cust AS VARCHAR)),
+      |           1, 2) AS BIGINT) AS INT) AS reg,
+      |         CAST('0x' || substring(md5(CAST(cust AS VARCHAR)),
+      |           3, 13) AS BIGINT) AS v
+      |  FROM dc),
+      |r AS (
+      |  SELECT day, reg,
+      |         max(CASE WHEN v = 0 THEN 53
+      |             ELSE 53 - CAST(length(bin(v)) AS INT) END) AS max_rho
+      |  FROM b GROUP BY day, reg),
+      |days AS (SELECT DISTINCT day AS d FROM dc),
+      |x AS (
+      |  SELECT dd.d, r.reg, max(r.max_rho) AS max_rho
+      |  FROM r JOIN days dd ON r.day BETWEEN dd.d - 6 AND dd.d
+      |  GROUP BY 1, 2)
+      |SELECT d,
+      |       CAST(sum(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT)
+      |         AS reg_sum,
+      |       CAST(count(*) AS BIGINT) AS registers_hit
+      |FROM x GROUP BY d ORDER BY d""".stripMargin
+
+  // ------------------------------------------------------------------
   // q127 — tokenizer coverage under a fixed vocabulary budget: the
   // OCCURRENCE-weighted UNK rate per source against the top-500 terms
   // by corpus frequency — what a tokenizer with that vocab would map
