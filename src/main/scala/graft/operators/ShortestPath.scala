@@ -27,8 +27,9 @@ import org.apache.spark.storage.StorageLevel
   * ([[SqlBridge.reRoot]]) so the logical plan never nests across rounds
   * — depth is limited by data, not by Catalyst plan rendering (the
   * [[Hits]] lesson). Warm re-invocations return the memoized frame
-  * ([[LoopCache.memo]]): zero jobs, zero new cache entries; exactly the
-  * two-table contract ScaleSpec pins for the other loops.
+  * ([[LoopCache.memo]]): zero jobs, zero new cache entries; an
+  * invocation leaves exactly one live entry (the final distance table),
+  * the same O(1) contract the other loops pin in their specs.
   */
 object ShortestPath {
 
