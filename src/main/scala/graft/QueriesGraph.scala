@@ -768,6 +768,59 @@ object QueriesGraph {
       .limit(20)
 
   // -------------------------------------------------------------------
+  // q130 — association rules with directional confidence: rule a→b =
+  // "of the n_a orders containing a, how many also contain b", in
+  // integer basis points ((10000·m) div n_a) — the DIRECTIONAL
+  // complement of q105's symmetric lift (popular→niche and
+  // niche→popular score differently). Both orientations of each
+  // support-≥3 pair are scored; top-20 with full integer tiebreaks.
+  // Zero float arithmetic anywhere — support, counts, and confidence
+  // are all BIGINT.
+  // -------------------------------------------------------------------
+  def associationRules(spark: SparkSession, sfDir: String): DataFrame = {
+    // op anchors three derived aggregates — cache the distinct shuffle
+    // once, release after the 20-row result is pinned (the q105 shape)
+    val op = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 3)
+    val cnt = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val rules = pairs
+      .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+        col("m"))
+      .unionByName(pairs.select(col("pb").as("antecedent"),
+        col("pa").as("consequent"), col("m")))
+      .join(cnt.select(col("pk").as("antecedent"), col("n")), "antecedent")
+      .select(col("antecedent"), col("consequent"),
+        col("m").as("support"), expr("(10000 * m) div n").as("conf_bps"))
+      .orderBy(col("conf_bps").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+    operators.LoopCache.finish(rules, op)
+  }
+
+  val associationRulesSql: String =
+    """WITH op AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pr AS (
+      |  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS m
+      |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING count(*) >= 3),
+      |c AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY pk),
+      |rules AS (
+      |  SELECT pa AS antecedent, pb AS consequent, m FROM pr
+      |  UNION ALL
+      |  SELECT pb AS antecedent, pa AS consequent, m FROM pr)
+      |SELECT r.antecedent, r.consequent, r.m AS support,
+      |       (10000 * r.m) // c.n AS conf_bps
+      |FROM rules r JOIN c ON r.antecedent = c.pk
+      |ORDER BY conf_bps DESC, antecedent, consequent LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
   // q128 — bounded-hop strongly-connected membership (directed SCC) on
   // the line-number PRECEDENCE graph: part a → part b when a appears
   // with a smaller linenumber than b in the same order. Unlike the
