@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * parquet tables plus `events`/`documents`/`embeddings`.
   *
   * All loaders go through here so that source-level quirks are handled once:
-  *  - `events.parquet` stores `ts` as parquet `TIMESTAMP(NANOS)`, which Spark's
-  *    parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as raw nanos
-  *    (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-  *    the same truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP,
-  *    so oracle comparisons line up.
+  *  - `events.parquet` has shipped `ts` as either parquet `TIMESTAMP(NANOS)`
+  *    (which Spark's parquet reader rejects — [PARQUET_TYPE_ILLEGAL]) or
+  *    plain `timestamp[us]` depending on the generator version, so the
+  *    loader adapts to the file's actual type: NANOS is read as raw nanos
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) and truncated to
+  *    microseconds — the same truncation DuckDB applies when casting
+  *    TIMESTAMP_NS → TIMESTAMP — while `timestamp[us]` (TIMESTAMP_NTZ to
+  *    Spark) is cast to session-zone TimestampType, value-preserving under
+  *    the UTC session every main sets. Either way downstream code sees one
+  *    canonical `ts: TimestampType` at microsecond precision.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -30,9 +35,18 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(sfDir, "events"))
-    // ts DIV 1000: floor division nanos→micros; all test timestamps are
-    // post-epoch so floor == truncation, matching DuckDB's ns→us cast.
-    raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // TIMESTAMP(NANOS) file read as raw nanos. ts DIV 1000: floor
+        // division nanos→micros; all test timestamps are post-epoch so
+        // floor == truncation, matching DuckDB's ns→us cast.
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] file: same instant under the UTC session zone.
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Round-robin rebalance for CPU-heavy narrow stages downstream of a
