@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{EventSeq, PageRank}
+import graft.operators.{Cusum, EventSeq, PageRank}
 
 /** Graph + event-sequence analytics (wave 4): link-graph centrality over
   * a co-occurrence graph and ordered-behavior mining over the event
@@ -901,4 +901,50 @@ object QueriesGraph {
       |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n_users
       |FROM abc GROUP BY 1, 2, 3
       |ORDER BY n_users DESC, e1, e2, e3 LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q131 — CUSUM drift trajectory over daily event-type counts: the
+  // sequential level-shift detector next to q106's pointwise 2σ screen.
+  // Page's recursion rewritten as running-sum − running-min windows
+  // (operators/Cusum.scala), denominator-cleared BIGINT throughout.
+  // Emits the full per-day trajectory (not just alarms) so the oracle
+  // checks every accumulation step, not only the final flags.
+  // -------------------------------------------------------------------
+  def cusumDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    Cusum.drift(daily, "event_type", "day", "x")
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val cusumDriftSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS s
+      |  FROM daily GROUP BY 1),
+      |j AS (
+      |  SELECT d.event_type, d.day, d.x, st.n, st.s, st.s // 10 AS kap
+      |  FROM daily d JOIN st USING (event_type)),
+      |r AS (
+      |  SELECT *,
+      |         CAST(sum(n * x - s - kap) OVER w AS BIGINT) AS rs_up,
+      |         CAST(sum(n * x - s + kap) OVER w AS BIGINT) AS rs_dn
+      |  FROM j
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |c AS (
+      |  SELECT event_type, day, x, s,
+      |         rs_up - LEAST(0, min(rs_up) OVER w) AS cusum_up,
+      |         GREATEST(0, max(rs_dn) OVER w) - rs_dn AS cusum_down
+      |  FROM r
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type, day, x, cusum_up, cusum_down,
+      |       cusum_up > s AS drift_up, cusum_down > s AS drift_down
+      |FROM c ORDER BY event_type, day""".stripMargin
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Cusum
+
+/** Wave-7 operators. The CUSUM fixture is hand-computed end to end so
+  * the window rewrite of Page's recursion (running sum − running min) is
+  * checked against the recursion it claims to equal, step by step. */
+class Wave7Spec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cusum drift: window form equals Page's recursion, hand-computed") {
+    // One key, 8 days, a 10→40 level shift at day 5. n=8, s=200,
+    // mean=25, slack κ = s div 10 = 20 (cleared units).
+    //   y⁺ = 8x−220: x=10 → −140, x=40 → +100
+    //   RS⁺ = −140,−280,−420,−560,−460,−360,−260,−160
+    //   S⁺  = RS⁺ − min(0, runmin RS⁺) = 0,0,0,0,100,200,300,400
+    //   y⁻ = 8x−180: x=10 → −100, x=40 → +140
+    //   RS⁻ = −100,−200,−300,−400,−260,−120,+20,+160
+    //   S⁻  = max(0, runmax RS⁻) − RS⁻ = 100,200,300,400,260,120,0,0
+    // Alarms (> s = 200): up on days 7,8; down on days 3,4,5 — the
+    // down-side alarms are real behavior of a retrospective CUSUM
+    // against the GLOBAL mean: a series that later shifts up sits
+    // below its own all-time mean early on.
+    val xs = Seq(10L, 10L, 10L, 10L, 40L, 40L, 40L, 40L)
+    val df = xs.zipWithIndex.map { case (x, i) => ("a", i + 1, x) }
+      .toDF("k", "d", "x")
+    val got = Cusum.drift(df, "k", "d", "x").orderBy("d").collect()
+    assert(got.map(_.getAs[Long]("cusum_up")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 100L, 200L, 300L, 400L))
+    assert(got.map(_.getAs[Long]("cusum_down")).toSeq ==
+      Seq(100L, 200L, 300L, 400L, 260L, 120L, 0L, 0L))
+    assert(got.map(_.getAs[Boolean]("drift_up")).toSeq ==
+      Seq(false, false, false, false, false, false, true, true))
+    assert(got.map(_.getAs[Boolean]("drift_down")).toSeq ==
+      Seq(false, false, true, true, true, false, false, false))
+  }
+
+  test("cusum drift: keys are independent; a flat series never alarms") {
+    // Key "flat" is constant: y⁺ = −κ < 0 every step so S⁺ pins at 0;
+    // mixing it with a drifting key must not change either key's stats.
+    val drifting = Seq(10L, 10L, 10L, 10L, 40L, 40L, 40L, 40L)
+      .zipWithIndex.map { case (x, i) => ("a", i + 1, x) }
+    val flat = (1 to 8).map(i => ("flat", i, 30L))
+    val df = (drifting ++ flat).toDF("k", "d", "x")
+    val out = Cusum.drift(df, "k", "d", "x").collect()
+    val f = out.filter(_.getString(0) == "flat")
+    assert(f.forall(r => r.getAs[Long]("cusum_up") == 0L &&
+      r.getAs[Long]("cusum_down") == 0L))
+    val a = out.filter(_.getString(0) == "a").sortBy(_.getInt(1))
+    assert(a.map(_.getAs[Long]("cusum_up")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 100L, 200L, 300L, 400L))
+  }
+
+  test("cusum drift: result is repartition-invariant (integer discipline)") {
+    val rows = (1 to 40).map(i =>
+      ("k" + (i % 3), i / 3 + 1, (i * 7 % 13 + 1).toLong))
+      .distinct.toDF("k", "d", "x")
+    val base = Cusum.drift(rows, "k", "d", "x").orderBy("k", "d").collect()
+    val shuffled = Cusum.drift(rows.repartition(7), "k", "d", "x")
+      .orderBy("k", "d").collect()
+    assert(base.toSeq == shuffled.toSeq)
+  }
+}
