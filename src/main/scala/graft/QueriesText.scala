@@ -791,4 +791,39 @@ object QueriesText {
        |       (100 * inter_sz) // union_sz AS jacc_pct
        |FROM pairs WHERE inter_sz * 100 >= union_sz * 80
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q132 — sorted-neighborhood (SNM) dedup screen + the q32 exact
+  // verify contract. The screen family's linear member: candidates
+  // ≤ n·w by construction whatever the key distribution (banding and
+  // blocking both go quadratic on a hot bucket). The screen is lossy
+  // at window edges, so unlike q124 the oracle REPLAYS the screen —
+  // same per-block lead() windows over the same normalized sort key —
+  // then applies the shared exact-jaccard CTE; screen and verdict are
+  // both hash-checked.
+  // ------------------------------------------------------------------
+  def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame =
+    operators.SortedNeighborhood.verifiedPairs(
+        Tables.rebalance(Tables.documents(spark, sfDir)
+          .select("doc_id", "text")),
+        "doc_id", "text", minJaccard = 0.8, windowSize = 3, blockLen = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val sortedNeighborhoodSql: String =
+    s"""WITH $shingleJaccardCte,
+       |keyed AS (
+       |  SELECT doc_id AS id, ${normSql("text")} AS key
+       |  FROM documents WHERE length(${normSql("text")}) > 0),
+       |srt AS (SELECT id, key, substring(key, 1, 8) AS blk FROM keyed),
+       |leads AS (
+       |  SELECT id, lead(id, 1) OVER w AS n1, lead(id, 2) OVER w AS n2,
+       |         lead(id, 3) OVER w AS n3
+       |  FROM srt WINDOW w AS (PARTITION BY blk ORDER BY key, id)),
+       |cand AS (
+       |  SELECT LEAST(id, nb) AS id_a, GREATEST(id, nb) AS id_b
+       |  FROM (SELECT id, unnest([n1, n2, n3]) AS nb FROM leads)
+       |  WHERE nb IS NOT NULL)
+       |SELECT c.id_a, c.id_b, jp.jaccard
+       |FROM cand c JOIN jp ON jp.id_a = c.id_a AND jp.id_b = c.id_b
+       |WHERE jp.jaccard >= 0.8 ORDER BY c.id_a, c.id_b""".stripMargin
 }

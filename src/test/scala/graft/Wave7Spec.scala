@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Cusum
+import graft.operators.{Cusum, SortedNeighborhood}
 
 /** Wave-7 operators. The CUSUM fixture is hand-computed end to end so
   * the window rewrite of Page's recursion (running sum − running min) is
@@ -61,5 +61,42 @@ class Wave7Spec extends AnyFunSuite {
     val shuffled = Cusum.drift(rows.repartition(7), "k", "d", "x")
       .orderBy("k", "d").collect()
     assert(base.toSeq == shuffled.toSeq)
+  }
+
+  test("SNM candidates: w nearest in-block sort neighbors, never across blocks") {
+    // Block prefix (8 chars) splits {aaaa...} from {bbbb...}. In the
+    // aaaa-block sort order the keys land 1 < 3 < 2 (suffixes five <
+    // seven < six), so w=1 proposes (1,3),(2,3) — NOT (1,2) — and no
+    // aaaa×bbbb pair exists even though 4 would be 2's global neighbor.
+    val docs = Seq(
+      (1L, "aaaa one two three four five"),
+      (2L, "aaaa one two three four six"),
+      (3L, "aaaa one two three four seven"),
+      (4L, "bbbb eight nine ten eleven")).toDF("doc_id", "text")
+    val got = SortedNeighborhood
+      .candidates(docs, "doc_id", "text", windowSize = 1, blockLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L), (2L, 3L)))
+    // w=2 closes the window: (1,2) appears, blocks still never mix
+    val w2 = SortedNeighborhood
+      .candidates(docs, "doc_id", "text", windowSize = 2, blockLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w2 == Set((1L, 3L), (2L, 3L), (1L, 2L)))
+  }
+
+  test("SNM verified pairs: planted near-dup kept, dissimilar neighbor dropped") {
+    // 1 and 2 share all but one trailing word (3-shingle jaccard well
+    // over 0.8 with the repeated filler); 3 shares only the block
+    // prefix — proposed by the screen, killed by the exact verify.
+    val filler = (1 to 30).map(i => "w" + i).mkString(" ")
+    val docs = Seq(
+      (1L, s"aaaa $filler alpha"),
+      (2L, s"aaaa $filler beta"),
+      (3L, "aaaa w1 unrelated different content here")).toDF("doc_id", "text")
+    val got = SortedNeighborhood
+      .verifiedPairs(docs, "doc_id", "text", minJaccard = 0.8,
+        windowSize = 2, blockLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)))
   }
 }
