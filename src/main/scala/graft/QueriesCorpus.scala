@@ -145,9 +145,13 @@ object QueriesCorpus {
     val after = operators.Sampling
       .domainReweightSample(d, "source", "doc_id", rates)
       .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
-    // achieved_share over the ≤|strata|-row report table: the empty
-    // window partition is fine here — the frame is the RESULT, not data
-    val wAll = Window.partitionBy()
+    // achieved_share over the ≤|strata|-row report table: a global frame
+    // is fine here — the frame is the RESULT, not data — but an EMPTY
+    // partition spec fires WindowExec's "No Partition Defined" warning on
+    // every run (alarm fatigue); partition on a non-foldable constant
+    // (pmod(x, 1) = 0 for every non-null x; n_after is coalesced below)
+    // so the intent is explicit and the log stays clean
+    val wAll = Window.partitionBy(pmod(col("n_after"), lit(1)))
     rates.join(after, Seq("source"), "left")
       .select(col("source"), col("n_before"), col("rate"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))

@@ -802,28 +802,38 @@ object QueriesText {
   // then applies the shared exact-jaccard CTE; screen and verdict are
   // both hash-checked.
   // ------------------------------------------------------------------
+  // One source of truth for the SNM screen parameters: the Scala call and
+  // the oracle SQL below are both derived from these, so changing either
+  // knob cannot silently diverge the two sides.
+  private val SnmWindow = 3
+  private val SnmBlockLen = 8
+
   def sortedNeighborhood(spark: SparkSession, sfDir: String): DataFrame =
     operators.SortedNeighborhood.verifiedPairs(
         Tables.rebalance(Tables.documents(spark, sfDir)
           .select("doc_id", "text")),
-        "doc_id", "text", minJaccard = 0.8, windowSize = 3, blockLen = 8)
+        "doc_id", "text", minJaccard = 0.8,
+        windowSize = SnmWindow, blockLen = SnmBlockLen)
       .orderBy(col("id_a"), col("id_b"))
 
-  val sortedNeighborhoodSql: String =
+  val sortedNeighborhoodSql: String = {
+    val leadCols = (1 to SnmWindow)
+      .map(k => s"lead(id, $k) OVER w AS n$k").mkString(", ")
+    val nbList = (1 to SnmWindow).map(k => s"n$k").mkString("[", ", ", "]")
     s"""WITH $shingleJaccardCte,
        |keyed AS (
        |  SELECT doc_id AS id, ${normSql("text")} AS key
        |  FROM documents WHERE length(${normSql("text")}) > 0),
-       |srt AS (SELECT id, key, substring(key, 1, 8) AS blk FROM keyed),
+       |srt AS (SELECT id, key, substring(key, 1, $SnmBlockLen) AS blk FROM keyed),
        |leads AS (
-       |  SELECT id, lead(id, 1) OVER w AS n1, lead(id, 2) OVER w AS n2,
-       |         lead(id, 3) OVER w AS n3
+       |  SELECT id, $leadCols
        |  FROM srt WINDOW w AS (PARTITION BY blk ORDER BY key, id)),
        |cand AS (
        |  SELECT LEAST(id, nb) AS id_a, GREATEST(id, nb) AS id_b
-       |  FROM (SELECT id, unnest([n1, n2, n3]) AS nb FROM leads)
+       |  FROM (SELECT id, unnest($nbList) AS nb FROM leads)
        |  WHERE nb IS NOT NULL)
        |SELECT c.id_a, c.id_b, jp.jaccard
        |FROM cand c JOIN jp ON jp.id_a = c.id_a AND jp.id_b = c.id_b
        |WHERE jp.jaccard >= 0.8 ORDER BY c.id_a, c.id_b""".stripMargin
+  }
 }

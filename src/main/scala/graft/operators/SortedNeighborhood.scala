@@ -40,7 +40,11 @@ object SortedNeighborhood {
     val norm = TextFunctions.normalizeText(col(textCol))
     val base = df
       .select(col(idCol).cast("long").as("id"), norm.as("key"))
-      .filter(length(col("key")) > 0)
+      // a non-numeric id casts to null; such a row would still occupy a
+      // window slot and its pairs would vanish in least/greatest below,
+      // silently shrinking recall — drop it here so the screen's n·w
+      // candidate bound refers to rows that can actually emit pairs
+      .filter(col("id").isNotNull && length(col("key")) > 0)
       .withColumn("blk", substring(col("key"), 1, blockLen))
     val w = Window.partitionBy(col("blk")).orderBy(col("key"), col("id"))
     base
