@@ -39,35 +39,46 @@ object NgramLm {
   def unigramScores(df: DataFrame, idCol: String, textCol: String,
       broadcastModel: Boolean = true): DataFrame = {
     // the token stream feeds BOTH the model fit and the scoring join —
-    // cache it so the corpus tokenizes once, not once per consumer
+    // cache it so the corpus tokenizes once, not once per consumer;
+    // released once the final scores are pinned (corpus-sized: the one
+    // table here that must NOT outlive the invocation)
     val tokens = df
       .select(col(idCol), explode(toks(col(textCol))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val model = fitUnigrams(tokens)
-    // pin the per-doc scores, release the token stream + fitted model
+    // pin the per-doc scores, release the token stream. The model is
+    // plan-only (never persisted): its backing counts table keeps the
+    // session-lived pin inside fitUnigrams, so a warm re-invocation's
+    // probe-and-skip here leaves NOTHING to re-fit. (Round 6 instead
+    // force-pinned the model and released it with the tokens — so every
+    // warm re-run re-drove the tokenize+groupBy fit for a model the
+    // already-pinned scores never read: the q88 warm regression.)
     LoopCache.finish(
-      scoreTokens(tokens, idCol, model, broadcastModel), tokens, model)
+      scoreTokens(tokens, idCol, model, broadcastModel), tokens)
   }
 
   /** Fit the unigram NLL table from a (.., tok) token stream:
-    * (tok, nll) with nll = -ln(count/N) staged through DECIMAL(18,6). */
+    * (tok, nll) with nll = -ln(count/N) staged through DECIMAL(18,6).
+    * The returned projection is PLAN-ONLY; its backing counts table is a
+    * deliberate session-lived pin (see below). */
   def fitUnigrams(tokens: DataFrame): DataFrame = {
-    // vocab-sized; cached because it is aggregated twice (the N scalar
-    // below and the model projection the scoring join consumes)
+    // vocab-sized, session-lived pin — the multi-row analogue of
+    // LoopCache.pinnedRow's contract: it backs the N scalar, the model
+    // projection, and every later re-invocation (which probes the pin
+    // instead of re-scanning the token stream). Bounded by the vocabulary,
+    // not the corpus, so keeping it live is the cost model working as
+    // intended; releasing it per-invocation is what made warm q88 re-fit
+    // the model each run.
     val counts = tokens.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (!LoopCache.cached(counts))
+      counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // N is one driver-side scalar (bounded: a single long), the price of
     // avoiding a global cross-join or a second shuffle over the counts;
     // pinned so warm re-invocations skip the token-stream pass entirely
     val n = LoopCache.pinnedRow(counts.agg(sum(col("c")))).getLong(0)
-    // pin the vocab-sized model, release the raw counts it was built from
-    // (the caller owns the model's lifetime — unigramScores releases it
-    // once the scores are materialized)
-    LoopCache.finish(
-      counts.select(col("tok"),
-        (-log(col("c").cast("double") / lit(n.toDouble)))
-          .cast("decimal(18,6)").as("nll")),
-      counts)
+    counts.select(col("tok"),
+      (-log(col("c").cast("double") / lit(n.toDouble)))
+        .cast("decimal(18,6)").as("nll"))
   }
 
   /** Score a token stream against a fitted (tok, nll) model: unseen tokens
