@@ -28,22 +28,68 @@ object FuzzyMatch {
 
   /** Candidate pairs sharing a `blockLen`-char normalized-prefix block,
     * verified at levenshtein ≤ `maxDist` over `prefixLen`-char windows.
-    * Returns (id_a, id_b, edit_distance) with id_a < id_b. */
+    * Returns (id_a, id_b, edit_distance) with id_a < id_b.
+    *
+    * Skew shape: a hot block of size m costs m²/2 verifications — that
+    * count is inherent to key blocking (SNM is the linear-candidates
+    * alternative), but it must PARALLELIZE, not serialize. A bare
+    * self-join on `blk` lands each block's whole m² on one task, and AQE
+    * makes it worse at scale: it coalesces partitions by the join's
+    * INPUT bytes (tiny — one short prefix row per doc) while the output
+    * is Σ m², so the measured 10× corpus ran 2.3M verifications on a
+    * single core (SCALE.md round-7: 96× cold for 10× data). The join is
+    * therefore triangle-salted: each row gets a stable salt s ∈ [0, g)
+    * and is replicated to the g unordered salt buckets containing s;
+    * pair (sx, sy) matches ONLY in bucket (min, max) — every logical
+    * pair still appears exactly once, but a block's m² now spreads over
+    * g(g+1)/2 tasks at a g× row-replication cost on block-sized input.
+    * Results are identical to the unsalted join (the oracle replays it
+    * with no salt logic — completeness is hash-checked, and the spec
+    * asserts salted ≡ unsalted pair-for-pair). */
   def blockedPairs(df: DataFrame, idCol: String, textCol: String,
-      blockLen: Int = 12, prefixLen: Int = 64, maxDist: Int = 5): DataFrame = {
+      blockLen: Int = 12, prefixLen: Int = 64, maxDist: Int = 5,
+      saltGroups: Int = 8): DataFrame = {
     require(blockLen >= 1 && prefixLen >= blockLen && maxDist >= 0,
       s"need 1 <= blockLen ($blockLen) <= prefixLen ($prefixLen), maxDist >= 0")
+    require(saltGroups >= 1, s"saltGroups=$saltGroups must be >= 1")
+    val g = saltGroups
     val norm = TextFunctions.normalizeText(col(textCol))
     val base = df
       .select(col(idCol).cast("long").as("id"), norm.as("norm"))
       .filter(length(col("norm")) > 0)
       .select(col("id"),
         substring(col("norm"), 1, blockLen).as("blk"),
-        substring(col("norm"), 1, prefixLen).as("pfx"))
-    base.as("x").join(base.as("y"),
-        col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+        substring(col("norm"), 1, prefixLen).as("pfx"),
+        // stable per-row salt: a pure function of the id, so both
+        // replicated sides derive the same s for the same row
+        pmod(xxhash64(col("id")), lit(g.toLong)).cast("int").as("s"))
+    // replicate each row to every unordered bucket (a, b) with s ∈ {a, b}:
+    // (s, t) normalized to (least, greatest) for all t — exactly g buckets
+    val buckets = explode(array((0 until g).map(t =>
+      struct(least(col("s"), lit(t)).as("a"),
+        greatest(col("s"), lit(t)).as("b"))): _*)).as("bkt")
+    val rep = base.select(col("id"), col("blk"), col("pfx"), col("s"), buckets)
+      .select(col("id"), col("blk"), col("pfx"), col("s"),
+        col("bkt.a").as("ba"), col("bkt.b").as("bb"))
+    // Predicate order is deliberate: the cheap salt-uniqueness and id
+    // predicates run BEFORE the levenshtein test (a post-join filter
+    // would be pushed into the join condition AHEAD of them, paying the
+    // edit distance on every bucket-collision row pair — measured 3x on
+    // the unskewed base corpus). The distance test itself uses the
+    // THRESHOLD variant — banded O(len·maxDist) instead of O(len²),
+    // returning -1 past the threshold — and the projection re-derives
+    // the exact distance only for the few surviving pairs.
+    rep.as("x").join(rep.as("y"),
+        col("x.blk") === col("y.blk") &&
+          col("x.ba") === col("y.ba") && col("x.bb") === col("y.bb") &&
+          // the pair's OWN salt pair must equal this bucket — the one
+          // bucket where both orders of (sx, sy) coincide — so a pair
+          // co-resident in several buckets is emitted exactly once
+          least(col("x.s"), col("y.s")) === col("x.ba") &&
+          greatest(col("x.s"), col("y.s")) === col("x.bb") &&
+          col("x.id") < col("y.id") &&
+          levenshtein(col("x.pfx"), col("y.pfx"), maxDist) >= 0)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        levenshtein(col("x.pfx"), col("y.pfx")).as("edit_distance"))
-      .filter(col("edit_distance") <= maxDist)
+        levenshtein(col("x.pfx"), col("y.pfx"), maxDist).as("edit_distance"))
   }
 }

@@ -100,6 +100,33 @@ class Wave6Spec extends AnyFunSuite {
     assert(got == Map((1L, 2L) -> 3, (1L, 5L) -> 0, (2L, 5L) -> 3))
   }
 
+  test("fuzzy match: triangle-salted join emits each pair exactly once " +
+      "(= unsalted), on a corpus with a planted hot block") {
+    // one hot block: 40 docs share the 12-char block key (small edits
+    // beyond it), plus distinct-block bystanders. The salted join must
+    // produce the identical pair MULTISET as saltGroups=1 (the plain
+    // self-join): same keys, same distances, no duplicates, no drops —
+    // over buckets where same-salt and cross-salt pairs coexist.
+    val hot = (0 until 40).map(i =>
+      (100L + i, s"shared block prefix variant number $i padding words"))
+    val cold = (0 until 10).map(i =>
+      (200L + i, s"unique$i opener text that blocks alone entirely"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    def pairs(g: Int) = operators.FuzzyMatch
+      .blockedPairs(docs, "doc_id", "text", blockLen = 12, prefixLen = 64,
+        maxDist = 20, saltGroups = g)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .sortBy(p => (p._1, p._2))
+    val salted = pairs(8)
+    val plain = pairs(1)
+    assert(salted.length == plain.length,
+      s"salted ${salted.length} pairs vs unsalted ${plain.length}")
+    assert(salted.toSeq == plain.toSeq)
+    // the hot block really is hot: 40 docs → C(40,2) candidate pairs all
+    // within maxDist here, so a dedup/drop bug cannot hide in zero rows
+    assert(plain.count(p => p._1 >= 100L && p._2 < 200L) == 40 * 39 / 2)
+  }
+
   test("integer HITS: mutual reinforcement separates roles, replayable") {
     // bipartite: customer 1 buys the 3 popular parts, 4 only part 13.
     // Expected values hand-simulated (3 rounds, divide-first L∞ norm):
