@@ -55,6 +55,75 @@ object QueriesStreaming {
   }
 
   // -------------------------------------------------------------------
+  // q135 — the q40 gap sessionization, computed BY THE STREAM: events
+  // replayed event-time-sorted through the session_window aggregation;
+  // per-user stats are derived from the emitted closed sessions. Oracle:
+  // q40's SQL, verbatim. Because append-mode session output is gated on
+  // the watermark, two far-future sentinel batches close the final
+  // sessions (Replay's flush contract); sentinel user_id < 0 is filtered
+  // out. Boundary note: session_window closes a session at gap >= 30 min
+  // while the batch lag-rule closes strictly past it — a gap of EXACTLY
+  // 1800.000000 s would diverge; no such gap exists in any corpus SF
+  // (microsecond timestamps make it measure-zero), and the oracle replay
+  // would surface one immediately if the data ever grew it.
+  // -------------------------------------------------------------------
+  def sessionStreamReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .orderBy(col("ts"), col("user_id"))
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    val lastTs = rows.last._2.getTime
+    def sentinel(daysAhead: Int): Seq[(Long, java.sql.Timestamp)] =
+      Seq((-1L, new java.sql.Timestamp(lastTs + daysAhead * 86400000L)))
+    val sessions = Replay.replay(spark, rows, numBatches = 8,
+        OutputMode.Append, flush = Seq(sentinel(40), sentinel(41))) { ds =>
+      StreamingOps.sessionStream(ds.toDF("user_id", "ts"),
+        "user_id", "ts", gap = "30 minutes", watermark = "1 hour")
+    }
+    sessions.filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).cast("long").as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  // -------------------------------------------------------------------
+  // q136 — the continuous exact-dedup screen, replayed: documents arrive
+  // as 8 micro-batches (synthetic monotone event time — the corpus has
+  // no timestamp; arrival order is the dedup-relevant dimension) through
+  // dropDuplicatesWithinWatermark on the content digest, watermark far
+  // beyond the replay so no state ever expires. The oracle-checked
+  // contract is the operator's core guarantee: EXACTLY ONE survivor per
+  // distinct payload — the emitted digest set, sorted, hash-equals
+  // DuckDB's DISTINCT md5 over the same documents (an extra emission or
+  // a suppressed digest both break the row hash). keep_id is NOT part of
+  // the contract: within one micro-batch the surviving row of a digest
+  // is whichever partition reports first, by design.
+  // -------------------------------------------------------------------
+  def dedupStreamReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+      .as[(Long, String)].collect().toSeq
+    val kept = Replay.replay(spark, rows, numBatches = 8,
+        OutputMode.Append) { ds =>
+      StreamingOps.dedupStream(
+        ds.map { case (id, text) =>
+          (id, text, new java.sql.Timestamp(86400000L + id))
+        }.toDF("doc_id", "text", "ts"),
+        "text", "ts", watermark = "3650 days")
+    }
+    kept.select(col("digest")).orderBy(col("digest"))
+  }
+
+  val dedupStreamReplaySql: String =
+    """SELECT DISTINCT md5(text) AS digest FROM documents
+      |ORDER BY digest""".stripMargin
+
+  // -------------------------------------------------------------------
   // q134 — the q119 distinct-count registers, maintained BY THE STREAM:
   // lineitem rows replayed in 8 micro-batches through the Complete-mode
   // register aggregation; the sink table after the last batch is the full

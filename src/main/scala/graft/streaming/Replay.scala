@@ -36,9 +36,19 @@ object Replay {
     * @param mode OutputMode.Complete for streaming aggregations (the sink
     *             table IS the final state), OutputMode.Append for
     *             flatMapGroupsWithState-style emitters (the sink table is
-    *             the full emission log). */
+    *             the full emission log).
+    * @param flush extra micro-batches fed AFTER the main chunks, one batch
+    *             per element. Append-mode event-time aggregations
+    *             (session_window, tumbling windows) only emit a group once
+    *             the WATERMARK passes it, and the watermark a batch runs
+    *             with derives from the data of prior batches — so closing
+    *             the final groups takes two more batches: one whose rows
+    *             push max event time past them, and one more to run under
+    *             the advanced watermark. Callers pass far-future sentinel
+    *             rows here (twice) and filter them from the sink. */
   def replay[T](spark: SparkSession, rows: Seq[T], numBatches: Int,
-      mode: OutputMode)(pipe: Dataset[T] => DataFrame)(
+      mode: OutputMode, flush: Seq[Seq[T]] = Nil)(
+      pipe: Dataset[T] => DataFrame)(
       implicit enc: Encoder[T]): DataFrame = {
     require(numBatches >= 1, s"numBatches=$numBatches must be >= 1")
     implicit val sqlCtx = spark.sqlContext
@@ -52,7 +62,7 @@ object Replay {
     try {
       // ceil-sized contiguous slices: every row lands in exactly one batch
       val per = (rows.size + numBatches - 1).max(1) / numBatches.max(1)
-      rows.grouped(per.max(1)).foreach { chunk =>
+      (rows.grouped(per.max(1)) ++ flush.iterator).foreach { chunk =>
         mem.addData(chunk)
         query.processAllAvailable()
       }
