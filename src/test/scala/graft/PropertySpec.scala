@@ -116,4 +116,29 @@ class PropertySpec extends AnyFunSuite {
       assert(total == kept.toLong, s"rows: $rows")
     }
   }
+
+  test("FuzzyMatch property: triangle-salted pairs == unsalted, ∀ g, on " +
+      "random block-colliding corpora") {
+    // texts drawn from 3 shared openers (heavy block collisions) + random
+    // tails — the adversarial shape for the bucket-dedup logic (same-salt
+    // and cross-salt pairs co-resident in many buckets)
+    val docGen = Gen.nonEmptyListOf(for {
+      opener <- Gen.oneOf("common opener block", "common opener brick",
+        "other start words")
+      tail <- Gen.listOfN(4, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    } yield s"$opener ${tail.mkString(" ")}")
+    samples(docGen, 8).zipWithIndex.foreach { case (texts, i) =>
+      val df = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      def run(g: Int) = operators.FuzzyMatch
+        .blockedPairs(df, "doc_id", "text", blockLen = 12, prefixLen = 64,
+          maxDist = 25, saltGroups = g)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      val plain = run(1)
+      Seq(2, 3, 8).foreach { g =>
+        assert(run(g) == plain, s"corpus $i, saltGroups=$g, texts=$texts")
+      }
+    }
+  }
 }
