@@ -123,8 +123,12 @@ object NgramLm {
     * rule) before the per-document mean. */
   def bigramScores(df: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.4, broadcastModel: Boolean = true): DataFrame =
-    scoreBigrams(df, idCol, textCol, fitBigrams(df, idCol, textCol),
-      alpha, broadcastModel)
+    // pin the per-doc scores (the operator's one corpus-sized-input,
+    // doc-sized-output table): a warm re-invocation probes and serves
+    // them without re-running the scoring joins or re-tokenizing
+    LoopCache.finish(
+      scoreBigrams(df, idCol, textCol, fitBigrams(df, idCol, textCol),
+        alpha, broadcastModel))
 
   /** Fitted bigram model: unigram counts, bigram counts, total tokens. */
   final case class BigramModel(uni: DataFrame, bi: DataFrame, n: Long)
@@ -144,11 +148,21 @@ object NgramLm {
 
   def fitBigrams(df: DataFrame, idCol: String, textCol: String): BigramModel = {
     val base = tokenArrays(df, idCol, textCol)
+    // Both count tables are session-lived VOCAB-sized pins (the q88
+    // lesson, fitUnigrams): scoreBigrams references uniCounts THREE
+    // times (bigram-hit join, c1_prev join, backoff join) and each
+    // unpinned reference re-drove the whole tokenize+groupBy fit —
+    // per-invocation AND per-reference. Pinned, the fit runs once per
+    // session and warm re-invocations skip the token pass entirely.
     val uniCounts = base.select(explode(col("ts")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    if (!LoopCache.cached(uniCounts))
+      uniCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = LoopCache.pinnedRow(uniCounts.agg(sum(col("c1")))).getLong(0)
     val biCounts = bigramStream(base, idCol).groupBy(col("prev"), col("tok"))
       .agg(count(lit(1)).as("c2"))
+    if (!LoopCache.cached(biCounts))
+      biCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     BigramModel(uniCounts, biCounts, n)
   }
 
