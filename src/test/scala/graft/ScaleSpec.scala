@@ -330,4 +330,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(!"Exchange (hash|range)partitioning".r.findFirstIn(plan).isDefined, plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("fuzzy blockedPairs joins on salt buckets with the distance LAST " +
+      "in the residual (the 10x-measured skew/ordering regression pins)") {
+    val plan = graft.operators.FuzzyMatch.blockedPairs(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // the join must key on the salt-bucket pair (ba, bb), not on blk
+    // alone — keying on blk alone is the shape that serialized a hot
+    // block's m^2 verifications onto one task at 10x
+    assert("\\[blk#\\d+, ba#\\d+, bb#\\d+\\]".r.findFirstIn(plan).isDefined
+      || plan.contains("ba#"), plan)
+    // and the levenshtein residual must run AFTER the cheap salt/id
+    // predicates: a pushed-in distance filter evaluates the edit
+    // distance on every bucket-collision pair
+    val cond = plan.linesIterator
+      .find(l => l.contains("levenshtein") && l.contains("least")).getOrElse("")
+    assert(cond.nonEmpty, plan)
+    assert(cond.indexOf("least") < cond.indexOf("levenshtein"), cond)
+  }
 }
