@@ -90,6 +90,59 @@ object QueriesStreaming {
   }
 
   // -------------------------------------------------------------------
+  // q137 — the stream-static anomaly screen, replayed: hourly per-type
+  // counts aggregate in-stream (watermarked tumbling windows) and each
+  // closed hour is probed against STATIC per-type history stats via the
+  // broadcast stream-static join — the all-BIGINT 2σ test, so a flagged
+  // hour is flagged identically on every engine. The static stats are
+  // the batch aggregate over the same rows (the operator's documented
+  // deployment shape: history stats feed the live screen). Oracle: an
+  // independent DuckDB replay of hourly counts + the integer test.
+  // Sentinel flush closes the final hour windows (Replay contract);
+  // sentinel rows carry an unknown type, so the inner stats join drops
+  // them before the sink.
+  // -------------------------------------------------------------------
+  def anomalyStreamReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("ts"))
+    val hourly = ev.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    val rows = ev.select(col("ts"), col("event_type"))
+      .orderBy(col("ts"), col("event_type"))
+      .as[(java.sql.Timestamp, String)].collect().toSeq
+    val lastTs = rows.last._1.getTime
+    def sentinel(daysAhead: Int): Seq[(java.sql.Timestamp, String)] =
+      Seq((new java.sql.Timestamp(lastTs + daysAhead * 86400000L),
+        "zz_replay_sentinel"))
+    val flagged = Replay.replay(spark, rows, numBatches = 8,
+        OutputMode.Append, flush = Seq(sentinel(40), sentinel(41))) { ds =>
+      StreamingOps.anomalyStream(ds.toDF("ts", "event_type"),
+        "event_type", "ts", stats, k = 2L, watermark = "2 hours")
+    }
+    flagged.select(col("event_type"), col("hour_start"), col("x"))
+      .orderBy(col("event_type"), col("hour_start"))
+  }
+
+  val anomalyStreamReplaySql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h,
+      |         CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS BIGINT) AS s,
+      |         CAST(sum(x * x) AS BIGINT) AS ss
+      |  FROM hourly GROUP BY 1)
+      |SELECT h.event_type, h.h AS hour_start, h.x
+      |FROM hourly h JOIN st USING (event_type)
+      |WHERE (n * x - s) * (n * x - s) > 4 * (n * ss - s * s)
+      |ORDER BY event_type, hour_start""".stripMargin
+
+  // -------------------------------------------------------------------
   // q136 — the continuous exact-dedup screen, replayed: documents arrive
   // as 8 micro-batches (synthetic monotone event time — the corpus has
   // no timestamp; arrival order is the dedup-relevant dimension) through
