@@ -90,6 +90,41 @@ object QueriesStreaming {
   }
 
   // -------------------------------------------------------------------
+  // q138 — the stream-stream interval join, replayed as a SELF-join of
+  // the event stream: each event matched to same-user events within
+  // ±10 minutes. Completeness logic: the join interval (10 min) is well
+  // inside the watermark horizon (1 h), and the replay feeds batches in
+  // event-time order, so no buffered row is ever expired before its
+  // last possible partner arrives — the stream must find EXACTLY the
+  // batch join's pairs, which DuckDB replays as a plain self-join.
+  // Inner stream-stream joins emit eagerly on match (only outer joins
+  // hold for the watermark), so no sentinel flush is needed.
+  // -------------------------------------------------------------------
+  def intervalJoinStreamReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+    val joined = Replay.replay(spark, rows, numBatches = 8,
+        OutputMode.Append) { ds =>
+      val ev = ds.toDF("user_id", "ts", "event_id")
+      StreamingOps.intervalJoinStream(ev, ev, "user_id", "ts",
+        before = "10 minutes", after = "10 minutes", watermark = "1 hour")
+    }
+    joined.select(col("l_event_id"), col("r_event_id"))
+      .orderBy(col("l_event_id"), col("r_event_id"))
+  }
+
+  val intervalJoinStreamReplaySql: String =
+    """SELECT a.event_id AS l_event_id, b.event_id AS r_event_id
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts - INTERVAL 10 MINUTE
+      | AND b.ts <= a.ts + INTERVAL 10 MINUTE
+      |ORDER BY l_event_id, r_event_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q137 — the stream-static anomaly screen, replayed: hourly per-type
   // counts aggregate in-stream (watermarked tumbling windows) and each
   // closed hour is probed against STATIC per-type history stats via the

@@ -437,7 +437,10 @@ object Dedup {
       .join(broadcast(touched), col(idCol) === col("vn_id"), "left_semi")
       .select(col(idCol).cast("long").as("id"),
         array_distinct(shingleArray(col(textCol), shingleN)).as("sh"))
-    pairs
+    // the verified output is also pinned (≤ candidate-sized): a warm
+    // re-invocation probes it and skips the touched-doc semi-join and
+    // shingling entirely — the same finals policy as the graph loops
+    LoopCache.finish(pairs
       .join(members.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(members.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a") +: col("id_b") +:
@@ -447,7 +450,7 @@ object Dedup {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard") +:
         kept: _*)
-      .filter(col("jaccard") >= minJaccard)
+      .filter(col("jaccard") >= minJaccard))
   }
 
   /** MinHash-screened, exactly-verified near-dup pairs: LSH banding
