@@ -71,8 +71,14 @@ object Bench {
     // and the full line is also written to BENCH_DETAIL.json so neither
     // tier is ever lost to the tail window.
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"sf":"$sfDir","queries":${qjson(results)}}"""
+    // Detail file lands next to the checkout being benched: env override
+    // first, else the working directory (NOT a hardcoded absolute path —
+    // a bench run from another checkout must not write into this one).
+    val detailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAIL",
+      java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath.toString)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(detailPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }

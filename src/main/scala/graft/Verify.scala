@@ -73,7 +73,14 @@ object Verify {
     } + "\""
     val json = SparkEntry.oracleSql.filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // A FILTERED run must not clobber the full oracle_sql.json: stale
+    // per-query parquet dirs from a previous full run would remain in
+    // outDir, and a later full DuckDB compare against the shrunken map
+    // would silently verify fewer queries. Filtered runs write a
+    // sibling partial file instead.
+    val oracleFile =
+      if (only.isDefined) "oracle_sql.partial.json" else "oracle_sql.json"
+    Files.writeString(Paths.get(s"$outDir/$oracleFile"), json)
     spark.stop()
   }
 }

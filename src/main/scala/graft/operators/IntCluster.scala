@@ -90,8 +90,14 @@ object IntCluster {
       k: Int, iterations: Int = 3): DataFrame = {
     require(k >= 1 && iterations >= 1,
       s"k=$k and iterations=$iterations must be >= 1")
+    // null-id guard (same contract as SortedNeighborhood): a non-numeric
+    // idCol value casts to null, and a null id would both seed a bogus
+    // centroid and split the seed window's pmod partition key into a
+    // separate null partition — row_number restarts there and two seed
+    // rows could share a cluster id.
     val vecs = df.select(col(idCol).cast("long").as("id"),
         col(codesCol).as("codes"))
+      .filter(col("id").isNotNull)
     // constant partition key: the frame only ever numbers the limit(k)
     // seed rows, but an empty partitionBy fires Spark's "No Partition
     // Defined for Window" warning on every run — alarm fatigue for a

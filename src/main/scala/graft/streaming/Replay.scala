@@ -66,7 +66,20 @@ object Replay {
         mem.addData(chunk)
         query.processAllAvailable()
       }
-    } finally query.stop()
+    } finally {
+      query.stop()
+      // the temp checkpoint is dead once the query stops (the memory-sink
+      // table lives in the session, not the checkpoint) — delete it so
+      // verify runs don't accumulate graft-replay-ckpt* dirs on /tmp
+      try {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } finally walk.close()
+      } catch { case _: Throwable => () } // cleanup must not mask a result
+    }
     spark.table(sink)
   }
 }

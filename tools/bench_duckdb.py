@@ -48,17 +48,28 @@ def main():
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     def timed(sql):
-        """(seconds, status): one run, interrupted past the watchdog."""
+        """(seconds, status): one run, interrupted past the watchdog.
+
+        Each run gets its OWN cursor (a duplicate connection onto the same
+        in-memory database, so the views are visible) and the watchdog
+        interrupts only that cursor. With a shared connection there was a
+        race: the timeout could expire in the window between fetchall()
+        returning and done.set(), landing a stale interrupt on the NEXT
+        query and recording a false timeout against the wrong name. A
+        per-run cursor makes a late interrupt hit an already-closed
+        handle — harmless by construction.
+        """
+        cur = con.cursor()
         done = threading.Event()
 
         def watchdog():
-            if not done.wait(timeout):
-                con.interrupt()
+            if not done.wait(timeout) and not done.is_set():
+                cur.interrupt()
         w = threading.Thread(target=watchdog, daemon=True)
         w.start()
         t0 = time.time()
         try:
-            con.execute(sql).fetchall()
+            cur.execute(sql).fetchall()
             return time.time() - t0, "ok"
         except duckdb.InterruptException:
             return time.time() - t0, "timeout"
@@ -66,6 +77,8 @@ def main():
             return time.time() - t0, f"error: {str(e)[:80]}"
         finally:
             done.set()
+            w.join(timeout=1)
+            cur.close()
 
     rows = []
     for name in sorted(oracle):
