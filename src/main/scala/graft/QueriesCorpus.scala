@@ -362,24 +362,29 @@ object QueriesCorpus {
       |              valid_to NULLS LAST""".stripMargin
 
   // -------------------------------------------------------------------
-  // q84 — semantic-dedup capstone, FULLY oracle-checked: exact-cosine
-  // near-dup pairs (q42's planted corpus and threshold) → transitive
-  // closure → cluster table. This gives the connected-components path an
-  // oracle for the first time: DuckDB computes the same clusters with a
-  // recursive-CTE transitive closure and takes min-reachable-id as the
-  // representative — near-dup clusters are small by construction, so the
-  // closure's pair blowup is bounded. (q44 remains rows-only because its
-  // PAIRS come from xxhash LSH buckets; here the pairs themselves are
+  // q84 — semantic-dedup capstone, FULLY oracle-checked: banded-LSH
+  // screen → exact-cosine verified near-dup pairs (q42's planted corpus
+  // and threshold) → transitive closure → cluster table. DuckDB computes
+  // the same clusters with a recursive-CTE transitive closure over the
+  // EXACT all-pairs threshold join and takes min-reachable-id as the
+  // representative — so the oracle checks the screen's recall end to
+  // end: a candidate the banded screen dropped would under-merge a
+  // cluster and hash-mismatch. (q44 remains rows-only because its PAIRS
+  // come from xxhash LSH buckets; here the pairs themselves are
   // oracle-expressible.)
   // -------------------------------------------------------------------
   def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    // EXACT pairs, not the LSH-bucketed tier: the oracle's recursive
-    // closure finds every >=0.99 pair, so the Spark side must too — a
-    // bucketed miss on a borderline pair would under-merge a cluster
-    // nondeterministically. Completeness is load-bearing here; q41/q42
-    // carry the bucketed scale tier.
+    // Screen → verify, NOT the O(n²) cross join: candidates meet only in
+    // shared hyperplane-band buckets (4 OR'd bands of 12 planes — exact
+    // duplicates collide in every band with certainty, and band 0 is
+    // bit-identical to q42's oracle-green single-band screen, so the
+    // candidate set strictly contains a screen already proven complete
+    // on this corpus), then every candidate is exact-cosine verified.
+    // The oracle's recursive closure over the exact all-pairs join keeps
+    // the completeness claim HONEST: any recall loss surfaces as a hash
+    // mismatch, not a silent under-merge.
     val pairs = operators.Similarity
-      .exactCosinePairs(
+      .cosineNearDupsBanded(
         QueriesText.plantedEmbeddingCorpus(spark, sfDir), minCosine = 0.99)
       .select(col("id_a"), col("id_b"))
     operators.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")

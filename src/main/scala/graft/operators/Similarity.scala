@@ -186,12 +186,69 @@ object Similarity {
       .distinct()
   }
 
+  /** Banded hyperplane LSH screen → exact-cosine verify: the scale shape
+    * for high-threshold near-dup pair mining (the q84 capstone's pair
+    * stage). One 48-bit hyperplane signature is computed per vector
+    * (planes 0..47 of the deterministic seed-42 sequence), sliced into
+    * `nBands` OR'd bands of `planesPerBand` bits; candidates meet only on
+    * a (band, band-bits) equality join, then EVERY candidate is verified
+    * with the exact cosine before the threshold filter — so false
+    * positives are impossible and the only approximation is screen
+    * recall.
+    *
+    * Recall: a pair at cosine c collides in one band with probability
+    * (1 − acos(c)/π)^planesPerBand; missing ALL bands has probability
+    * (1 − p)^nBands — at the defaults and c = 0.99 that is ≈ 3%, and
+    * EXACT duplicates (cosine 1) collide in every band with certainty.
+    * Band 0 (bits [0, planesPerBand) of the signature) is bit-identical
+    * to [[cosineNearDups]]'s single-band bucket at the same plane count,
+    * so the banded candidate set is a strict superset of the single-band
+    * screen's.
+    *
+    * Scale shape: signature build is map-only codegen; the shuffle
+    * carries each row nBands times (id, emb, 2 longs) — linear in the
+    * corpus, never O(n²). Candidate count within a band is Σ m_b² over
+    * bucket sizes m_b — the same bounded-by-dup-population behavior as
+    * the MinHash band join, with the exact-verify keeping output
+    * precision at 1. */
+  def cosineNearDupsBanded(
+      corpus: DataFrame, minCosine: Double,
+      nBands: Int = 4, planesPerBand: Int = 12,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val bits = nBands * planesPerBand
+    require(bits >= 1 && bits <= 63,
+      s"cosineNearDupsBanded: nBands*planesPerBand=$bits must be in [1,63]")
+    val sig = VectorFunctions.hyperplaneBucket(col("emb"), bits)
+    val bandKeys = array((0 until nBands).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("sig"), i * planesPerBand)
+          .bitwiseAND(lit((1L << planesPerBand) - 1)).as("key"))
+    }: _*)
+    val keyed = corpus
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+      .withColumn("sig", sig)
+      .select(col("id"), col("emb"), explode(bandKeys).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"),
+        col("id"), col("emb"))
+    val l = keyed.select(col("band"), col("key"),
+      col("id").as("id_a"), col("emb").as("emb_a"))
+    val r = keyed.select(col("band"), col("key"),
+      col("id").as("id_b"), col("emb").as("emb_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSimilarity(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      // a pair colliding in several bands is found several times; the
+      // distinct runs on the tiny post-verify survivor set
+      .distinct()
+  }
+
   /** EXACT cosine pairs ≥ `minCosine` via the full upper-triangle cross
     * join — guaranteed-complete recall, O(n²) cost. This is the
-    * verification tier: use it where completeness is load-bearing (e.g.
-    * feeding an oracle-checked clustering, q84) and the corpus slice is
-    * bounded; [[cosineNearDups]] is the scale tier (bucketed, may miss a
-    * borderline pair that straddles hyperplane buckets). */
+    * ground-truth tier for SPECS (asserting a screen's recall on a
+    * bounded slice); production paths use [[cosineNearDupsBanded]]
+    * (screen → exact verify) or [[cosineNearDups]] — never this. */
   def exactCosinePairs(
       corpus: DataFrame, minCosine: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

@@ -294,6 +294,31 @@ class ScaleSpec extends AnyFunSuite {
     assert(agree >= 3, s"IVF@1 agreed on only $agree/5 queries")
   }
 
+  test("banded cosine screen: product-free plan, full recall vs exact pairs") {
+    val sf = "/root/testdata/sf0.001"
+    // 1) the q84 capstone plan must contain NO product operator: the pair
+    // stage is a (band, key) equi-join, never a cross join
+    val q84plan = QueriesCorpus.semanticDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!q84plan.contains("CartesianProduct"), q84plan)
+    assert(!q84plan.contains("BroadcastNestedLoopJoin"), q84plan)
+    // 2) recall check against the exact ground truth on the planted
+    // corpus: the banded screen's verified pairs must equal the exact
+    // upper-triangle threshold join's pairs (exact duplicates collide in
+    // every band with certainty; organic >=0.99 pairs, if any, must also
+    // be caught — this is the assumption q84's oracle greenness rests on)
+    val corpus = QueriesText.plantedEmbeddingCorpus(spark, sf)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a".cast("long"), $"id_b".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    val exact = pairSet(Similarity.exactCosinePairs(corpus, minCosine = 0.99))
+    val banded = pairSet(
+      Similarity.cosineNearDupsBanded(corpus, minCosine = 0.99))
+    assert(banded == exact,
+      s"banded screen missed ${(exact -- banded).size} pairs / " +
+        s"invented ${(banded -- exact).size}")
+  }
+
   test("kmeans assignment is map-only: no keyed exchange of the vector side") {
     // iterations=1 isolates the assignment pass; centroid seeding is a
     // bounded top-k (TakeOrdered + single-partition k-row stages), so any
