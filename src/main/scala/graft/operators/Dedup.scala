@@ -364,23 +364,73 @@ object Dedup {
       graft.functions.SimHashExpression.simhash(tokens).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, using the
-    * pigeonhole chunk-bucket join (4 × 16-bit chunks ⇒ any pair within
-    * hamming 3 must agree on ≥1 chunk; chunks = maxHamming+1 in general). */
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming, via the
+    * HmSearch-style pigeonhole: ceil((maxHamming+1)/2) DISJOINT chunks,
+    * so any pair within the radius has a chunk differing in ≤ 1 bit
+    * (distribute h errors over c = ceil((h+1)/2) chunks: the lightest
+    * chunk carries ≤ floor(h/c) ≤ 1). One join side emits each chunk's
+    * exact key; the other emits the key PLUS all single-bit flips, so a
+    * ≤1-bit chunk difference meets on an equality join — COMPLETE for
+    * the radius, never probabilistic.
+    *
+    * Why not one exact-match chunk per error (the h+1-chunk textbook
+    * pigeonhole): at h = 6 that is 7 chunks of 9 bits = 512 keys per
+    * chunk, and RANDOM (non-dup) fingerprints collide at the birthday
+    * rate n²·7/512 — the measured 10×-data blowup (SCALE.md r6: q33
+    * warm 1.8→17.5 s was ~100× random-candidate growth). Halving the
+    * chunk count to widen keys to 16 bits cuts the random-collision
+    * floor to n²·4·17/65536 ≈ n²/964 — 13× fewer junk candidates — at
+    * the price of a (64+c)-row/doc flip-side explode, which is linear
+    * and shuffle-cheap (id + fingerprint + key per row).
+    *
+    * Why no candidate CAP (the BoundedCollect question): the surviving
+    * candidates are dominated by TRUE near-dup pairs, and the operator's
+    * contract is to return all of them — a cluster of m near-identical
+    * documents legitimately yields m(m-1)/2 output pairs, so the
+    * quadratic term IS the output, not an artifact; any per-bucket
+    * truncation would silently drop true pairs and break the exact
+    * oracle (q33). Callers who want bounded output at extreme dup rates
+    * should dedup FIRST (exact/minhash tiers) or consume the clustered
+    * form (q44) whose size-adaptive representative join caps the pair
+    * materialization instead. */
   def simHashNearDups(
       fingerprints: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
-    val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
-    val chunkCols = (0 until chunks).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftright(col("simhash"), c * bitsPer)
-          .bitwiseAND((1L << bitsPer) - 1).as("ckey"))
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"simHashNearDups: maxHamming=$maxHamming out of the sane screen range")
+    val chunks = (maxHamming + 2) / 2 // ceil((maxHamming+1)/2)
+    val base = 64 / chunks
+    // chunk i covers bits [i*base, i*base+width): disjoint, covering all
+    // 64 (the last chunk absorbs the remainder). Unsigned shift keeps
+    // keys free of sign-extension so a single-bit chunk flip is a
+    // single-bit KEY flip.
+    def keyOf(i: Int): (Column, Int) = {
+      val off = i * base
+      val width = if (i == chunks - 1) 64 - off else base
+      val shifted = shiftrightunsigned(col("simhash"), off)
+      val key = if (off + width == 64) shifted
+        else shifted.bitwiseAND(lit((1L << width) - 1))
+      (key, width)
     }
-    val b = fingerprints.select(col(idCol).as("id"), col("simhash"),
-        explode(array(chunkCols: _*)).as("cc"))
-      .select(col("id"), col("simhash"), col("cc.chunk"), col("cc.ckey"))
-    val l = b.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("simhash").as("fp_a"))
-    val r = b.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("simhash").as("fp_b"))
+    val exactKeys = array((0 until chunks).map { i =>
+      val (key, _) = keyOf(i)
+      struct(lit(i).as("chunk"), key.as("ckey"))
+    }: _*)
+    val flipKeys = array((0 until chunks).flatMap { i =>
+      val (key, width) = keyOf(i)
+      struct(lit(i).as("chunk"), key.as("ckey")) +:
+        (0 until width).map(j =>
+          struct(lit(i).as("chunk"),
+            key.bitwiseXOR(lit(1L << j)).as("ckey")))
+    }: _*)
+    val b = fingerprints.select(col(idCol).as("id"), col("simhash"))
+    val l = b.select(col("id").as("id_a"), col("simhash").as("fp_a"),
+        explode(exactKeys).as("cc"))
+      .select(col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"),
+        col("id_a"), col("fp_a"))
+    val r = b.select(col("id").as("id_b"), col("simhash").as("fp_b"),
+        explode(flipKeys).as("cc"))
+      .select(col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"),
+        col("id_b"), col("fp_b"))
     l.join(r, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
