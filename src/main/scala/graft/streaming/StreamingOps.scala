@@ -245,11 +245,21 @@ object FunnelStream {
             }
             state.update(s)
             // expire `idleTimeout` past the entity's latest activity (its
-            // last stage, or this batch's newest event if it never entered)
+            // last stage, or this batch's newest event if it never entered).
+            // Clamped to the CURRENT WATERMARK: under out-of-order arrival
+            // (a file source's listing order, late partitions) a group's
+            // batch can be entirely older than watermark − idleTimeout, and
+            // an unclamped base would make Spark reject the timeout as
+            // already-expired and kill the query. Timeouts only ever FIRE
+            // on watermark advance, so the clamp never delays a timeout
+            // that could have fired — it only keeps the registration legal.
             val lastActive = math.max(s.t,
               if (batch.nonEmpty) batch.last._2 else Long.MinValue)
-            if (lastActive != Long.MinValue)
-              state.setTimeoutTimestamp(lastActive / 1000L, idleTimeout)
+            if (lastActive != Long.MinValue) {
+              val wmMs = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max(lastActive / 1000L, wmMs), idleTimeout)
+            }
             out.iterator
           }
       }
