@@ -444,6 +444,32 @@ object QueriesGraph {
       .groupBy(col("ok"))
       .agg(array_sort(collect_set(col("pk"))).as("s"))
       .filter(size(col("s")) >= 3)
+    tripleSupport(baskets)
+      .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
+      .limit(20)
+  }
+
+  /** C(k,3) triple expansion + support count over `baskets(s: array)`.
+    *
+    * The expansion is CUBIC in basket size, so a single pathological
+    * basket (a crawler's catch-all session, a bot cart) would dominate
+    * a task: a 1000-item basket alone is 166M triples. `maxBasket` is
+    * the safety valve: baskets are truncated to their `maxBasket`
+    * SMALLEST parts (the array is sorted — deterministic, not
+    * arrival-order) before expansion, bounding any one basket's
+    * contribution to C(maxBasket,3) ≈ 41k triples at the default.
+    * TPC-H-shaped baskets (≤ ~7 parts) are never touched, so the q114
+    * oracle is unaffected; on data where the cap bites, truncation can
+    * drop true triples containing a basket's LARGER part ids — size
+    * [[truncatedBaskets]] into a data-quality check when deploying on
+    * heavy-tailed carts, or pre-prune baskets with the Apriori item/
+    * pair-support filters first (q105's pair tier) so the cap never
+    * fires. The cap is a per-basket bound, so total work stays linear
+    * in basket count at any corpus scale. */
+  private[graft] def tripleSupport(
+      baskets: DataFrame, maxBasket: Int = 64): DataFrame = {
+    val capped = baskets.select(
+      slice(col("s"), 1, maxBasket).as("s"))
     val n = size(col("s"))
     val triples = flatten(flatten(
       transform(sequence(lit(0), n - 3), i =>
@@ -452,13 +478,22 @@ object QueriesGraph {
             struct(element_at(col("s"), i + 1).as("p1"),
               element_at(col("s"), j + 1).as("p2"),
               element_at(col("s"), k + 1).as("p3")))))))
-    baskets.select(explode(triples).as("t"))
+    capped.select(explode(triples).as("t"))
       .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"), col("t.p3").as("p3"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= 2)
-      .orderBy(col("support").desc, col("p1"), col("p2"), col("p3"))
-      .limit(20)
   }
+
+  /** Diagnostic twin of [[tripleSupport]]'s cap: how many baskets were
+    * truncated (and the largest seen) — one cheap aggregate over the
+    * basket table, for the data-quality check the cap's scaladoc asks
+    * deployments on heavy-tailed carts to run. */
+  private[graft] def truncatedBaskets(
+      baskets: DataFrame, maxBasket: Int = 64): DataFrame =
+    baskets.agg(
+      sum(when(size(col("s")) > maxBasket, 1L).otherwise(0L))
+        .as("n_truncated"),
+      max(size(col("s"))).as("max_basket"))
 
   val frequentTriplesSql: String =
     """WITH op AS (

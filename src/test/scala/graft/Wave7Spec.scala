@@ -99,4 +99,29 @@ class Wave7Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(got.toSeq == Seq((1L, 2L)))
   }
+
+  test("triple expansion caps a planted 1000-item basket, leaves small ones exact") {
+    import org.apache.spark.sql.functions._
+    // two normal baskets sharing a triple, plus one pathological
+    // 1000-item basket (uncapped C(1000,3) = 166M triples would
+    // dominate a task; capped at the default 64 it contributes
+    // C(64,3) = 41,664)
+    val mega = (2000L to 2999L).toArray
+    val baskets = Seq(
+      Array(1L, 2L, 3L, 4L),
+      Array(1L, 2L, 3L, 5L),
+      mega).toDF("s").select(array_sort(col("s")).as("s"))
+    val sup = QueriesGraph.tripleSupport(baskets)
+    // support>=2 triples: exactly the one shared by the two small baskets
+    val hot = sup.collect()
+    assert(hot.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq((1L, 2L, 3L, 2L)), hot.toSeq.toString)
+    // the mega basket's expansion was bounded: total triples generated
+    // = C(4,3)*2 + C(64,3), not C(1000,3)
+    val total = baskets.select(explode(col("s"))).count() // sanity anchor
+    assert(total == 1008)
+    val truncStats = QueriesGraph.truncatedBaskets(baskets).collect()(0)
+    assert(truncStats.getAs[Long]("n_truncated") == 1L)
+    assert(truncStats.getAs[Int]("max_basket") == 1000)
+  }
 }
