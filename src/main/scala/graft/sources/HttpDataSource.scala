@@ -36,6 +36,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * CookieManager — cookie continuity forbids parallelism (SURVEY §7.4 R7).
   * Each task owns its HttpClient; retries happen inside the task so a Spark
   * task retry re-runs the whole URL slice idempotently.
+  *
+  * `numPartitions=N` is the multi-URL fleet shape (a paged API sharded
+  * across workers): the URL list is cut into N CONTIGUOUS slices, one
+  * task each — list order is preserved within a slice, so page chains
+  * stay ordered as long as each chain is contiguous in the list. Every
+  * partition owns its client, so with `cookieSession=true` each slice is
+  * its own ordered cookie session (N independent sessions fetching in
+  * parallel — the R7 single-session guarantee applies per slice, which
+  * is exactly what per-shard session APIs want; keep the one-partition
+  * default when ONE continuous session must span every URL).
   */
 class HttpDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "http"
@@ -101,10 +111,17 @@ private[sources] class HttpScan(options: CaseInsensitiveStringMap)
     extends Scan with Batch {
   private val urls = HttpDataSource.parseUrls(options)
   private val cfg = HttpDataSource.parseConfig(options)
+  private val numPartitions = options.getInt("numPartitions", 0)
   override def readSchema(): StructType = HttpDataSource.schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    if (cfg.cookieSession) Array(HttpUrlsPartition(urls)) // R7: ordered, one session
+    if (numPartitions > 0) {
+      // contiguous slices: list order preserved within each partition;
+      // one client (and, if enabled, one cookie session) per slice
+      val n = math.max(1, math.min(numPartitions, urls.size))
+      val per = (urls.size + n - 1) / n
+      urls.grouped(per).map(HttpUrlsPartition(_)).toArray
+    } else if (cfg.cookieSession) Array(HttpUrlsPartition(urls)) // R7: ordered, one session
     else urls.map(u => HttpUrlsPartition(Seq(u))).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new HttpReaderFactory(cfg)

@@ -7,6 +7,7 @@ import java.util.concurrent.atomic.AtomicInteger
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, get_json_object}
 
 /** DSv2 http connector tests against a local stub replaying the httpbin.org
   * response shapes the reference consumes (FIXTURES.md §3). No egress. */
@@ -210,5 +211,41 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq(s"$base/get?a=1", s"$base/get?a=2", s"$base/get?a=3"), Map.empty)
     assert(df.rdd.getNumPartitions == 3)
     assert(df.count() == 3)
+  }
+
+  test("numPartitions slices the url list contiguously across tasks") {
+    val urls = (1 to 5).map(i => s"$base/get?a=$i")
+    val df = graft.sources.HttpIngest.read(spark, urls,
+      Map("numPartitions" -> "2"))
+    assert(df.rdd.getNumPartitions == 2)
+    // ceil-sized contiguous slices: [1,2,3] and [4,5] — every url fetched
+    // exactly once, slice order = list order within each partition
+    val byPart = df.rdd.mapPartitionsWithIndex { (i, rows) =>
+      rows.map(r => (i, r.getAs[String]("url"))) }.collect()
+    assert(byPart.length == 5)
+    assert(byPart.filter(_._1 == 0).map(_._2).toSeq ==
+      urls.take(3), byPart.toSeq.toString)
+    assert(byPart.filter(_._1 == 1).map(_._2).toSeq ==
+      urls.drop(3), byPart.toSeq.toString)
+    // more partitions than urls degrades to one url per task, not empties
+    val wide = graft.sources.HttpIngest.read(spark, urls.take(2),
+      Map("numPartitions" -> "8"))
+    assert(wide.rdd.getNumPartitions == 2)
+    assert(wide.count() == 2)
+  }
+
+  test("numPartitions + cookieSession: each slice is its own ordered session") {
+    // two independent set→read chains, each contiguous in the list; with
+    // numPartitions=2 each chain runs in its own task with its own
+    // CookieManager, and BOTH reads must see the cookie their slice set
+    val urls = Seq(s"$base/cookies/set", s"$base/cookies",
+      s"$base/cookies/set", s"$base/cookies")
+    val df = graft.sources.HttpIngest.read(spark, urls,
+      Map("numPartitions" -> "2", "cookieSession" -> "true"))
+    assert(df.rdd.getNumPartitions == 2)
+    val sessions = df.filter(col("url") === s"$base/cookies")
+      .select(get_json_object(col("body"), "$.cookies.session").as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(sessions == Seq("activa", "activa"), sessions.toString)
   }
 }
