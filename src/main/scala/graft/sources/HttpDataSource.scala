@@ -28,8 +28,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .option("acceptStatusCodes", "403")   // S6 tolerated statuses
   *     .option("followRedirects", "true")    // S8
   *     .option("cookieSession", "true")      // S5: ordered, one session
+  *     .option("numPartitions", "8")         // contiguous URL slices
+  *     .option("paginateNextField", "next")  // follow body.next per URL
+  *     .option("maxPages", "50")             // chain safety bound
   *     .load()
   * }}}
+  *
+  * Pagination: with `paginateNextField`, each fetched page's body is
+  * probed at that (dot-separated) JSON path for the next page's URL
+  * (relative links resolve against the current page); the chain is
+  * followed — in order, within the same task and session — until the
+  * field is absent/null or `maxPages` pages. Each SEED url starts its
+  * own chain, so a seed list + `numPartitions` shards a paged API.
   *
   * Partitioning: one task per URL (fetches parallelize across executors).
   * With `cookieSession=true` all URLs run in ONE task, in order, sharing a
@@ -81,7 +91,10 @@ object HttpDataSource {
       cookieSession = o.getBoolean("cookieSession", false),
       acceptStatusCodes = Option(o.get("acceptStatusCodes")).toSet[String]
         .flatMap(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toInt)),
-      failOnHttpError = o.getBoolean("failOnHttpError", true))
+      failOnHttpError = o.getBoolean("failOnHttpError", true),
+      paginateNextField = Option(o.get("paginateNextField")).map(_.trim)
+        .filter(_.nonEmpty),
+      maxPages = o.getInt("maxPages", 1000))
 
   def parseUrls(o: CaseInsensitiveStringMap): Seq[String] = {
     val urls = Option(o.get("urls")).orElse(Option(o.get("url"))).getOrElse(
@@ -136,12 +149,39 @@ private[sources] class HttpReaderFactory(cfg: HttpFetch.Config)
 private[sources] class HttpPartitionReader(urls: Seq[String], cfg: HttpFetch.Config)
     extends PartitionReader[InternalRow] {
   private lazy val client = HttpFetch.newClient(cfg)
-  private val it = urls.iterator
+  // (url, page index within its chain); seeds are page 0. A followed
+  // next-link is PREPENDED so a chain's pages stay contiguous and
+  // ordered in the output even with several seeds in one partition.
+  private val pending = scala.collection.mutable.ArrayDeque.from(
+    urls.map(u => (u, 0)))
   private var current: HttpFetch.Result = _
 
+  // Jackson rides Spark's own classpath — no extra dependency. The
+  // next-link is read from the body at a dot-separated path (e.g.
+  // "next" or "meta.next_url"); absent / null / non-text ends the chain.
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def nextLink(body: String): Option[String] =
+    cfg.paginateNextField.flatMap { path =>
+      try {
+        val node = path.split('.')
+          .foldLeft(mapper.readTree(body))((n, f) => n.path(f))
+        if (node.isTextual && node.asText.nonEmpty) Some(node.asText) else None
+      } catch { case _: Throwable => None }
+    }
+
   override def next(): Boolean =
-    if (it.hasNext) { current = HttpFetch.fetch(client, it.next(), cfg); true }
-    else false
+    if (pending.isEmpty) false
+    else {
+      val (u, page) = pending.removeHead()
+      current = HttpFetch.fetch(client, u, cfg)
+      if (page + 1 < cfg.maxPages)
+        nextLink(current.body).foreach { n =>
+          // relative next-links resolve against the page that served them
+          val resolved = java.net.URI.create(u).resolve(n).toString
+          pending.prepend((resolved, page + 1))
+        }
+      true
+    }
 
   override def get(): InternalRow = {
     val r = current

@@ -32,7 +32,11 @@ object HttpFetch {
       followRedirects: Boolean = true,
       cookieSession: Boolean = false,
       acceptStatusCodes: Set[Int] = Set.empty,
-      failOnHttpError: Boolean = true)
+      failOnHttpError: Boolean = true,
+      // pagination: after each response, follow the URL found at this
+      // (dot-separated) JSON body path until absent/null or maxPages
+      paginateNextField: Option[String] = None,
+      maxPages: Int = 1000)
 
   /** @param elapsedMs  response time of the FINAL attempt only (matches the
     *                    reference's per-request elapsed — backoff sleeps and

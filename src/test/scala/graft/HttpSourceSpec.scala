@@ -85,6 +85,14 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.mkString(", ") + "}"
       reply(ex, 200, s"""{"form": $form}""")
     })
+    server.createContext("/paged", (ex: HttpExchange) => {
+      val i = Option(ex.getRequestURI.getQuery).getOrElse("i=0")
+        .split("&").collectFirst { case kv if kv.startsWith("i=") =>
+          kv.drop(2).toInt }.getOrElse(0)
+      // pages 0..3; the last page has next: null; links are RELATIVE
+      val next = if (i < 3) s""""/paged?i=${i + 1}"""" else "null"
+      reply(ex, 200, s"""{"page": $i, "next": $next}""")
+    })
     server.createContext("/redirect-to", (ex: HttpExchange) => {
       val target = Option(ex.getRequestURI.getQuery).getOrElse("url=/get")
         .split("&").collectFirst { case kv if kv.startsWith("url=") =>
@@ -232,6 +240,27 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map("numPartitions" -> "8"))
     assert(wide.rdd.getNumPartitions == 2)
     assert(wide.count() == 2)
+  }
+
+  test("pagination follows relative next-links in order, bounded by maxPages") {
+    val df = graft.sources.HttpIngest.read(spark, Seq(s"$base/paged?i=0"),
+      Map("paginateNextField" -> "next"))
+    val pages = df.select(get_json_object(col("body"), "$.page").cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    // the chain ran in one task, in order, to the null terminator
+    assert(pages == Seq(0, 1, 2, 3), pages.toString)
+    // maxPages truncates the chain
+    val capped = graft.sources.HttpIngest.read(spark, Seq(s"$base/paged?i=0"),
+      Map("paginateNextField" -> "next", "maxPages" -> "2"))
+    assert(capped.count() == 2)
+    // two seeds = two chains; chains stay contiguous per partition
+    val sharded = graft.sources.HttpIngest.read(spark,
+      Seq(s"$base/paged?i=0", s"$base/paged?i=2"),
+      Map("paginateNextField" -> "next", "numPartitions" -> "2"))
+    val byPart = sharded.rdd.mapPartitionsWithIndex { (i, rows) =>
+      rows.map(r => (i, r.getAs[String]("body"))) }.collect()
+    assert(byPart.count(_._1 == 0) == 4) // chain 0..3
+    assert(byPart.count(_._1 == 1) == 2) // chain 2..3
   }
 
   test("numPartitions + cookieSession: each slice is its own ordered session") {
