@@ -25,6 +25,35 @@ object Bench {
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // PRODUCTION-COLD tier (SPARK_GRAFT_BENCH_MODE=prodcold): one pass,
+    // caches + operator memos dropped BEFORE each query, so every query
+    // pays its own pins and shares nothing with its neighbors — "first
+    // run of the day" per query, JVM warm (the warmup above absorbed
+    // classloading). The default two-pass protocol deliberately does NOT
+    // clear between queries (semantic cache reuse is the warm tier's
+    // point), which also means its pass-1 "cold" can ride a SIBLING
+    // query's cached subplan (the shared planted-corpus plans); this
+    // tier is the one where pin-force costs are fully visible.
+    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("prodcold")) {
+      val results = qs.map { q =>
+        spark.catalog.clearCache()
+        graft.operators.LoopCache.clearMemo()
+        val t0 = System.nanoTime()
+        val ok =
+          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      val qj = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      println(f"""{"metric":"total_prodcold","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":$qj}""")
+      spark.stop()
+      return
+    }
     // a failed query is reported as -1 and excluded from the total — a
     // broken query must not silently contribute a plausible-looking time
     def onePass(): Seq[(String, Double)] = qs.map { q =>
