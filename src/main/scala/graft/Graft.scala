@@ -63,6 +63,8 @@ object Graft {
     Similarity.ivfKnn(corpus, queries, k)
   def cosineNearDups(corpus: DataFrame, minCosine: Double): DataFrame =
     Similarity.cosineNearDups(corpus, minCosine)
+  def cosineNearDupsBanded(corpus: DataFrame, minCosine: Double): DataFrame =
+    Similarity.cosineNearDupsBanded(corpus, minCosine)
 
   // --- text analysis ---
   def langId(c: Column): Column = TextFunctions.langId(c)
