@@ -54,12 +54,20 @@ object FuzzyMatch {
     require(saltGroups >= 1, s"saltGroups=$saltGroups must be >= 1")
     val g = saltGroups
     val norm = TextFunctions.normalizeText(col(textCol))
+    // `pfx` carries only chars (blockLen, prefixLen]: the join already
+    // requires byte-identical blk prefixes, and a shared prefix never
+    // changes edit distance (the DP's first blockLen rows/cols are the
+    // identity), so lev(pfx_x, pfx_y) == lev(full64_x, full64_y) for
+    // every joined pair — the oracle computes the full-window distance
+    // and hash-agrees. Dropping the redundant blockLen chars cuts both
+    // the g×-replicated shuffle payload and every banded-levenshtein's
+    // window by blockLen/prefixLen.
     val base = df
       .select(col(idCol).cast("long").as("id"), norm.as("norm"))
       .filter(length(col("norm")) > 0)
       .select(col("id"),
         substring(col("norm"), 1, blockLen).as("blk"),
-        substring(col("norm"), 1, prefixLen).as("pfx"),
+        substring(col("norm"), blockLen + 1, prefixLen - blockLen).as("pfx"),
         // stable per-row salt: a pure function of the id, so both
         // replicated sides derive the same s for the same row
         pmod(xxhash64(col("id")), lit(g.toLong)).cast("int").as("s"))
