@@ -680,9 +680,10 @@ object QueriesCorpus {
   def dupSpans(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.rebalance(
       Tables.documents(spark, sfDir).select("doc_id", "text"))
-    // hashed=false: md5-of-window-text keys, the tier the DuckDB oracle
-    // replays VERBATIM (no xxhash64 2^-64 collision caveat on the gate);
-    // the hashed scale tier stays covered by the hashed≡string spec
+    // hashed=false: the gate tier groups RAW window text — byte-for-byte
+    // the oracle's own key, collision-free by construction (no hash on
+    // the gate at all); the hashed scale tier stays covered by the
+    // hashed≡string spec
     operators.DupSpans.report(docs, "doc_id", "text", windowTokens = 8,
         hashed = false)
       .orderBy(col("doc_id"))
@@ -701,7 +702,7 @@ object QueriesCorpus {
       |wdw AS (
       |  SELECT doc_id, n_tokens,
       |         unnest(range(0, len(grams))) AS widx,
-      |         md5(unnest(grams)) AS digest
+      |         unnest(grams) AS digest
       |  FROM g),
       |cnt AS (SELECT digest, count(*) AS c FROM wdw GROUP BY digest),
       |fl AS (

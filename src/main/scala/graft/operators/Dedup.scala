@@ -127,13 +127,15 @@ object Dedup {
   /** Word n-gram shingle array of a text column — the unit set every
     * MinHash/jaccard tier in this file agrees on (a short doc, under n
     * tokens, contributes its whole text as one shingle). */
-  private[graft] def shingleArray(textCol: Column, n: Int): Column = {
-    val tokens = split(TextFunctions.normalizeText(textCol), " ")
-    when(size(tokens) >= n,
-      transform(sequence(lit(0), size(tokens) - n),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
-      .otherwise(array(concat_ws(" ", tokens))) // short doc: whole text
-  }
+  private[graft] def shingleArray(textCol: Column, n: Int): Column =
+    // ONE codegen'd pass (functions/ShingleArrayExpression): the HOF
+    // formulation (transform + slice + concat_ws over the inlined
+    // split(normalize)) re-evaluated the tokenization inside the lambda —
+    // O(tokens · doc_length) per document, 54 s of the sf1 q124 cold run
+    // by itself. Element-for-element equal output is spec-asserted
+    // (TextOpsSpec); short docs still yield the whole text as one shingle.
+    graft.functions.ShingleArrayExpression.shingles(
+      split(TextFunctions.normalizeText(textCol), " "), n)
 
   /** Word n-gram shingles per (id, shingle) pair. `dedup=true` adds a
     * distinct (a full shuffle) — NOT needed for MinHash, where min() is

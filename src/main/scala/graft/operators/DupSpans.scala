@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -16,10 +16,10 @@ import graft.functions.TextFunctions
   *
   * Pipeline shape (the honest substring-dedup cost — n·L windows):
   *  1. narrow map: tokenize once, emit (doc, window-index, digest) per
-  *     sliding window — xxhash64 straight on the token slice in the
-  *     scale tier, so no window string is ever materialized; documents
-  *     shorter than W contribute their whole text as one window so
-  *     short exact dupes still register;
+  *     sliding window — one codegen'd shingle pass per document, then
+  *     xxhash64 per window in the scale tier; documents shorter than W
+  *     contribute their whole text as one window so short exact dupes
+  *     still register;
   *  2. corpus-wide window counts: one digest-keyed aggregate
   *     (map-side partial) + a co-partitioned digest join back — the
   *     shuffle carries fixed-width digests, never window text;
@@ -38,31 +38,35 @@ object DupSpans {
     * included — matching the substring-dedup convention that
     * within-document repetition counts).
     *
-    * `hashed = true` (default, the scale tier) keys window counts on
-    * xxhash64 OF THE TOKEN SLICE — no window string is ever built and
-    * the explode emits 8-byte longs (q77's hashed-blocks trade; equal
-    * reports spec-asserted, a 2^-64 collision being the only
-    * difference). `hashed = false` keys on md5 of the joined window
-    * text — the tier the DuckDB oracle replays verbatim. */
+    * Window strings are built by ONE codegen'd pass per document
+    * ([[graft.functions.ShingleArrayExpression]] with n = W — a sliding
+    * W-window IS a W-shingle, whole-text fallback included; the
+    * higher-order `transform`+`slice` formulation it replaced
+    * re-evaluated the tokenization inside the lambda, 54 s of the sf1
+    * cold run by itself). `hashed = true` (default, the scale tier)
+    * keys window counts on xxhash64 of the window string — the explode
+    * shuffles 8-byte longs (q77's hashed-blocks trade; equal reports
+    * spec-asserted, a 2^-64 collision being the only difference).
+    * `hashed = false` groups the RAW window text — byte-for-byte the
+    * DuckDB oracle's own grouping key, so the gate tier is collision-free
+    * by construction (windows join W tokens with single spaces and
+    * tokens contain no spaces, so string equality ≡ token-slice
+    * equality; a ≥W-token window has W−1 spaces and a short-doc window
+    * fewer, so the two branches can never collide either). */
   def report(df: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 8, hashed: Boolean = true): DataFrame = {
     require(windowTokens >= 1, s"windowTokens=$windowTokens must be >= 1")
     val w = windowTokens
-    def key(toks: Column): Column =
-      if (hashed) xxhash64(toks)
-      else md5(array_join(toks, " ").cast("binary"))
     val toks = df
       .select(col(idCol).as("id"),
         split(TextFunctions.normalizeText(col(textCol)), " ").as("t"))
       .filter(size(col("t")) > 0 && col("t") =!= array(lit("")))
       .select(col("id"), col("t"), size(col("t")).as("n_tokens"))
     val windows = toks.select(col("id"), col("n_tokens"),
-      when(col("n_tokens") >= w,
-        transform(sequence(lit(0), col("n_tokens") - w),
-          i => key(slice(col("t"), i + 1, lit(w)))))
-        .otherwise(array(key(col("t")))).as("keys"))
-      .select(col("id"), col("n_tokens"),
-        posexplode(col("keys")).as(Seq("widx", "digest")))
+      posexplode(graft.functions.ShingleArrayExpression.shingles(col("t"), w))
+        .as(Seq("widx", "wstr")))
+      .select(col("id"), col("n_tokens"), col("widx"),
+        (if (hashed) xxhash64(col("wstr")) else col("wstr")).as("digest"))
     // one digest-keyed shuffle: the corpus-wide count is an unordered
     // window aggregate over the SAME exchange the rows already ride —
     // a groupBy + join-back formulation shuffles the window table twice

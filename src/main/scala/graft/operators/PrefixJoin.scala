@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   * verify is an ordinary distributed join keyed by the candidate ids,
   * and nothing array-typed is ever cached (columnar cache encoding of
   * array<string> cost ~10 s alone at sf0.1 — more than the whole
-  * operator). Integer similarity only: `jacc_pct = (100·|∩|) div |∪|`.
+  * operator). An array-side verify (gather per-doc token arrays, one
+  * `array_intersect` per candidate) was MEASURED SLOWER at sf1 — the
+  * joined intermediate carries two ~50-string arrays per candidate and
+  * ArrayIntersect runs interpreted — so the flat shape stays.
+  * Integer similarity only: `jacc_pct = (100·|∩|) div |∪|`.
   *
   * Anchor lifecycle: the token stream feeds three plans (frequency agg,
   * prefix rank, verify) and the prefix table both self-join sides —

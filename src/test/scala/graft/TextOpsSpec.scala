@@ -285,4 +285,36 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Boolean)].collect().toSeq
     assert(got == Seq((1L, 2L, 1.0, true)))
   }
+
+  test("shingle_array expression ≡ the HOF transform/slice formulation") {
+    // the reference formulation shingleArray replaced (tokenize-once fix):
+    // transform + slice + concat_ws over the inlined split(normalize) —
+    // element-for-element equality pins the codegen'd expression to it,
+    // including the short-doc (< n tokens) and empty-text ([""]) edges
+    def hofShingles(textCol: org.apache.spark.sql.Column, n: Int) = {
+      val tokens = split(TextFunctions.normalizeText(textCol), " ")
+      when(size(tokens) >= n,
+        transform(sequence(lit(0), size(tokens) - n),
+          i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
+        .otherwise(array(concat_ws(" ", tokens)))
+    }
+    val docs = Seq(
+      (1L, "The  quick\tbrown fox JUMPS over the lazy dog"),
+      (2L, "one two"),            // shorter than n=3: whole text, one shingle
+      (3L, "single"),             // one token
+      (4L, ""),                   // empty: [""] via split -> [""]
+      (5L, "   "),                // whitespace-only: normalize -> ""
+      (6L, "a b c"),              // exactly n tokens: one shingle
+      (7L, (1 to 50).map(i => s"tok$i").mkString("  "))
+    ).toDF("doc_id", "text")
+    for (n <- Seq(1, 3, 5)) {
+      val got = docs.select($"doc_id",
+        Dedup.shingleArray($"text", n).as("s")).orderBy($"doc_id")
+        .as[(Long, Seq[String])].collect().toSeq
+      val ref = docs.select($"doc_id",
+        hofShingles($"text", n).as("s")).orderBy($"doc_id")
+        .as[(Long, Seq[String])].collect().toSeq
+      assert(got == ref, s"n=$n")
+    }
+  }
 }
