@@ -27,7 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * (spec-asserted in TextOpsSpec): tokens joined by a single space;
   * documents shorter than n tokens yield ONE shingle joining all tokens
   * (`[""]` for empty text, matching `concat_ws` on `[""]`); null tokens
-  * are skipped by the join exactly like `concat_ws`.
+  * are skipped by the join exactly like `concat_ws`. The bare expression
+  * null-propagates on a NULL token ARRAY (UnaryExpression contract); the
+  * [[ShingleArrayExpression.shingles]] Column API adds the coalesce that
+  * restores the HOF's `[""]` there, so null-text documents keep
+  * contributing the empty shingle.
   */
 case class ShingleArrayExpression(child: Expression, n: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
@@ -79,9 +83,16 @@ object ShingleArrayExpression {
     UTF8String.concatWs(Space, slice: _*)
   }
 
-  /** Column API: shingles of `tokens` (already-split token array). */
+  /** Column API: shingles of `tokens` (already-split token array).
+    * A NULL token array is coalesced to the empty array first, which
+    * `compute` turns into `[""]` — matching the HOF formulation, where
+    * `concat_ws` skips a null array arg (the bare expression would
+    * null-propagate instead, silently dropping null-text documents from
+    * the dedup tiers after the explode). */
   def shingles(tokens: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.{array, coalesce}
     import org.apache.spark.sql.graftbridge.SqlBridge
-    SqlBridge.column(ShingleArrayExpression(SqlBridge.expression(tokens), n))
+    SqlBridge.column(ShingleArrayExpression(
+      SqlBridge.expression(coalesce(tokens, array())), n))
   }
 }

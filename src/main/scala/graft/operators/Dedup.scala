@@ -126,7 +126,10 @@ object Dedup {
 
   /** Word n-gram shingle array of a text column — the unit set every
     * MinHash/jaccard tier in this file agrees on (a short doc, under n
-    * tokens, contributes its whole text as one shingle). */
+    * tokens, contributes its whole text as one shingle; NULL text
+    * contributes the empty shingle [""] like empty text — the Column API
+    * null-guard in ShingleArrayExpression.shingles, so null-text docs
+    * never vanish from the dedup tiers). */
   private[graft] def shingleArray(textCol: Column, n: Int): Column =
     // ONE codegen'd pass (functions/ShingleArrayExpression): the HOF
     // formulation (transform + slice + concat_ws over the inlined

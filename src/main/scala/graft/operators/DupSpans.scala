@@ -21,8 +21,10 @@ import graft.functions.TextFunctions
   *     contribute their whole text as one window so short exact dupes
   *     still register;
   *  2. corpus-wide window counts: one digest-keyed aggregate
-  *     (map-side partial) + a co-partitioned digest join back — the
-  *     shuffle carries fixed-width digests, never window text;
+  *     (map-side partial) + a co-partitioned digest join back — in the
+  *     hashed scale tier the shuffle carries fixed-width 8-byte digests;
+  *     the gate tier (hashed=false) keys the same shuffle on the raw
+  *     window string so DuckDB can replay it collision-free;
   *  3. runs: per-document gaps-and-islands over the DUPLICATED windows
   *     only (widx − row_number is constant within a consecutive run) —
   *     the ranking shuffle is doc-keyed and carries 3 integers per

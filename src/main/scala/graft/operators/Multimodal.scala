@@ -11,11 +11,19 @@ import graft.functions.RollingHashExpression
   * The Spark-side architecture here is real and tested — schema, typed
   * Dataset boundary, `mapPartitions` batching (the Scala analogue of
   * `mapInPandas`: one iterator per partition, amortized per-batch setup,
-  * no per-row interpreter crossings), partition sizing. The actual codec
-  * call is STUBBED with a deterministic fake (this container has no image/
-  * audio libraries): `fakeDecode` derives metadata and a feature vector
-  * from the payload bytes via rolling hashes. Swapping in a real decoder
-  * changes ONE function (`decodeBatch`'s body), not the pipeline.
+  * no per-row interpreter crossings), partition sizing. TWO codecs ride
+  * the same seam:
+  *
+  *  - `codec="stub"` (default): a deterministic pure function of the
+  *    payload bytes (`fakeDecode`) — what the q50/q66 DuckDB oracles
+  *    replay, and the right tier in this container (no media fixtures
+  *    in the testdata);
+  *  - `codec="imageio"`: the REAL decoder (`javax.imageio`, JDK
+  *    built-in) — PNG/JPEG/GIF/BMP metadata from the decoded raster and
+  *    a 4×4 mean-luminance thumbnail as the feature vector, with
+  *    undecodable blobs degrading to a zeroed record instead of failing
+  *    the task. MultimodalSpec drives a real encoded image through the
+  *    same mapPartitions boundary.
   */
 object Multimodal {
 
@@ -55,11 +63,77 @@ object Multimodal {
       features = feats)
   }
 
+  /** REAL decode — `javax.imageio` (JDK built-in, no extra dependency)
+    * for PNG/JPEG/GIF/BMP payloads. Metadata comes from the decoded
+    * raster (width/height/band count) plus a magic-byte format sniff;
+    * the 16-dim feature vector is a 4×4 mean-luminance thumbnail
+    * (row-major), each cell in [0,1] — a deterministic, real feature
+    * extractor (the standard perceptual-hash front half). An
+    * undecodable payload degrades to a zeroed record with
+    * format="undecodable" instead of failing the task — at corpus scale
+    * a poisoned blob must never kill the pipeline. */
+  private[graft] def imageioDecode(r: MediaRecord): MediaFeatures = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      catch { case _: Exception => null }
+    if (img == null)
+      MediaFeatures(r.media_id, r.source, 0, 0, 0, "undecodable",
+        r.payload.length.toLong, new Array[Float](FeatureDim))
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val sums = new Array[Double](FeatureDim)
+      val counts = new Array[Long](FeatureDim)
+      var y = 0
+      while (y < h) {
+        val gy = y * 4 / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+          val cell = gy * 4 + x * 4 / w
+          sums(cell) += lum; counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feats = new Array[Float](FeatureDim)
+      var c = 0
+      while (c < FeatureDim) {
+        feats(c) = if (counts(c) > 0) (sums(c) / counts(c)).toFloat else 0f
+        c += 1
+      }
+      MediaFeatures(r.media_id, r.source, w, h,
+        img.getRaster.getNumBands, sniffFormat(r.payload),
+        r.payload.length.toLong, feats)
+    }
+  }
+
+  /** Container format from magic bytes (codec-independent, zero-copy). */
+  private[graft] def sniffFormat(p: Array[Byte]): String =
+    if (p.length >= 4 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') "png"
+    else if (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) "jpeg"
+    else if (p.length >= 3 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') "gif"
+    else if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') "bmp"
+    else "unknown"
+
+  /** Codec registry: "stub" (deterministic fake — what the DuckDB oracle
+    * replays for q50/q66) or "imageio" (the real JDK decoder). */
+  private[graft] def decoderFor(codec: String): MediaRecord => MediaFeatures =
+    codec match {
+      case "stub" => fakeDecode
+      case "imageio" => imageioDecode
+      case other => throw new IllegalArgumentException(
+        s"unknown media codec '$other' (expected stub|imageio)")
+    }
+
   /** Batch decode over one partition's iterator — the seam where a real
-    * implementation would allocate its codec once per partition. */
-  private def decodeBatch(it: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
-    // per-partition setup would go here (codec handles, model weights, ...)
-    it.map(fakeDecode)
+    * implementation allocates its codec once per partition. */
+  private def decodeBatch(codec: String)(
+      it: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+    // per-partition setup: resolve the codec once, not per row
+    val decode = decoderFor(codec)
+    it.map(decode)
   }
 
   /** Attach a binary payload column to any (id, source, text) table — the
@@ -73,14 +147,16 @@ object Multimodal {
   /** The decode pipeline: DataFrame → typed boundary → partition-batched
     * decode → DataFrame of features. Repartitions so each task holds a
     * bounded byte volume (at scale: tune target bytes/task, not task count). */
-  def decodeFeatures(payloads: DataFrame, partitions: Int = 0): DataFrame = {
+  def decodeFeatures(payloads: DataFrame, partitions: Int = 0,
+      codec: String = "stub"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
+    decoderFor(codec) // fail fast on a bad codec name, driver-side
     val ds: Dataset[MediaRecord] = {
       val base = payloads.as[MediaRecord]
       if (partitions > 0) base.repartition(partitions) else base
     }
-    ds.mapPartitions(decodeBatch _).toDF()
+    ds.mapPartitions(decodeBatch(codec) _).toDF()
   }
 
   /** Resized media record: same payload identity, target geometry attached.
@@ -92,20 +168,46 @@ object Multimodal {
 
   /** Resize pipeline: decode-shaped partition-batched transform with a
     * target box (aspect-preserving fit — the geometry every image pipeline
-    * wants). Stub keeps the payload bytes; a real codec would re-encode. */
-  def resizeTo(payloads: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    * wants). `codec="stub"` rescales the fake geometry and keeps the
+    * payload bytes; `codec="imageio"` really decodes, bilinear-rescales
+    * and re-encodes the pixels as PNG (undecodable payloads pass through
+    * untouched at 0×0). */
+  def resizeTo(payloads: DataFrame, maxW: Int, maxH: Int,
+      codec: String = "stub"): DataFrame = {
     val spark = payloads.sparkSession
     import spark.implicits._
+    decoderFor(codec) // fail fast on a bad codec name, driver-side
+    def fit(w: Int, h: Int): (Int, Int) = {
+      val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+      (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+    }
     payloads.as[MediaRecord].mapPartitions { it =>
       // per-partition codec setup seam (same as decodeBatch)
       it.map { r =>
-        val d = fakeDecode(r)
-        val scale = math.min(1.0,
-          math.min(maxW.toDouble / d.width, maxH.toDouble / d.height))
-        ResizedMedia(r.media_id, r.source,
-          math.max(1, (d.width * scale).toInt),
-          math.max(1, (d.height * scale).toInt),
-          r.payload)
+        if (codec == "imageio") {
+          val img = try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case _: Exception => null }
+          if (img == null) ResizedMedia(r.media_id, r.source, 0, 0, r.payload)
+          else {
+            val (tw, th) = fit(img.getWidth, img.getHeight)
+            val out = new java.awt.image.BufferedImage(
+              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, tw, th, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedMedia(r.media_id, r.source, tw, th, bos.toByteArray)
+          }
+        } else {
+          val d = fakeDecode(r)
+          val (tw, th) = fit(d.width, d.height)
+          ResizedMedia(r.media_id, r.source, tw, th, r.payload)
+        }
       }
     }.toDF()
   }

@@ -166,24 +166,59 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Exact cosine of CANDIDATE pairs only — the verification half of an
+    * embedding screen→verify pipeline, mirroring
+    * Dedup.shingleJaccardOnCandidates for vectors. The candidate table
+    * carries ids only; the vectors of the TOUCHED ids (and only those)
+    * are gathered back from the corpus by a broadcast semi-join, then
+    * each pair is scored with the exact cosine. At 100-TB embedding
+    * scale this is the shape that keeps the heavy payload out of the
+    * screen shuffle: the band exchange moves (band, key, id) triples —
+    * 3 longs per row — and the vectors move once, candidate-bounded,
+    * in the gather. */
+  def cosineOnCandidates(
+      corpus: DataFrame, candidates: DataFrame, minCosine: Double,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // pin the candidate plan: it is referenced three times below (both
+    // arms of the touched-id union + the output pair join) and without a
+    // pin each reference re-executes the whole upstream screen
+    val pairs = graft.operators.LoopCache.finish(
+      candidates.select(col("id_a"), col("id_b")).distinct())
+    val touched = pairs.select(col("id_a").as("vn_id"))
+      .unionByName(pairs.select(col("id_b").as("vn_id")))
+      .distinct()
+    // candidate-touched ids are small relative to the corpus (that is
+    // the point of the screen): broadcast the semi-join so the vector
+    // scan never shuffles
+    val members = corpus
+      .join(broadcast(touched), col(idCol) === col("vn_id"), "left_semi")
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+    graft.operators.LoopCache.finish(pairs
+      .join(members.select(col("id").as("id_a"), col("emb").as("emb_a")),
+        Seq("id_a"))
+      .join(members.select(col("id").as("id_b"), col("emb").as("emb_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSimilarity(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine))
+  }
+
   /** All-pairs within-threshold cosine over embedding-LSH buckets —
     * embedding-based near-duplicate detection (the "embedding cosine
-    * near-dup" dedup tier). */
+    * near-dup" dedup tier). The bucket join carries ids only; vectors are
+    * gathered candidate-bounded in [[cosineOnCandidates]]. */
   def cosineNearDups(
       corpus: DataFrame, minCosine: Double, nPlanes: Int = 12,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val bucket = VectorFunctions.hyperplaneBucket(col("emb"), nPlanes)
-    val b = corpus.select(col(idCol).as("id"),
-        col(embCol).cast("array<double>").as("emb"))
-      .withColumn("bucket", bucket)
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
-    l.join(r, Seq("bucket"))
+    val bucket = VectorFunctions.hyperplaneBucket(
+      col(embCol).cast("array<double>"), nPlanes)
+    val b = corpus.select(col(idCol).as("id"), bucket.as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"))
+    val cands = l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosineSimilarity(col("emb_a"), col("emb_b")).as("cosine"))
-      .filter(col("cosine") >= minCosine)
-      .distinct()
+      .select(col("id_a"), col("id_b"))
+    cosineOnCandidates(corpus, cands, minCosine, idCol, embCol)
   }
 
   /** Banded hyperplane LSH screen → exact-cosine verify: the scale shape
@@ -205,11 +240,13 @@ object Similarity {
     * so the banded candidate set is a strict superset of the single-band
     * screen's.
     *
-    * Scale shape: signature build is map-only codegen; the shuffle
-    * carries each row nBands times (id, emb, 2 longs) — linear in the
-    * corpus, never O(n²). Candidate count within a band is Σ m_b² over
-    * bucket sizes m_b — the same bounded-by-dup-population behavior as
-    * the MinHash band join, with the exact-verify keeping output
+    * Scale shape: signature build is map-only codegen; the band shuffle
+    * carries each row nBands times as (band, key, id) — THREE LONGS,
+    * never the embedding payload — linear in the corpus, never O(n²).
+    * Candidate count within a band is Σ m_b² over bucket sizes m_b —
+    * the same bounded-by-dup-population behavior as the MinHash band
+    * join. Vectors move exactly once, candidate-bounded, in
+    * [[cosineOnCandidates]]'s gather, and the exact verify keeps output
     * precision at 1. */
   def cosineNearDupsBanded(
       corpus: DataFrame, minCosine: Double,
@@ -218,30 +255,25 @@ object Similarity {
     val bits = nBands * planesPerBand
     require(bits >= 1 && bits <= 63,
       s"cosineNearDupsBanded: nBands*planesPerBand=$bits must be in [1,63]")
-    val sig = VectorFunctions.hyperplaneBucket(col("emb"), bits)
+    val sig = VectorFunctions.hyperplaneBucket(
+      col(embCol).cast("array<double>"), bits)
     val bandKeys = array((0 until nBands).map { i =>
       struct(lit(i).as("band"),
         shiftright(col("sig"), i * planesPerBand)
           .bitwiseAND(lit((1L << planesPerBand) - 1)).as("key"))
     }: _*)
+    // id-only screen: the embedding is consumed by the signature
+    // expression and DROPPED before the explode/shuffle
     val keyed = corpus
-      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
-      .withColumn("sig", sig)
-      .select(col("id"), col("emb"), explode(bandKeys).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"),
-        col("id"), col("emb"))
-    val l = keyed.select(col("band"), col("key"),
-      col("id").as("id_a"), col("emb").as("emb_a"))
-    val r = keyed.select(col("band"), col("key"),
-      col("id").as("id_b"), col("emb").as("emb_b"))
-    l.join(r, Seq("band", "key"))
+      .select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), explode(bandKeys).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("id"))
+    val l = keyed.select(col("band"), col("key"), col("id").as("id_a"))
+    val r = keyed.select(col("band"), col("key"), col("id").as("id_b"))
+    val cands = l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        VectorFunctions.cosineSimilarity(col("emb_a"), col("emb_b")).as("cosine"))
-      .filter(col("cosine") >= minCosine)
-      // a pair colliding in several bands is found several times; the
-      // distinct runs on the tiny post-verify survivor set
-      .distinct()
+      .select(col("id_a"), col("id_b"))
+    cosineOnCandidates(corpus, cands, minCosine, idCol, embCol)
   }
 
   /** EXACT cosine pairs ≥ `minCosine` via the full upper-triangle cross

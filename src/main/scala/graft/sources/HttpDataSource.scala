@@ -31,6 +31,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .option("numPartitions", "8")         // contiguous URL slices
   *     .option("paginateNextField", "next")  // follow body.next per URL
   *     .option("maxPages", "50")             // chain safety bound
+  *     .option("maxRequestsPerSecond", "10") // per-host pacing (this JVM)
+  *     .option("maxInFlight", "2")           // per-host concurrency cap
   *     .load()
   * }}}
   *
@@ -94,7 +96,9 @@ object HttpDataSource {
       failOnHttpError = o.getBoolean("failOnHttpError", true),
       paginateNextField = Option(o.get("paginateNextField")).map(_.trim)
         .filter(_.nonEmpty),
-      maxPages = o.getInt("maxPages", 1000))
+      maxPages = o.getInt("maxPages", 1000),
+      maxRequestsPerSecond = o.getDouble("maxRequestsPerSecond", 0.0),
+      maxInFlight = o.getInt("maxInFlight", 0))
 
   def parseUrls(o: CaseInsensitiveStringMap): Seq[String] = {
     val urls = Option(o.get("urls")).orElse(Option(o.get("url"))).getOrElse(

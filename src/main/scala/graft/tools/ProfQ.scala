@@ -14,10 +14,12 @@ object ProfQ {
       val t0 = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
       override def onJobStart(j: SparkListenerJobStart): Unit =
         t0.put(j.jobId, (System.nanoTime(), j.properties.getProperty("spark.job.description", "?").take(120)))
-      override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        val (s, d) = t0.get(j.jobId)
-        println(f"[job ${j.jobId}%3d] ${(System.nanoTime()-s)/1e9}%7.2f s  $d")
-      }
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        // an unmatched end (start event dropped under listener-bus
+        // overflow) must not NPE inside the listener thread
+        Option(t0.get(j.jobId)).foreach { case (s, d) =>
+          println(f"[job ${j.jobId}%3d] ${(System.nanoTime()-s)/1e9}%7.2f s  $d")
+        }
     })
     val t = System.nanoTime()
     graft.Queries.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -18,6 +18,9 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var base: String = _
   private val status403Hits = new AtomicInteger(0)
   private val flaky403Hits = new AtomicInteger(0)
+  private val throttleTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  private val inflightNow = new AtomicInteger(0)
+  private val inflightMax = new AtomicInteger(0)
 
   private def reply(ex: HttpExchange, code: Int, body: String,
       headers: Map[String, String] = Map.empty): Unit = {
@@ -93,12 +96,27 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       val next = if (i < 3) s""""/paged?i=${i + 1}"""" else "null"
       reply(ex, 200, s"""{"page": $i, "next": $next}""")
     })
+    server.createContext("/throttle", (ex: HttpExchange) => {
+      throttleTimes.add(System.nanoTime())
+      reply(ex, 200, """{"ok": true}""")
+    })
+    server.createContext("/slow", (ex: HttpExchange) => {
+      val now = inflightNow.incrementAndGet()
+      inflightMax.accumulateAndGet(now, math.max)
+      Thread.sleep(150)
+      inflightNow.decrementAndGet()
+      reply(ex, 200, """{"ok": true}""")
+    })
     server.createContext("/redirect-to", (ex: HttpExchange) => {
       val target = Option(ex.getRequestURI.getQuery).getOrElse("url=/get")
         .split("&").collectFirst { case kv if kv.startsWith("url=") =>
           java.net.URLDecoder.decode(kv.drop(4), "UTF-8") }.getOrElse("/get")
       reply(ex, 302, "", Map("Location" -> s"$base$target?from=redirect"))
     })
+    // a real pool: the default (null) executor serializes every handler
+    // on the dispatcher thread, which would make concurrency invisible
+    // to the /slow in-flight tracker
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -261,6 +279,45 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows.map(r => (i, r.getAs[String]("body"))) }.collect()
     assert(byPart.count(_._1 == 0) == 4) // chain 0..3
     assert(byPart.count(_._1 == 1) == 2) // chain 2..3
+  }
+
+  test("maxRequestsPerSecond paces the numPartitions fleet per host") {
+    graft.sources.HostThrottle.reset()
+    throttleTimes.clear()
+    val urls = (1 to 12).map(i => s"$base/throttle?i=$i")
+    val df = graft.sources.HttpIngest.read(spark, urls,
+      Map("numPartitions" -> "8", "maxRequestsPerSecond" -> "20"))
+    assert(df.count() == 12)
+    // server-side ARRIVAL times: client starts are spaced 50 ms; allow
+    // localhost delivery jitter on individual gaps, and pin the
+    // aggregate pace tightly (11 gaps x 50 ms nominal)
+    val ts = {
+      val it = throttleTimes.iterator(); val b = Seq.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result().sorted
+    }
+    assert(ts.size == 12, s"expected 12 requests, saw ${ts.size}")
+    val gaps = ts.sliding(2).map(p => (p(1) - p(0)) / 1e6).toSeq
+    assert(gaps.forall(_ >= 25.0), s"a gap under 25ms: $gaps")
+    assert((ts.last - ts.head) / 1e6 >= 11 * 50 * 0.8,
+      s"total span ${(ts.last - ts.head) / 1e6} ms too fast for 20 rps")
+  }
+
+  test("maxInFlight bounds fleet concurrency per host") {
+    graft.sources.HostThrottle.reset()
+    inflightNow.set(0); inflightMax.set(0)
+    val urls = (1 to 8).map(i => s"$base/slow?i=$i")
+    val df = graft.sources.HttpIngest.read(spark, urls,
+      Map("numPartitions" -> "8", "maxInFlight" -> "2"))
+    assert(df.count() == 8)
+    assert(inflightMax.get() <= 2, s"peak in-flight ${inflightMax.get()} > 2")
+    // control: the same 8-task fleet WITHOUT the cap demonstrably
+    // overlaps (each handler holds 150 ms), so the cap above was load-bearing
+    graft.sources.HostThrottle.reset()
+    inflightMax.set(0)
+    val un = graft.sources.HttpIngest.read(spark,
+      urls.map(_ + "&b=2"), Map("numPartitions" -> "8"))
+    assert(un.count() == 8)
+    assert(inflightMax.get() >= 3, s"uncapped peak ${inflightMax.get()}")
   }
 
   test("numPartitions + cookieSession: each slice is its own ordered session") {

@@ -312,11 +312,45 @@ class ScaleSpec extends AnyFunSuite {
       df.select($"id_a".cast("long"), $"id_b".cast("long"))
         .as[(Long, Long)].collect().toSet
     val exact = pairSet(Similarity.exactCosinePairs(corpus, minCosine = 0.99))
-    val banded = pairSet(
-      Similarity.cosineNearDupsBanded(corpus, minCosine = 0.99))
+    val bandedDf = Similarity.cosineNearDupsBanded(corpus, minCosine = 0.99)
+    val banded = pairSet(bandedDf)
     assert(banded == exact,
       s"banded screen missed ${(exact -- banded).size} pairs / " +
         s"invented ${(banded -- exact).size}")
+    // 3) the band-keyed exchanges (shuffle OR broadcast — at sf0.001 the
+    // tiny id-only screen side broadcasts) must carry ids only, never the
+    // embedding payload: a band exchange whose row schema contains an
+    // array column means the screen is shipping vectors nBands x through
+    // the exchange — the r8-flagged weak shape. Vectors are allowed to
+    // move only in the candidate-bounded gather (no band column there).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.types.ArrayType
+    // the screen plan lives inside LoopCache-pinned InMemoryRelations
+    // (the result frame is pinned, and the candidate frame is pinned
+    // inside it), and AQE hides subtrees behind leaf wrappers
+    // (AdaptiveSparkPlanExec / query stages) — flatten ALL of them so
+    // every physical node in the executed pipeline is visible
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val direct = p.collect { case n => n }
+      direct ++ direct.flatMap {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case s: InMemoryTableScanExec => nodes(s.relation.cachedPlan)
+        case _ => Nil
+      }
+    }
+    val bandExchanges = nodes(bandedDf.queryExecution.sparkPlan).collect {
+      case e: Exchange if e.output.exists(_.name == "band") => e
+    }
+    assert(bandExchanges.nonEmpty, "expected a band-keyed exchange")
+    bandExchanges.foreach { e =>
+      val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"band exchange carries array payload ${arrays.map(_.name)}:\n$e")
+    }
   }
 
   test("kmeans assignment is map-only: no keyed exchange of the vector side") {

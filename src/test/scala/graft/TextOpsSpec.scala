@@ -189,6 +189,54 @@ class TextOpsSpec extends AnyFunSuite {
     assert(f1.map(_.getAs[Int]("n_frames")).distinct.length == 1)
   }
 
+  test("imageio codec: REAL png decode + resize through the same mapPartitions seam") {
+    // fixture: a real 64x32 PNG encoded in-test with javax.imageio — left
+    // half black, right half white, so the 4x4 luminance thumbnail has a
+    // known structure (cells 0-1 of each row ~0, cells 2-3 ~1)
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(64, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 64)
+      img.setRGB(x, y, if (x < 32) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val payloads = Seq(
+      (1L, "cam", png),
+      (2L, "cam", "not an image at all".getBytes("UTF-8")))
+      .toDF("media_id", "source", "payload")
+    val rows = Multimodal.decodeFeatures(payloads, codec = "imageio")
+      .orderBy($"media_id").collect()
+    val ok = rows(0)
+    assert(ok.getAs[Int]("width") == 64 && ok.getAs[Int]("height") == 32)
+    assert(ok.getAs[Int]("channels") == 3)
+    assert(ok.getAs[String]("format") == "png")
+    val feats = ok.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats.length == Multimodal.FeatureDim)
+    for (row <- 0 until 4) {
+      assert(feats(row * 4) < 0.05f && feats(row * 4 + 1) < 0.05f,
+        s"left cells of row $row should be ~black: $feats")
+      assert(feats(row * 4 + 2) > 0.95f && feats(row * 4 + 3) > 0.95f,
+        s"right cells of row $row should be ~white: $feats")
+    }
+    // a poisoned blob degrades, never fails the task
+    val bad = rows(1)
+    assert(bad.getAs[String]("format") == "undecodable")
+    assert(bad.getAs[Int]("width") == 0)
+    assert(bad.getAs[scala.collection.Seq[Float]]("features").forall(_ == 0f))
+    // real resize: aspect-preserving fit to 16x16 -> 16x8, re-encoded as
+    // a decodable PNG whose pixels kept the half-black/half-white split
+    val resized = Multimodal.resizeTo(payloads, 16, 16, codec = "imageio")
+      .orderBy($"media_id").collect()
+    assert(resized(0).getAs[Int]("width") == 16 &&
+      resized(0).getAs[Int]("height") == 8)
+    val re = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      resized(0).getAs[Array[Byte]]("resized_payload")))
+    assert(re.getWidth == 16 && re.getHeight == 8)
+    assert((re.getRGB(1, 4) & 0xffffff) == 0x000000)
+    assert((re.getRGB(14, 4) & 0xffffff) == 0xffffff)
+    assert(resized(1).getAs[Int]("width") == 0) // undecodable passthrough
+  }
+
   test("rolling_hash registered for SQL via GraftExtensions; literal folds") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT rolling_hash('hello') AS h, rolling_hash('hello', 37) AS h37")
@@ -305,7 +353,9 @@ class TextOpsSpec extends AnyFunSuite {
       (4L, ""),                   // empty: [""] via split -> [""]
       (5L, "   "),                // whitespace-only: normalize -> ""
       (6L, "a b c"),              // exactly n tokens: one shingle
-      (7L, (1 to 50).map(i => s"tok$i").mkString("  "))
+      (7L, (1 to 50).map(i => s"tok$i").mkString("  ")),
+      (8L, null.asInstanceOf[String]) // null text: [""] (concat_ws skips
+                                      // the null array), NOT null-propagated
     ).toDF("doc_id", "text")
     for (n <- Seq(1, 3, 5)) {
       val got = docs.select($"doc_id",
