@@ -4,8 +4,36 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs the headline queries (Queries.benchNames) on
   * SPARK_GRAFT_SF_DIR, forcing full materialization through the `noop` sink
   * (a bare .count() would let Catalyst prune most of the plan).
-  * Prints ONE JSON line per the driver contract. */
+  * Prints ONE JSON line per the driver contract.
+  *
+  * CONTENTION AWARENESS (round 9): the round-8 artifact was poisoned by
+  * host load — 65/124 "warm" times equalled pass-1 cold because the box
+  * was busy during the whole run, and the artifact carried no evidence
+  * either way. Now a fixed SENTINEL (sum over a 1e7-row range — constant
+  * work, no IO, no cache interaction) is timed before the suite and after
+  * every ~20 queries: if a sentinel reading exceeds 1.5x the suite-start
+  * baseline, the span it closes was measured under contention. The warm
+  * pass re-runs such spans (bounded retries) until the sentinel is clean
+  * or retries run out; the artifact records the full sentinel series and
+  * a `contended` flag so a reader can audit the measurement itself.
+  */
 object Bench {
+
+  private val SentinelRows = 10000000L
+  private val SentinelChunk = 20
+  private val SentinelDriftMax = 1.5
+  private val MaxChunkRetries = 2
+
+  /** Constant-work probe: seconds for an agg over 1e7 generated rows.
+    * No file IO, no shuffle, nothing cacheable — its time moves only
+    * with host CPU availability. */
+  private def sentinelTime(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(SentinelRows).selectExpr("sum(id * 2 + 1) as s")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -25,38 +53,21 @@ object Bench {
         .format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // PRODUCTION-COLD tier (SPARK_GRAFT_BENCH_MODE=prodcold): one pass,
-    // caches + operator memos dropped BEFORE each query, so every query
-    // pays its own pins and shares nothing with its neighbors — "first
-    // run of the day" per query, JVM warm (the warmup above absorbed
-    // classloading). The default two-pass protocol deliberately does NOT
-    // clear between queries (semantic cache reuse is the warm tier's
-    // point), which also means its pass-1 "cold" can ride a SIBLING
-    // query's cached subplan (the shared planted-corpus plans); this
-    // tier is the one where pin-force costs are fully visible.
-    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("prodcold")) {
-      val results = qs.map { q =>
-        spark.catalog.clearCache()
-        graft.operators.LoopCache.clearMemo()
-        val t0 = System.nanoTime()
-        val ok =
-          try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-            false
-          }
-        q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
-      val qj = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-        .mkString("{", ",", "}")
-      println(f"""{"metric":"total_prodcold","value":$total%.3f,"unit":"sec","sf":"$sfDir","queries":$qj}""")
-      spark.stop()
-      return
+    // sentinel baseline: min of 3 at suite start — then tightened to the
+    // running min of every later reading, so a baseline itself measured
+    // under load cannot make the drift check lenient for the whole run.
+    // Taken AFTER warmup so codegen of the probe is excluded.
+    var sentinelBase = (1 to 3).map(_ => sentinelTime(spark)).min
+    val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
+    var contended = false
+    def probe(): Double = {
+      val s = sentinelTime(spark)
+      sentinels += s
+      sentinelBase = math.min(sentinelBase, s)
+      s
     }
-    // a failed query is reported as -1 and excluded from the total — a
-    // broken query must not silently contribute a plausible-looking time
-    def onePass(): Seq[(String, Double)] = qs.map { q =>
+
+    def timeQuery(q: Queries.Q): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -64,26 +75,71 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           false
         }
-      // NOTE: no clearCache between queries — CacheManager matches
-      // persisted plans SEMANTICALLY, so pass 2's identical queries
-      // legitimately reuse pass 1's cached intermediates and min-of-two
-      // reports warm steady-state (clearing forced both passes cold and
-      // inflated the iterative-graph queries ~2x; measured round 5)
-      q.name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // two full passes, min per query: the container's host exhibits
-    // transient multi-second stalls that land on random queries; the min
-    // of two widely-separated runs reports steady-state per-query cost
-    // (a failure in either pass still reports as failed). BOTH tiers are
-    // reported: "queries"/"value" stay the warm min-of-two (comparable to
-    // prior rounds), "queries_cold"/"total_cold" are the pass-1 times —
-    // what a first run actually costs, cache-cold — so neither number
-    // hides the other.
-    val passA = onePass()
-    val passB = onePass()
-    val results = passA.zip(passB).map { case ((n, a), (_, b)) =>
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    // -1 (failure) never merges with a clean time: a broken query must
+    // not silently contribute a plausible-looking min
+    def merge(a: Double, b: Double): Double =
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+
+    // PRODUCTION-COLD tier (SPARK_GRAFT_BENCH_MODE=prodcold): one pass,
+    // caches + operator memos dropped BEFORE each query, so every query
+    // pays its own pins and shares nothing with its neighbors — "first
+    // run of the day" per query, JVM warm (the warmup above absorbed
+    // classloading). One-pass by design, so contention cannot be retried
+    // away — the sentinel series is recorded for the reader instead.
+    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("prodcold")) {
+      val results = qs.grouped(SentinelChunk).flatMap { chunk =>
+        val times = chunk.map { q =>
+          spark.catalog.clearCache()
+          graft.operators.LoopCache.clearMemo()
+          q.name -> timeQuery(q)
+        }
+        if (probe() > sentinelBase * SentinelDriftMax) contended = true
+        times
+      }.toSeq
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      val qj = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
+      println(f"""{"metric":"total_prodcold","value":$total%.3f,"unit":"sec","sf":"$sfDir","sentinel_base":$sentinelBase%.3f,"sentinels":$sj,"contended":$contended,"queries":$qj}""")
+      spark.stop()
+      return
     }
+
+    // ---- pass A (cold): chunked, sentinel-audited, NO retries — a
+    // retry would run against warm caches and stop being a cold
+    // measurement; a contended span shows up in the sentinel series
+    val passA: Seq[(String, Double)] = qs.grouped(SentinelChunk).flatMap { chunk =>
+      val times = chunk.map(q => q.name -> timeQuery(q))
+      probe()
+      times
+    }.toSeq
+    // NOTE: no clearCache between queries — CacheManager matches
+    // persisted plans SEMANTICALLY, so pass 2's identical queries
+    // legitimately reuse pass 1's cached intermediates and min-of-two
+    // reports warm steady-state (clearing forced both passes cold and
+    // inflated the iterative-graph queries ~2x; measured round 5).
+
+    // ---- pass B (warm): chunked, and a chunk whose closing sentinel
+    // drifted re-runs (min-merged) up to MaxChunkRetries — this is what
+    // makes the WARM tier trustworthy under transient host load
+    val warmByName = scala.collection.mutable.LinkedHashMap[String, Double]()
+    qs.grouped(SentinelChunk).foreach { chunk =>
+      var attempt = 0
+      var clean = false
+      while (!clean && attempt <= MaxChunkRetries) {
+        val times = chunk.map(q => q.name -> timeQuery(q))
+        times.foreach { case (n, v) =>
+          warmByName(n) = warmByName.get(n).map(merge(_, v)).getOrElse(v)
+        }
+        clean = probe() <= sentinelBase * SentinelDriftMax
+        attempt += 1
+      }
+      if (!clean) contended = true
+    }
+    val results = passA.map { case (n, a) => n -> merge(a, warmByName(n)) }
+
     def qjson(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     def totalOf(rs: Seq[(String, Double)]) =
@@ -91,6 +147,7 @@ object Bench {
     val total = totalOf(results)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
     // Field order matters: the driver archives only a ~2000-char TAIL of
     // this line, so the warm min-of-two "queries" dict — the tier every
     // prior round's artifact shows, the round-over-round comparable —
@@ -99,7 +156,7 @@ object Bench {
     // fabricated 2-14x phantom regressions.) The cold tier prints first
     // and the full line is also written to BENCH_DETAIL.json so neither
     // tier is ever lost to the tail window.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"sf":"$sfDir","queries":${qjson(results)}}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,"sentinels":$sj,"contended":$contended,"queries":${qjson(results)}}"""
     // Detail file lands next to the checkout being benched: env override
     // first, else the working directory (NOT a hardcoded absolute path —
     // a bench run from another checkout must not write into this one).
