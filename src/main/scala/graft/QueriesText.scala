@@ -755,6 +755,45 @@ object QueriesText {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------------
+  // q139 — the recall-hardened fuzzy tier: q121's blocking UNION a
+  // second pass keyed on chars 13..24, deduped on the pair. Recovers
+  // the pairs whose typo lands inside the first block key (q121's
+  // documented miss). Oracle replays both passes in SQL — completeness
+  // of the union and the min-distance dedup are hash-checked.
+  // ------------------------------------------------------------------
+  def fuzzyMultipass(spark: SparkSession, sfDir: String): DataFrame =
+    FuzzyMatch.multiPassPairs(Tables.documents(spark, sfDir), "doc_id",
+        "text", blockLen = 12, prefixLen = 64, maxDist = 5,
+        shifts = Seq(0, 12))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val fuzzyMultipassSql: String =
+    s"""WITH n AS (
+      |  SELECT doc_id, ${normSql("text")} AS norm FROM documents),
+      |b0 AS (
+      |  SELECT doc_id, substring(norm, 1, 12) AS blk,
+      |         substring(norm, 1, 64) AS pfx
+      |  FROM n WHERE length(norm) > 0),
+      |b1 AS (
+      |  SELECT doc_id, substring(norm, 13, 12) AS blk,
+      |         substring(norm, 1, 64) AS pfx
+      |  FROM n WHERE length(norm) > 12),
+      |p0 AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |         CAST(levenshtein(x.pfx, y.pfx) AS INT) AS edit_distance
+      |  FROM b0 x JOIN b0 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+      |  WHERE levenshtein(x.pfx, y.pfx) <= 5),
+      |p1 AS (
+      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |         CAST(levenshtein(x.pfx, y.pfx) AS INT) AS edit_distance
+      |  FROM b1 x JOIN b1 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+      |  WHERE levenshtein(x.pfx, y.pfx) <= 5)
+      |SELECT id_a, id_b, min(edit_distance) AS edit_distance
+      |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+      |GROUP BY id_a, id_b
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
   // q124 — exact set-similarity self-join via rare-first prefix
   // filtering (operators/PrefixJoin, the PPJoin family): 3-word-shingle
   // Jaccard ≥ 80% document pairs. Shingles, not words — this corpus

@@ -20,9 +20,12 @@ import graft.functions.TextFunctions
   * levenshtein replays it verbatim — no float, no hash).
   *
   * Recall caveat, as with any blocking scheme: an edit INSIDE the block
-  * key hides the pair. When recall matters, run extra passes with
-  * shifted or suffix block keys and union the results — each pass is
-  * the same bounded join.
+  * key hides the pair. When recall matters, [[multiPassPairs]] runs
+  * extra passes with SHIFTED block keys (chars (shift, shift+blockLen])
+  * and union-dedups — a pair escapes only if every pass's key region
+  * contains an edit, so two default passes already require edits in
+  * both of the first two 12-char regions. Each pass is the same bounded
+  * triangle-salted join.
   */
 object FuzzyMatch {
 
@@ -48,10 +51,28 @@ object FuzzyMatch {
     * asserts salted ≡ unsalted pair-for-pair). */
   def blockedPairs(df: DataFrame, idCol: String, textCol: String,
       blockLen: Int = 12, prefixLen: Int = 64, maxDist: Int = 5,
-      saltGroups: Int = 8): DataFrame = {
+      saltGroups: Int = 8): DataFrame =
+    blockedPairsAt(df, idCol, textCol, blockLen, prefixLen, maxDist,
+      saltGroups, shift = 0)
+
+  /** One blocking pass with the block key taken from normalized chars
+    * (shift, shift+blockLen]. shift=0 is [[blockedPairs]]. For a SHIFTED
+    * key the chars before the key are not known identical, so the verify
+    * window is the full first `prefixLen` chars — the reported distance
+    * is the full-window distance in every pass (pass 0 gets the same
+    * number from its reduced window because a byte-identical prefix is
+    * the identity region of the DP). Docs with ≤ shift normalized chars
+    * are excluded from a shifted pass: they have no key material there,
+    * and an empty key would collapse every short doc into one
+    * unboundedly-hot block. */
+  private def blockedPairsAt(df: DataFrame, idCol: String, textCol: String,
+      blockLen: Int, prefixLen: Int, maxDist: Int,
+      saltGroups: Int, shift: Int): DataFrame = {
     require(blockLen >= 1 && prefixLen >= blockLen && maxDist >= 0,
       s"need 1 <= blockLen ($blockLen) <= prefixLen ($prefixLen), maxDist >= 0")
     require(saltGroups >= 1, s"saltGroups=$saltGroups must be >= 1")
+    require(shift >= 0 && shift + blockLen <= prefixLen,
+      s"shifted key (${shift}..${shift + blockLen}] must sit inside prefixLen=$prefixLen")
     val g = saltGroups
     val norm = TextFunctions.normalizeText(col(textCol))
     // `pfx` carries only chars (blockLen, prefixLen]: the join already
@@ -64,10 +85,12 @@ object FuzzyMatch {
     // window by blockLen/prefixLen.
     val base = df
       .select(col(idCol).cast("long").as("id"), norm.as("norm"))
-      .filter(length(col("norm")) > 0)
+      .filter(length(col("norm")) > shift)
       .select(col("id"),
-        substring(col("norm"), 1, blockLen).as("blk"),
-        substring(col("norm"), blockLen + 1, prefixLen - blockLen).as("pfx"),
+        substring(col("norm"), shift + 1, blockLen).as("blk"),
+        (if (shift == 0)
+          substring(col("norm"), blockLen + 1, prefixLen - blockLen)
+        else substring(col("norm"), 1, prefixLen)).as("pfx"),
         // stable per-row salt: a pure function of the id, so both
         // replicated sides derive the same s for the same row
         pmod(xxhash64(col("id")), lit(g.toLong)).cast("int").as("s"))
@@ -99,5 +122,25 @@ object FuzzyMatch {
           levenshtein(col("x.pfx"), col("y.pfx"), maxDist) >= 0)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         levenshtein(col("x.pfx"), col("y.pfx"), maxDist).as("edit_distance"))
+  }
+
+  /** Multi-pass blocking: one [[blockedPairsAt]] pass per shift in
+    * `shifts`, union-deduped on the pair (min distance — the passes
+    * agree on the full-window distance wherever they overlap). The
+    * recall upgrade over single-pass blocking: a true pair is missed
+    * only if EVERY pass's key region contains an edit; with the default
+    * shifts (0, blockLen) a ≤ maxDist-edit pair escapes only when edits
+    * land in both of the first two blockLen-char regions. Cost is
+    * `shifts.size` bounded joins — linear, never quadratic. */
+  def multiPassPairs(df: DataFrame, idCol: String, textCol: String,
+      blockLen: Int = 12, prefixLen: Int = 64, maxDist: Int = 5,
+      saltGroups: Int = 8, shifts: Seq[Int] = Seq(0, 12)): DataFrame = {
+    require(shifts.nonEmpty && shifts.distinct.size == shifts.size,
+      s"shifts $shifts must be non-empty and distinct")
+    shifts.map(sh => blockedPairsAt(
+        df, idCol, textCol, blockLen, prefixLen, maxDist, saltGroups, sh))
+      .reduce(_ unionByName _)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("edit_distance")).as("edit_distance"))
   }
 }

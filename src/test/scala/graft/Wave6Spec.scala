@@ -98,6 +98,19 @@ class Wave6Spec extends AnyFunSuite {
     // block key — the documented blocking recall trade); 4 matches
     // nothing.
     assert(got == Map((1L, 2L) -> 3, (1L, 5L) -> 0, (2L, 5L) -> 3))
+
+    // the shifted-key second pass recovers exactly the key-region-typo
+    // pairs the single pass documents as missed: doc 3's "teh" sits in
+    // the chars-1..12 key, but chars 13..24 ("own fox jump") still
+    // agree, so the shift=12 pass blocks it with docs 1/2/5 and the
+    // full-window verify reports the true distances (teh→the = 2; +3
+    // for the dog→cat doc). All single-pass pairs survive unchanged.
+    val multi = operators.FuzzyMatch
+      .multiPassPairs(docs, "doc_id", "text", blockLen = 12,
+        prefixLen = 64, maxDist = 5, shifts = Seq(0, 12))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(multi == got ++ Map(
+      (1L, 3L) -> 2, (2L, 3L) -> 5, (3L, 5L) -> 2), multi.toString)
   }
 
   test("fuzzy match: triangle-salted join emits each pair exactly once " +
