@@ -62,25 +62,36 @@ object BenchStream {
             .cast("timestamp").as("ts")),
       "documents", 32)
 
-    def source(dir: String): DataFrame = {
+    def source(dir: String, mft: Int): DataFrame = {
       val schema = spark.read.parquet(dir).schema
       spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4).parquet(dir)
+        .option("maxFilesPerTrigger", mft).parquet(dir)
     }
 
     /** Run one tier to completion (AvailableNow: drains the staged files
       * through real micro-batches, then stops); pull rows/batches/state
-      * from the query's progress stream — never from the data itself. */
-    def runTier(name: String)(pipe: DataFrame => DataFrame)(dir: String): TierResult = {
+      * from the query's progress stream — never from the data itself.
+      * `mft` sets micro-batch granularity (32 staged files / mft =
+      * batch count); `statePartitions` overrides the state store's
+      * partition count for this tier (sql.shuffle.partitions is frozen
+      * into the checkpoint at first start — 32 one-row-per-20 state
+      * partitions is pure commit overhead on a low-volume stream, and
+      * sizing it to the stream is the real production knob). */
+    def runTier(name: String, mft: Int = 4, statePartitions: Int = 0)(
+        pipe: DataFrame => DataFrame)(dir: String): TierResult = {
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft-bs-$name")
+      val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      if (statePartitions > 0)
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       val t0 = System.nanoTime()
-      val q = pipe(source(dir)).writeStream
+      val q = pipe(source(dir, mft)).writeStream
         .format("noop")
         .outputMode("append")
         .option("checkpointLocation", ckpt.toString)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val sec = (System.nanoTime() - t0) / 1e9
       val progress = q.recentProgress.toSeq
       val rows = progress.map(_.numInputRows).sum
@@ -119,13 +130,39 @@ object BenchStream {
       runTier("dedup") { s =>
         streaming.StreamingOps.dedupStream(s, "text", "ts",
           watermark = "1 hour")
+      }(docsDir),
+      // ---- dedup THROUGHPUT ATTRIBUTION sweep: the tier's low rows/s
+      // is per-micro-batch fixed cost (state-store commit + a 32-way
+      // keyed exchange + checkpoint fsync), not digest work — the
+      // documents stream is only 5k rows at sf0.1, so a 4-file batch
+      // holds ~625 rows and ~0.9 s/batch of overhead swamps them
+      // (sessions/funnel run 20x the rows through the SAME batch count,
+      // which is the whole rows/s gap). The sweep pins that: rows/s
+      // should scale near-linearly with batch SIZE (mft), and shrinking
+      // the state store to 8 partitions (sized to the stream — the
+      // production knob) cuts the per-batch commit cost itself.
+      runTier("dedup_mft1", mft = 1) { s =>
+        streaming.StreamingOps.dedupStream(s, "text", "ts",
+          watermark = "1 hour")
+      }(docsDir),
+      runTier("dedup_mft16", mft = 16) { s =>
+        streaming.StreamingOps.dedupStream(s, "text", "ts",
+          watermark = "1 hour")
+      }(docsDir),
+      runTier("dedup_mft16_p8", mft = 16, statePartitions = 8) { s =>
+        streaming.StreamingOps.dedupStream(s, "text", "ts",
+          watermark = "1 hour")
       }(docsDir))
 
     def j(r: TierResult): String =
       f""""${r.name}":{"rows":${r.rows},"sec":${r.sec}%.3f,""" +
         f""""rows_per_sec":${r.rps}%.0f,"batches":${r.batches},""" +
         f""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
-    val total = results.map(_.sec).sum
+    // headline total covers the three canonical tiers only — the dedup
+    // attribution sweep re-runs one tier at other granularities and must
+    // not inflate the round-over-round comparable
+    val canonical = Set("sessions", "funnel", "dedup")
+    val total = results.filter(r => canonical(r.name)).map(_.sec).sum
     val line = f"""{"metric":"stream_total","value":$total%.3f,""" +
       f""""unit":"sec","sf":"$sfDir","tiers":{${results.map(j).mkString(",")}}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM",
