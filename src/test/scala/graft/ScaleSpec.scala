@@ -408,4 +408,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(cond.nonEmpty, plan)
     assert(cond.indexOf("least") < cond.indexOf("levenshtein"), cond)
   }
+
+  test("memory envelope ceilings: q121 and q56 run spill-free with bounded " +
+      "per-task execution memory at sf0.01") {
+    // regression pins on the two memory-heaviest dedup shapes (VERDICT
+    // r8 #6): the fuzzy candidate join and the corpus-prep dedup window.
+    // Measured ~8 MB peak task memory each at sf0.01; the 256 MB ceiling
+    // is ~30x headroom — it exists to catch a blowup (a de-salted join
+    // buffering a whole hot block, a window losing its partial
+    // aggregation), not to pin noise. Disk spill must be exactly zero:
+    // any spill at this scale means a task tried to buffer far beyond
+    // the data's working set.
+    val sf = "/root/testdata/sf0.01"
+    for (name <- Seq("q121_fuzzy_matches", "q56_corpus_prep")) {
+      val q = Queries.registry.find(_.name == name).get
+      spark.catalog.clearCache()
+      graft.operators.LoopCache.clearMemo()
+      val e = graft.tools.TaskEnvelope.measure(spark) {
+        q.fn(spark, sf).write.format("noop").mode("overwrite").save()
+      }
+      assert(e.diskSpill == 0L, s"$name spilled ${e.diskSpill} B to disk")
+      assert(e.peakTaskMem <= 256L * 1024 * 1024,
+        s"$name peak task memory ${e.peakTaskMem} B breached the ceiling")
+    }
+  }
 }
