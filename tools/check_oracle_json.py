@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Oracle compare with a JSON artifact + per-oracle timeout — the sf1
+correctness gate (VERDICT r8 #3). Same compare semantics as
+check_oracle.py (columns sorted by name, exact values), plus:
+
+ - writes {name: {rows_match, schema_match, hash_match, spark_rows,
+   oracle_rows, sec, err}} to the json path (CORRECTNESS_r* format,
+   with hash_match = full value equality);
+ - each DuckDB oracle runs under a watchdog (con.interrupt() after
+   --timeout seconds) — a timeout records err="oracle_timeout(Ns)"
+   instead of hanging the gate;
+ - optional --only name,name filter.
+
+Usage: python3 tools/check_oracle_json.py SF_DIR OUT_DIR JSON_OUT
+         [--timeout N] [--only q01,...]
+"""
+import json
+import sys
+import threading
+
+import duckdb
+import pandas as pd
+
+
+def same(x, y):
+    try:
+        if pd.isna(x) and pd.isna(y):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return x == y
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0].lstrip("-"): a.split("=", 1)[1]
+            for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+    sf_dir, out_dir, json_out = args[0], args[1], args[2]
+    timeout = float(opts.get("timeout", 300))
+    only = set(opts["only"].split(",")) if "only" in opts else None
+
+    tables = ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    oracle_path = f"{out_dir}/oracle_sql.json"
+    try:
+        oracle = json.load(open(oracle_path))
+    except FileNotFoundError:
+        oracle = json.load(open(f"{out_dir}/oracle_sql.partial.json"))
+    report = {}
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
+        row = {"rows_match": False, "schema_match": False,
+               "hash_match": False, "spark_rows": None, "oracle_rows": None,
+               "sec": None, "err": None}
+        report[name] = row
+        import time
+        t0 = time.time()
+        timer = threading.Timer(timeout, con.interrupt)
+        timer.start()
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            want = con.execute(sql).df()
+        except Exception as e:
+            msg = str(e)[:200]
+            if "INTERRUPT" in msg.upper():
+                msg = f"oracle_timeout({timeout:.0f}s)"
+            row["err"] = msg
+            print(f"FAIL {name}: {msg}")
+            fails += 1
+            continue
+        finally:
+            timer.cancel()
+        row["sec"] = round(time.time() - t0, 2)
+        got = got[sorted(got.columns)]
+        want = want[sorted(want.columns)]
+        row["spark_rows"], row["oracle_rows"] = len(got), len(want)
+        if list(got.columns) != list(want.columns):
+            row["err"] = (f"columns {list(got.columns)} != "
+                          f"{list(want.columns)}")[:200]
+            print(f"FAIL {name}: {row['err']}")
+            fails += 1
+            continue
+        row["schema_match"] = True
+        if len(got) != len(want):
+            row["err"] = f"rows {len(got)} != {len(want)}"
+            print(f"FAIL {name}: {row['err']}")
+            fails += 1
+            continue
+        row["rows_match"] = True
+        mismatch = None
+        for c in got.columns:
+            for i, (x, y) in enumerate(zip(got[c].tolist(), want[c].tolist())):
+                if not same(x, y):
+                    diff = abs(x - y) if isinstance(x, float) else None
+                    mismatch = (c, i, x, y, diff)
+                    break
+            if mismatch:
+                break
+        if mismatch:
+            c, i, x, y, diff = mismatch
+            row["err"] = f"col={c} row={i}: spark={x!r} duckdb={y!r} absdiff={diff}"[:200]
+            print(f"FAIL {name}: {row['err']}")
+            fails += 1
+        else:
+            row["hash_match"] = True
+            print(f"OK   {name}: {len(got)} rows, {len(got.columns)} cols "
+                  f"({row['sec']}s)")
+
+    with open(json_out, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    n = len(report)
+    print(f"\n{n - fails}/{n} oracle queries match -> {json_out}")
+    sys.exit(1 if fails else 0)
+
+
+main()
