@@ -9,9 +9,9 @@ import org.apache.spark.sql.SparkSession
   * CONTENTION AWARENESS (round 9): the round-8 artifact was poisoned by
   * host load — 65/124 "warm" times equalled pass-1 cold because the box
   * was busy during the whole run, and the artifact carried no evidence
-  * either way. Now a fixed SENTINEL (sum over a 1e7-row range — constant
+  * either way. Now a fixed SENTINEL (sum over a generated range — constant
   * work, no IO, no cache interaction) is timed before the suite and after
-  * every ~20 queries: if a sentinel reading exceeds 1.5x the suite-start
+  * every ~20 queries: if a sentinel reading exceeds the drift threshold vs the
   * baseline, the span it closes was measured under contention. The warm
   * pass re-runs such spans (bounded retries) until the sentinel is clean
   * or retries run out; the artifact records the full sentinel series and
@@ -19,14 +19,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private val SentinelRows = 10000000L
+  // Probe sizing is from MEASURED noise (tools/SentinelProbe): at 1e7
+  // rows the job is scheduling-dominated (max/min ~2.5x on an idle box —
+  // the first r9 run flagged itself contended on its own jitter); at 2e9
+  // rows (~0.45 s) the idle band is ±15%, so 1.75x cleanly separates
+  // real load from jitter.
+  private val SentinelRows = 2000000000L
   private val SentinelChunk = 20
-  private val SentinelDriftMax = 1.5
+  private val SentinelDriftMax = 1.75
   private val MaxChunkRetries = 2
 
-  /** Constant-work probe: seconds for an agg over 1e7 generated rows.
-    * No file IO, no shuffle, nothing cacheable — its time moves only
-    * with host CPU availability. */
+  /** Constant-work probe: seconds for an agg over SentinelRows generated
+    * rows. No file IO, no shuffle, nothing cacheable — its time moves
+    * only with host CPU availability. */
   private def sentinelTime(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(SentinelRows).selectExpr("sum(id * 2 + 1) as s")
@@ -61,7 +66,12 @@ object Bench {
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     var contended = false
     def probe(): Double = {
-      val s = sentinelTime(spark)
+      var s = sentinelTime(spark)
+      // confirm before flagging: a single dirty reading can be a
+      // scheduling hiccup of the probe itself — re-probe once and take
+      // the min; true contention persists across both readings
+      if (s > sentinelBase * SentinelDriftMax)
+        s = math.min(s, sentinelTime(spark))
       sentinels += s
       sentinelBase = math.min(sentinelBase, s)
       s
