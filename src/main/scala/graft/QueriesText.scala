@@ -794,6 +794,70 @@ object QueriesText {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------------
+  // q140 — Gopher-style repetition quality filters (operators/
+  // Repetition): repeated-word fraction, top-2-gram char coverage,
+  // duplicated-5-gram char coverage — all per-mille integers (exact
+  // arithmetic end to end), plus the threshold flag. The oracle replays
+  // the whole pipeline: shingle CTEs mirror shingleArray's short-doc
+  // contract, top-gram ties break to the smallest gram in both engines.
+  // ------------------------------------------------------------------
+  def repetitionFilter(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Repetition.metrics(Tables.documents(spark, sfDir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val repetitionFilterSql: String = {
+    def gramCte(name: String, n: Int): String =
+      s"""$name AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= $n
+         |    THEN list_transform(range(1, len(w) - ${n - 2}),
+         |      i -> array_to_string(w[i:i+${n - 1}], ' '))
+         |    ELSE [array_to_string(w, ' ')] END) AS g FROM t)"""
+        .stripMargin
+    s"""WITH n AS (
+      |  SELECT doc_id, ${normSql("text")} AS norm FROM documents
+      |  WHERE length(${normSql("text")}) > 0),
+      |t AS (
+      |  SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+      |         string_split(norm, ' ') AS w FROM n),
+      |base AS (
+      |  SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM t),
+      |${gramCte("g2", 2)},
+      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, g AS top_bigram, c AS top_bigram_count FROM (
+      |    SELECT doc_id, g, c, row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2)
+      |  WHERE rn = 1),
+      |${gramCte("g5", 5)},
+      |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+      |dup5 AS (
+      |  SELECT doc_id, sum(c * CAST(length(g) AS BIGINT)) AS dup5_chars
+      |  FROM c5 WHERE c > 1 GROUP BY 1)
+      |SELECT b.doc_id, b.n_words, b.n_chars,
+      |       (1000 * (b.n_words - b.n_distinct)) // b.n_words AS dup_word_pml,
+      |       coalesce(t.top_bigram, '') AS top_bigram,
+      |       coalesce(t.top_bigram_count, 0) AS top_bigram_count,
+      |       CASE WHEN coalesce(t.top_bigram_count, 0) >= 2
+      |         THEN (1000 * t.top_bigram_count * CAST(length(t.top_bigram) AS BIGINT))
+      |              // b.n_chars
+      |         ELSE 0 END AS top_bigram_pml,
+      |       least(coalesce((1000 * d.dup5_chars) // b.n_chars, 0), 1000)
+      |         AS dup5_pml,
+      |       ((1000 * (b.n_words - b.n_distinct)) // b.n_words > 300
+      |        OR CASE WHEN coalesce(t.top_bigram_count, 0) >= 2
+      |             THEN (1000 * t.top_bigram_count * CAST(length(t.top_bigram) AS BIGINT))
+      |                  // b.n_chars
+      |             ELSE 0 END > 180
+      |        OR least(coalesce((1000 * d.dup5_chars) // b.n_chars, 0), 1000) > 150)
+      |         AS repetitive
+      |FROM base b
+      |LEFT JOIN top t USING (doc_id)
+      |LEFT JOIN dup5 d USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q124 — exact set-similarity self-join via rare-first prefix
   // filtering (operators/PrefixJoin, the PPJoin family): 3-word-shingle
   // Jaccard ≥ 80% document pairs. Shingles, not words — this corpus

@@ -334,6 +334,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L, 1.0, true)))
   }
 
+  test("repetition filters: hand-computed Gopher metrics, thresholds, short-doc guards") {
+    val docs = Seq(
+      // 8 words, all distinct, no repeated grams -> clean
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      // "spam ham" repeated 5x: 10 words / 2 distinct -> dup_word_pml
+      // 800; top bigram "spam ham" count 5 covers 5*8=40 of 44 chars
+      (2L, "spam ham spam ham spam ham spam ham spam ham"),
+      // two-word doc: its only bigram has count 1 -> guard keeps pml 0
+      (3L, "tiny doc"),
+      // single word: bigram tier degenerates to the whole text, count 1
+      (4L, "solo"),
+      // 12 words; exactly ONE duplicated 5-gram ("one two three four
+      // five", 2 occurrences) and a 4-way bigram-count tie that must
+      // break to the lexicographically smallest gram
+      (5L, "one two three four five pad6 pad7 one two three four five")
+    ).toDF("doc_id", "text")
+    val got = operators.Repetition.metrics(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("dup_word_pml") == 0L)
+    assert(!byId(1L).getAs[Boolean]("repetitive"))
+    val d2 = byId(2L)
+    assert(d2.getAs[Long]("dup_word_pml") == 800L) // (10-2)*1000/10
+    assert(d2.getAs[String]("top_bigram") == "ham spam" ||
+      d2.getAs[String]("top_bigram") == "spam ham")
+    // ties: "ham spam" (4x) vs "spam ham" (5x) -> count wins
+    assert(d2.getAs[String]("top_bigram") == "spam ham")
+    assert(d2.getAs[Long]("top_bigram_count") == 5L)
+    assert(d2.getAs[Long]("top_bigram_pml") == 1000L * 5 * 8 / 44)
+    assert(d2.getAs[Boolean]("repetitive"))
+    assert(byId(3L).getAs[Long]("top_bigram_pml") == 0L)
+    assert(!byId(3L).getAs[Boolean]("repetitive"))
+    assert(byId(4L).getAs[Long]("top_bigram_pml") == 0L)
+    assert(byId(4L).getAs[Long]("dup5_pml") == 0L)
+    val d5 = byId(5L)
+    // the one duplicated 5-gram covers 2 x 23 chars of the 57-char doc
+    assert(d5.getAs[Long]("dup5_pml") == 1000L * 2 * 23 / 57) // 807
+    // bigram counts tie at 2 ("one two"/"two three"/"three four"/
+    // "four five") -> smallest gram wins deterministically
+    assert(d5.getAs[String]("top_bigram") == "four five")
+    assert(d5.getAs[Long]("top_bigram_count") == 2L)
+    assert(d5.getAs[Boolean]("repetitive"))
+  }
+
   test("shingle_array expression ≡ the HOF transform/slice formulation") {
     // the reference formulation shingleArray replaced (tokenize-once fix):
     // transform + slice + concat_ws over the inlined split(normalize) —
