@@ -12,8 +12,10 @@ import scala.jdk.CollectionConverters._
   *
   *  - up to `maxRetries` retries (maxRetries+1 attempts total);
   *  - retries on network error AND on 403 responses (the reference treats a
-  *    403 as retryable, then tolerates it if configured: :57-61, :105-113);
-  *  - linear backoff `backoffMs * attempt`;
+  *    403 as retryable, then tolerates it if configured: :57-61, :105-113),
+  *    plus 429/503 — the standard transient statuses real APIs emit;
+  *  - linear backoff `backoffMs * attempt`, raised to the server's
+  *    `Retry-After` (delta-seconds) when present, capped at `timeoutMs`;
   *  - per-request timeout.
   *
   * Pure JDK (`java.net.http.HttpClient`) — no extra dependencies.
@@ -107,10 +109,26 @@ object HttpFetch {
       attemptMs = (System.nanoTime() - a0) / 1e6
       val retryable = last match {
         case Left(_) => true
-        case Right(r) => r.statusCode == 403 // reference retries 403 too
+        // 403 per the reference; 429/503 are the standard transient
+        // rate-limit/overload statuses every real API emits
+        case Right(r) => r.statusCode == 403 ||
+          r.statusCode == 429 || r.statusCode == 503
       }
       if (retryable && attempt <= cfg.maxRetries) {
-        Thread.sleep(cfg.backoffMs * attempt)
+        // honor Retry-After (delta-seconds form) when the server names
+        // its own backoff — sleep the LONGER of it and our linear
+        // backoff, capped at timeoutMs so a hostile header can't hang
+        // the task; HTTP-date form and garbage parse as absent
+        val retryAfterMs = last match {
+          case Right(r) =>
+            val v = r.headers().firstValue("Retry-After")
+            if (v.isPresent)
+              try math.min(v.get.trim.toLong * 1000L, cfg.timeoutMs)
+              catch { case _: NumberFormatException => 0L }
+            else 0L
+          case Left(_) => 0L
+        }
+        Thread.sleep(math.max(cfg.backoffMs * attempt, retryAfterMs))
         attempt += 1
       } else done = true
     }

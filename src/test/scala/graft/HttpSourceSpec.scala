@@ -19,6 +19,7 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val status403Hits = new AtomicInteger(0)
   private val flaky403Hits = new AtomicInteger(0)
   private val throttleTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  private val rateLimitedTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
   private val inflightNow = new AtomicInteger(0)
   private val inflightMax = new AtomicInteger(0)
 
@@ -95,6 +96,12 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       // pages 0..3; the last page has next: null; links are RELATIVE
       val next = if (i < 3) s""""/paged?i=${i + 1}"""" else "null"
       reply(ex, 200, s"""{"page": $i, "next": $next}""")
+    })
+    server.createContext("/rate-limited", (ex: HttpExchange) => {
+      rateLimitedTimes.add(System.nanoTime())
+      if (rateLimitedTimes.size() <= 2)
+        reply(ex, 429, "", Map("Retry-After" -> "1"))
+      else reply(ex, 200, """{"ok": true}""")
     })
     server.createContext("/throttle", (ex: HttpExchange) => {
       throttleTimes.add(System.nanoTime())
@@ -279,6 +286,27 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows.map(r => (i, r.getAs[String]("body"))) }.collect()
     assert(byPart.count(_._1 == 0) == 4) // chain 0..3
     assert(byPart.count(_._1 == 1) == 2) // chain 2..3
+  }
+
+  test("429 retried honoring Retry-After: succeeds on attempt 3, spaced >= 1s") {
+    rateLimitedTimes.clear()
+    val r = graft.sources.HttpIngest.read(spark,
+        Seq(s"$base/rate-limited"),
+        Map("maxRetries" -> "3", "backoffMs" -> "10"))
+      .collect().head
+    assert(r.getAs[Int]("status_code") == 200)
+    assert(r.getAs[Int]("attempts") == 3)
+    // the server named a 1 s backoff; our 10 ms linear backoff must have
+    // been raised to it — both inter-attempt gaps >= ~1 s
+    val ts = {
+      val it = rateLimitedTimes.iterator(); val b = Seq.newBuilder[Long]
+      while (it.hasNext) b += it.next(); b.result().sorted
+    }
+    assert(ts.size == 3)
+    ts.sliding(2).foreach { p =>
+      assert((p(1) - p(0)) / 1e6 >= 950.0,
+        s"attempt gap ${(p(1) - p(0)) / 1e6} ms ignored Retry-After")
+    }
   }
 
   test("maxRequestsPerSecond paces the numPartitions fleet per host") {
