@@ -478,6 +478,36 @@ object QueriesText {
       |ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // q141 — EMBEDDING-space decontamination (the cosine counterpart of
+  // q76's n-gram tier): train vectors within 0.99 cosine of an eval
+  // vector are flagged. The eval set is 20 exact copies of train
+  // vectors re-id'd at +200000 (the q42 planting argument: identical
+  // vectors share every LSH band with certainty, and the corpus's
+  // organic max pairwise cosine ≈ 0.51 sits far under the threshold,
+  // so screen recall is exact and DuckDB's brute-force cross join is
+  // the ground truth).
+  // ------------------------------------------------------------------
+  def embeddingDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val train = Tables.embeddings(spark, sfDir)
+    val eval_ = train.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    Similarity.crossCosineNearDupsBanded(train, eval_, minCosine = 0.99)
+      .select(col("id_a").as("train_id"), col("id_b").as("eval_id"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
+  val embeddingDecontaminateSql: String =
+    """WITH t AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |e AS (
+      |  SELECT vec_id + 200000 AS vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE vec_id < 20)
+      |SELECT t.vec_id AS train_id, e.vec_id AS eval_id
+      |FROM t, e
+      |WHERE list_cosine_similarity(t.emb, e.emb) >= 0.99
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
   // q50 — multimodal plumbing: payload → (stub) decode → feature stats.
   // ------------------------------------------------------------------
   // ------------------------------------------------------------------

@@ -248,13 +248,15 @@ object Similarity {
     * join. Vectors move exactly once, candidate-bounded, in
     * [[cosineOnCandidates]]'s gather, and the exact verify keeps output
     * precision at 1. */
-  def cosineNearDupsBanded(
-      corpus: DataFrame, minCosine: Double,
-      nBands: Int = 4, planesPerBand: Int = 12,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+  /** (band, key, id) triples for the banded hyperplane signature —
+    * the id-only screen side: the embedding is consumed by the
+    * signature expression and DROPPED before the explode/shuffle. */
+  private def bandKeyed(
+      df: DataFrame, idAs: String, nBands: Int, planesPerBand: Int,
+      idCol: String, embCol: String): DataFrame = {
     val bits = nBands * planesPerBand
     require(bits >= 1 && bits <= 63,
-      s"cosineNearDupsBanded: nBands*planesPerBand=$bits must be in [1,63]")
+      s"banded screen: nBands*planesPerBand=$bits must be in [1,63]")
     val sig = VectorFunctions.hyperplaneBucket(
       col(embCol).cast("array<double>"), bits)
     val bandKeys = array((0 until nBands).map { i =>
@@ -262,18 +264,51 @@ object Similarity {
         shiftright(col("sig"), i * planesPerBand)
           .bitwiseAND(lit((1L << planesPerBand) - 1)).as("key"))
     }: _*)
-    // id-only screen: the embedding is consumed by the signature
-    // expression and DROPPED before the explode/shuffle
-    val keyed = corpus
-      .select(col(idCol).as("id"), sig.as("sig"))
-      .select(col("id"), explode(bandKeys).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("id"))
-    val l = keyed.select(col("band"), col("key"), col("id").as("id_a"))
-    val r = keyed.select(col("band"), col("key"), col("id").as("id_b"))
+    df.select(col(idCol).as(idAs), sig.as("sig"))
+      .select(col(idAs), explode(bandKeys).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col(idAs))
+  }
+
+  def cosineNearDupsBanded(
+      corpus: DataFrame, minCosine: Double,
+      nBands: Int = 4, planesPerBand: Int = 12,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val l = bandKeyed(corpus, "id_a", nBands, planesPerBand, idCol, embCol)
+    val r = bandKeyed(corpus, "id_b", nBands, planesPerBand, idCol, embCol)
     val cands = l.join(r, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     cosineOnCandidates(corpus, cands, minCosine, idCol, embCol)
+  }
+
+  /** CROSS-corpus banded near-dup mining — the embedding-space
+    * decontamination shape: every `left` (train) vector within
+    * `minCosine` of some `right` (eval/heldout) vector, screened by the
+    * same id-only band join and verified with the exact cosine. Same
+    * recall math as [[cosineNearDupsBanded]] (exact copies collide with
+    * certainty); same scale shape (band exchange carries 3 longs/row,
+    * vectors gathered candidate-bounded per side). Output:
+    * (id_a = left id, id_b = right id, cosine >= minCosine). */
+  def crossCosineNearDupsBanded(
+      left: DataFrame, right: DataFrame, minCosine: Double,
+      nBands: Int = 4, planesPerBand: Int = 12,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val l = bandKeyed(left, "id_a", nBands, planesPerBand, idCol, embCol)
+    val r = bandKeyed(right, "id_b", nBands, planesPerBand, idCol, embCol)
+    val cands = l.join(r, Seq("band", "key")).select(col("id_a"), col("id_b"))
+    val pairs = graft.operators.LoopCache.finish(cands.distinct())
+    def gather(df: DataFrame, side: String, embAs: String): DataFrame = {
+      val touched = pairs.select(col(side).as("vn_id")).distinct()
+      df.join(broadcast(touched), col(idCol) === col("vn_id"), "left_semi")
+        .select(col(idCol).as(side),
+          col(embCol).cast("array<double>").as(embAs))
+    }
+    graft.operators.LoopCache.finish(pairs
+      .join(gather(left, "id_a", "emb_a"), Seq("id_a"))
+      .join(gather(right, "id_b", "emb_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorFunctions.cosineSimilarity(col("emb_a"), col("emb_b")).as("cosine"))
+      .filter(col("cosine") >= minCosine))
   }
 
   /** EXACT cosine pairs ≥ `minCosine` via the full upper-triangle cross
