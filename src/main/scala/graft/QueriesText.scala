@@ -869,15 +869,15 @@ object QueriesText {
       |       coalesce(t.top_bigram, '') AS top_bigram,
       |       coalesce(t.top_bigram_count, 0) AS top_bigram_count,
       |       CASE WHEN coalesce(t.top_bigram_count, 0) >= 2
-      |         THEN (1000 * t.top_bigram_count * CAST(length(t.top_bigram) AS BIGINT))
-      |              // b.n_chars
+      |         THEN least((1000 * t.top_bigram_count * CAST(length(t.top_bigram) AS BIGINT))
+      |              // b.n_chars, 1000)
       |         ELSE 0 END AS top_bigram_pml,
       |       least(coalesce((1000 * d.dup5_chars) // b.n_chars, 0), 1000)
       |         AS dup5_pml,
       |       ((1000 * (b.n_words - b.n_distinct)) // b.n_words > 300
       |        OR CASE WHEN coalesce(t.top_bigram_count, 0) >= 2
-      |             THEN (1000 * t.top_bigram_count * CAST(length(t.top_bigram) AS BIGINT))
-      |                  // b.n_chars
+      |             THEN least((1000 * t.top_bigram_count * CAST(length(t.top_bigram) AS BIGINT))
+      |                  // b.n_chars, 1000)
       |             ELSE 0 END > 180
       |        OR least(coalesce((1000 * d.dup5_chars) // b.n_chars, 0), 1000) > 150)
       |         AS repetitive

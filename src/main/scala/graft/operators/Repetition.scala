@@ -86,9 +86,14 @@ object Repetition {
         coalesce(col("top_bigram_count"), lit(0L)).as("top_bigram_count"),
         // a count-1 "top" gram is no repetition at all — without the
         // guard every 2-word doc's only bigram covers ~all chars and
-        // short docs get flagged for being short
+        // short docs get flagged for being short. Capped at 1000: the
+        // count·length coverage over-counts when sliding occurrences
+        // OVERLAP ("aa aa aa aa" → 3·5 chars claimed of 11), the same
+        // approximation the dup-5-gram tier caps (found by the
+        // PropertySpec invariant sweep).
         when(coalesce(col("top_bigram_count"), lit(0L)) >= 2,
-          expr("1000 * (top_bigram_count * length(top_bigram)) div n_chars"))
+          least(expr("1000 * (top_bigram_count * length(top_bigram)) div n_chars"),
+            lit(1000L)))
           .otherwise(0L).as("top_bigram_pml"),
         least(coalesce(expr("1000 * dup5_chars div n_chars"), lit(0L)),
           lit(1000L)).as("dup5_pml"))

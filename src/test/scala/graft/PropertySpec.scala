@@ -141,4 +141,38 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Repetition property: metric invariants ∀ random corpora") {
+    // invariants a scoring operator must never break, whatever the text:
+    //  - every pml in [0, 1000];
+    //  - dup_word_pml == 0 iff all words distinct;
+    //  - top_bigram_count >= 2 whenever top_bigram_pml > 0;
+    //  - a document repeated verbatim k>=2 times within itself maxes the
+    //    5-gram tier only when it has >= 5 words (shingle short-doc edge)
+    val docGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(1, 9).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "dd", "ee"))
+          .map(_.mkString(" "))))
+    samples(docGen, 6).zipWithIndex.foreach { case (texts, i) =>
+      val df = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      val rows = operators.Repetition.metrics(df, "doc_id", "text").collect()
+      assert(rows.length == texts.length, s"corpus $i dropped rows")
+      rows.foreach { r =>
+        val id = r.getAs[Long]("doc_id").toInt
+        val words = texts(id).split("\\s+").toSeq
+        for (c <- Seq("dup_word_pml", "top_bigram_pml", "dup5_pml")) {
+          val v = r.getAs[Long](c)
+          assert(v >= 0 && v <= 1000, s"corpus $i doc $id $c=$v")
+        }
+        assert((r.getAs[Long]("dup_word_pml") == 0L) ==
+          (words.distinct.size == words.size),
+          s"corpus $i doc $id: ${texts(id)}")
+        if (r.getAs[Long]("top_bigram_pml") > 0)
+          assert(r.getAs[Long]("top_bigram_count") >= 2L,
+            s"corpus $i doc $id: count-1 gram scored coverage")
+        assert(r.getAs[Long]("n_words") == words.size)
+      }
+    }
+  }
 }

@@ -409,6 +409,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(cond.indexOf("least") < cond.indexOf("levenshtein"), cond)
   }
 
+  test("repetition metrics plan: doc-keyed only, no product, no single-partition funnel") {
+    val plan = graft.operators.Repetition.metrics(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // every keyed exchange is (doc) or (doc, gram) — corpus-global state
+    // would show up as a SinglePartition exchange
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("cross-corpus banded screen: band exchange carries ids only") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.types.ArrayType
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val eval_ = emb.filter($"vec_id" < 20)
+      .select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+    val df = graft.operators.Similarity
+      .crossCosineNearDupsBanded(emb, eval_, minCosine = 0.99)
+    assert(df.count() == 20) // planted copies all recovered
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val direct = p.collect { case n => n }
+      direct ++ direct.flatMap {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case s: InMemoryTableScanExec => nodes(s.relation.cachedPlan)
+        case _ => Nil
+      }
+    }
+    val bandExchanges = nodes(df.queryExecution.sparkPlan).collect {
+      case e: Exchange if e.output.exists(_.name == "band") => e
+    }
+    assert(bandExchanges.nonEmpty, "expected a band-keyed exchange")
+    bandExchanges.foreach { e =>
+      val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"band exchange carries array payload ${arrays.map(_.name)}:\n$e")
+    }
+  }
+
   test("memory envelope ceilings: q121 and q56 run spill-free with bounded " +
       "per-task execution memory at sf0.01") {
     // regression pins on the two memory-heaviest dedup shapes (VERDICT
