@@ -65,8 +65,19 @@ object Graft {
     Similarity.cosineNearDups(corpus, minCosine)
   def cosineNearDupsBanded(corpus: DataFrame, minCosine: Double): DataFrame =
     Similarity.cosineNearDupsBanded(corpus, minCosine)
+  def crossCosineNearDups(left: DataFrame, right: DataFrame,
+      minCosine: Double): DataFrame =
+    Similarity.crossCosineNearDupsBanded(left, right, minCosine)
+  def fuzzyMatches(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame =
+    operators.FuzzyMatch.blockedPairs(df, idCol, textCol, maxDist = maxDist)
+  def fuzzyMatchesMultiPass(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int): DataFrame =
+    operators.FuzzyMatch.multiPassPairs(df, idCol, textCol, maxDist = maxDist)
 
   // --- text analysis ---
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    operators.Repetition.metrics(df, idCol, textCol)
   def langId(c: Column): Column = TextFunctions.langId(c)
   def qualityMetrics(c: Column): Column = TextFunctions.qualityMetrics(c)
   def tokenCountWs(c: Column): Column = TextFunctions.tokenCountWs(c)
@@ -123,6 +134,11 @@ object Graft {
   // --- embeddings / layout / stats utilities ---
   def quantizeInt8(df: DataFrame, embCol: String): DataFrame =
     Quantize.quantized(df, embCol)
+  def decodeMedia(payloads: DataFrame, codec: String = "stub"): DataFrame =
+    operators.Multimodal.decodeFeatures(payloads, codec = codec)
+  def resizeMedia(payloads: DataFrame, maxW: Int, maxH: Int,
+      codec: String = "stub"): DataFrame =
+    operators.Multimodal.resizeTo(payloads, maxW, maxH, codec)
   def zorderWrite(df: DataFrame, path: String, dimA: String, dimB: String,
       numFiles: Int): Unit =
     ZOrder.zorderWrite(df, path, dimA, dimB, numFiles)
