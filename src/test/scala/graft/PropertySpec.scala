@@ -142,6 +142,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("FuzzyMatch multipass property: superset of single pass, distances " +
+      "agree on common pairs, ∀ random corpora") {
+    val docGen = Gen.nonEmptyListOf(for {
+      opener <- Gen.oneOf("common opener block", "common opener brick",
+        "typo inside key!", "other start words")
+      tail <- Gen.listOfN(4, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    } yield s"$opener ${tail.mkString(" ")}")
+    samples(docGen, 6).zipWithIndex.foreach { case (texts, i) =>
+      val df = texts.zipWithIndex
+        .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "text")
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val single = pairs(operators.FuzzyMatch.blockedPairs(
+        df, "doc_id", "text", blockLen = 12, prefixLen = 64, maxDist = 25))
+      val multi = pairs(operators.FuzzyMatch.multiPassPairs(
+        df, "doc_id", "text", blockLen = 12, prefixLen = 64, maxDist = 25))
+      assert(single.keySet.subsetOf(multi.keySet),
+        s"corpus $i: multipass dropped ${single.keySet -- multi.keySet}")
+      single.foreach { case (k, d) =>
+        assert(multi(k) == d, s"corpus $i pair $k: single=$d multi=${multi(k)}")
+      }
+    }
+  }
+
   test("Repetition property: metric invariants ∀ random corpora") {
     // invariants a scoring operator must never break, whatever the text:
     //  - every pml in [0, 1000];
