@@ -508,6 +508,130 @@ object QueriesText {
       |ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // q142 — ingest-to-training funnel capstone: per source, how many
+  // documents each round-9 gate would remove — repetition filters
+  // (q140's flag), fuzzy-duplicate removal (non-canonical side of a
+  // multipass pair, q139), embedding decontamination (q141's planted
+  // eval set, doc_id ≡ vec_id), and the clean remainder. Gates are
+  // INDEPENDENT counts (a doc can trip several), n_clean counts docs
+  // tripping none — the report a pipeline owner reads before a
+  // training run. All counts integer, hash-exact.
+  // ------------------------------------------------------------------
+  def qualityFunnel2(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val rep = operators.Repetition.metrics(docs, "doc_id", "text")
+      .select(col("doc_id"), col("repetitive"))
+    val dupB = FuzzyMatch.multiPassPairs(docs, "doc_id", "text",
+        blockLen = 12, prefixLen = 64, maxDist = 5, shifts = Seq(0, 12))
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("fuzzy_dup", lit(true))
+    val train = Tables.embeddings(spark, sfDir)
+    val eval_ = train.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val cont = Similarity.crossCosineNearDupsBanded(train, eval_, 0.99)
+      .select(col("id_a").as("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    docs.select(col("doc_id"), col("source"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(dupB, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .select(col("source"),
+        coalesce(col("repetitive"), lit(false)).as("repetitive"),
+        coalesce(col("fuzzy_dup"), lit(false)).as("fuzzy_dup"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("repetitive")).as("n_repetitive"),
+        count_if(col("fuzzy_dup")).as("n_fuzzy_dup"),
+        count_if(col("contaminated")).as("n_contaminated"),
+        count_if(!col("repetitive") && !col("fuzzy_dup") &&
+          !col("contaminated")).as("n_clean"))
+      .orderBy(col("source"))
+  }
+
+  val qualityFunnel2Sql: String =
+    s"""WITH rn AS (
+      |  SELECT doc_id, ${normSql("text")} AS norm FROM documents
+      |  WHERE length(${normSql("text")}) > 0),
+      |rt AS (
+      |  SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+      |         string_split(norm, ' ') AS w FROM rn),
+      |rbase AS (
+      |  SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM rt),
+      |rg2 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
+      |    THEN list_transform(range(1, len(w)),
+      |      i -> array_to_string(w[i:i+1], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS g FROM rt),
+      |rc2 AS (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY 1, 2),
+      |rtop AS (
+      |  SELECT doc_id, g AS top_bigram, c AS top_bigram_count FROM (
+      |    SELECT doc_id, g, c, row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM rc2)
+      |  WHERE rn = 1),
+      |rg5 AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 5
+      |    THEN list_transform(range(1, len(w) - 3),
+      |      i -> array_to_string(w[i:i+4], ' '))
+      |    ELSE [array_to_string(w, ' ')] END) AS g FROM rt),
+      |rc5 AS (SELECT doc_id, g, count(*) AS c FROM rg5 GROUP BY 1, 2),
+      |rdup5 AS (
+      |  SELECT doc_id, sum(c * CAST(length(g) AS BIGINT)) AS dup5_chars
+      |  FROM rc5 WHERE c > 1 GROUP BY 1),
+      |repflag AS (
+      |  SELECT b.doc_id,
+      |         ((1000 * (b.n_words - b.n_distinct)) // b.n_words > 300
+      |          OR CASE WHEN coalesce(t.top_bigram_count, 0) >= 2
+      |               THEN least((1000 * t.top_bigram_count * CAST(length(t.top_bigram) AS BIGINT))
+      |                    // b.n_chars, 1000)
+      |               ELSE 0 END > 180
+      |          OR least(coalesce((1000 * d.dup5_chars) // b.n_chars, 0), 1000) > 150)
+      |           AS repetitive
+      |  FROM rbase b
+      |  LEFT JOIN rtop t USING (doc_id)
+      |  LEFT JOIN rdup5 d USING (doc_id)),
+      |fb0 AS (
+      |  SELECT doc_id, substring(norm, 1, 12) AS blk,
+      |         substring(norm, 1, 64) AS pfx FROM rn),
+      |fb1 AS (
+      |  SELECT doc_id, substring(norm, 13, 12) AS blk,
+      |         substring(norm, 1, 64) AS pfx FROM rn
+      |  WHERE length(norm) > 12),
+      |fdup AS (
+      |  SELECT DISTINCT id_b AS doc_id FROM (
+      |    SELECT y.doc_id AS id_b
+      |    FROM fb0 x JOIN fb0 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+      |    WHERE levenshtein(x.pfx, y.pfx) <= 5
+      |    UNION ALL
+      |    SELECT y.doc_id AS id_b
+      |    FROM fb1 x JOIN fb1 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+      |    WHERE levenshtein(x.pfx, y.pfx) <= 5)),
+      |et AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |ee AS (
+      |  SELECT vec_id + 200000 AS vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |  FROM embeddings WHERE vec_id < 20),
+      |econt AS (
+      |  SELECT DISTINCT t.vec_id AS doc_id
+      |  FROM et t, ee e
+      |  WHERE list_cosine_similarity(t.emb, e.emb) >= 0.99)
+      |SELECT d.source,
+      |       count(*) AS n_docs,
+      |       count(*) FILTER (WHERE coalesce(r.repetitive, FALSE)) AS n_repetitive,
+      |       count(*) FILTER (WHERE f.doc_id IS NOT NULL) AS n_fuzzy_dup,
+      |       count(*) FILTER (WHERE e.doc_id IS NOT NULL) AS n_contaminated,
+      |       count(*) FILTER (WHERE NOT coalesce(r.repetitive, FALSE)
+      |         AND f.doc_id IS NULL AND e.doc_id IS NULL) AS n_clean
+      |FROM documents d
+      |LEFT JOIN repflag r USING (doc_id)
+      |LEFT JOIN fdup f USING (doc_id)
+      |LEFT JOIN econt e USING (doc_id)
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
+  // ------------------------------------------------------------------
   // q50 — multimodal plumbing: payload → (stub) decode → feature stats.
   // ------------------------------------------------------------------
   // ------------------------------------------------------------------
