@@ -54,8 +54,11 @@ object Repetition {
         size(array_distinct(col("w"))).cast("long").as("n_distinct"))
 
     // (doc, gram) counts for one shingle width — partial agg before the
-    // doc-keyed shuffle; gram char length rides the group key
+    // doc-keyed shuffle; gram char length rides the group key. The
+    // empty-norm filter matches `base` so no gram work is done for docs
+    // the output drops anyway.
     def gramCounts(n: Int) = df
+      .filter(length(TextFunctions.normalizeText(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("doc_id"),
         explode(Dedup.shingleArray(col(textCol), n)).as("g"))
       .groupBy(col("doc_id"), col("g"))
