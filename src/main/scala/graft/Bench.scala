@@ -119,10 +119,13 @@ object Bench {
 
     // ---- pass A (cold): chunked, sentinel-audited, NO retries — a
     // retry would run against warm caches and stop being a cold
-    // measurement; a contended span shows up in the sentinel series
+    // measurement. A drifted close therefore SETS the contended flag
+    // directly (the cold tier cannot be re-measured honestly, so the
+    // artifact must say so rather than certify a load-poisoned cold
+    // total with contended:false).
     val passA: Seq[(String, Double)] = qs.grouped(SentinelChunk).flatMap { chunk =>
       val times = chunk.map(q => q.name -> timeQuery(q))
-      probe()
+      if (probe() > sentinelBase * SentinelDriftMax) contended = true
       times
     }.toSeq
     // NOTE: no clearCache between queries — CacheManager matches

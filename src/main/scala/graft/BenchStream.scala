@@ -84,14 +84,19 @@ object BenchStream {
       if (statePartitions > 0)
         spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
       val t0 = System.nanoTime()
-      val q = pipe(source(dir, mft)).writeStream
-        .format("noop")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      // finally-restore: a tier that throws must not leave the session's
+      // shuffle/state partitioning overridden for every later tier
+      val q =
+        try {
+          val started = pipe(source(dir, mft)).writeStream
+            .format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt.toString)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          started.awaitTermination()
+          started
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val sec = (System.nanoTime() - t0) / 1e9
       val progress = q.recentProgress.toSeq
       val rows = progress.map(_.numInputRows).sum

@@ -477,6 +477,83 @@ object QueriesText {
       |  AND list_cosine_similarity(a.emb, b.emb) >= 0.99
       |ORDER BY 1, 2""".stripMargin
 
+  // ---- shared DuckDB fragments: repetition + fuzzy oracle families ----
+  // One definition per contract, composed by q139/q140/q142 (a one-sided
+  // edit to a duplicated oracle string is how a capstone drifts from its
+  // component queries silently).
+
+  /** `${p}n(doc_id, norm)` — nonempty normalized text. */
+  private def normCteSql(p: String): String =
+    s"""${p}n AS (
+       |  SELECT doc_id, ${normSql("text")} AS norm FROM documents
+       |  WHERE length(${normSql("text")}) > 0)""".stripMargin
+
+  /** Repetition-metric CTE chain reading `${p}n`, ending in
+    * `${p}base` / `${p}top` / `${p}dup5` (gram CTEs mirror
+    * shingleArray's short-doc contract). */
+  private def repetitionCtesSql(p: String): String = {
+    def gramCte(name: String, n: Int): String =
+      s"""$name AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) >= $n
+         |    THEN list_transform(range(1, len(w) - ${n - 2}),
+         |      i -> array_to_string(w[i:i+${n - 1}], ' '))
+         |    ELSE [array_to_string(w, ' ')] END) AS g FROM ${p}t)""".stripMargin
+    s"""${p}t AS (
+       |  SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
+       |         string_split(norm, ' ') AS w FROM ${p}n),
+       |${p}base AS (
+       |  SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_words,
+       |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM ${p}t),
+       |${gramCte(s"${p}g2", 2)},
+       |${p}c2 AS (SELECT doc_id, g, count(*) AS c FROM ${p}g2 GROUP BY 1, 2),
+       |${p}top AS (
+       |  SELECT doc_id, g AS top_bigram, c AS top_bigram_count FROM (
+       |    SELECT doc_id, g, c, row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM ${p}c2)
+       |  WHERE rn = 1),
+       |${gramCte(s"${p}g5", 5)},
+       |${p}c5 AS (SELECT doc_id, g, count(*) AS c FROM ${p}g5 GROUP BY 1, 2),
+       |${p}dup5 AS (
+       |  SELECT doc_id, sum(c * CAST(length(g) AS BIGINT)) AS dup5_chars
+       |  FROM ${p}c5 WHERE c > 1 GROUP BY 1)""".stripMargin
+  }
+
+  /** Per-mille metric expressions over aliases of base/top/dup5. */
+  private def dupWordPmlSql(b: String): String =
+    s"(1000 * ($b.n_words - $b.n_distinct)) // $b.n_words"
+  private def topBigramPmlSql(t: String, b: String): String =
+    s"""CASE WHEN coalesce($t.top_bigram_count, 0) >= 2
+       |         THEN least((1000 * $t.top_bigram_count * CAST(length($t.top_bigram) AS BIGINT))
+       |              // $b.n_chars, 1000)
+       |         ELSE 0 END""".stripMargin
+  private def dup5PmlSql(d: String, b: String): String =
+    s"least(coalesce((1000 * $d.dup5_chars) // $b.n_chars, 0), 1000)"
+  private def repetitiveSql(b: String, t: String, d: String): String =
+    s"""(${dupWordPmlSql(b)} > 300
+       |        OR ${topBigramPmlSql(t, b)} > 180
+       |        OR ${dup5PmlSql(d, b)} > 150)""".stripMargin
+
+  /** Fuzzy blocking passes reading `${p}n`: `${p}p0`/`${p}p1` are the
+    * verified pair sets of the unshifted and shift-12 passes. */
+  private def fuzzyPassCtesSql(p: String): String =
+    s"""${p}b0 AS (
+       |  SELECT doc_id, substring(norm, 1, 12) AS blk,
+       |         substring(norm, 1, 64) AS pfx FROM ${p}n),
+       |${p}b1 AS (
+       |  SELECT doc_id, substring(norm, 13, 12) AS blk,
+       |         substring(norm, 1, 64) AS pfx FROM ${p}n
+       |  WHERE length(norm) > 12),
+       |${p}p0 AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |         CAST(levenshtein(x.pfx, y.pfx) AS INT) AS edit_distance
+       |  FROM ${p}b0 x JOIN ${p}b0 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |  WHERE levenshtein(x.pfx, y.pfx) <= 5),
+       |${p}p1 AS (
+       |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+       |         CAST(levenshtein(x.pfx, y.pfx) AS INT) AS edit_distance
+       |  FROM ${p}b1 x JOIN ${p}b1 y ON x.blk = y.blk AND x.doc_id < y.doc_id
+       |  WHERE levenshtein(x.pfx, y.pfx) <= 5)""".stripMargin
+
   // ------------------------------------------------------------------
   // q141 — EMBEDDING-space decontamination (the cosine counterpart of
   // q76's n-gram tier): train vectors within 0.99 cosine of an eval
@@ -522,7 +599,7 @@ object QueriesText {
     val rep = operators.Repetition.metrics(docs, "doc_id", "text")
       .select(col("doc_id"), col("repetitive"))
     val dupB = FuzzyMatch.multiPassPairs(docs, "doc_id", "text",
-        blockLen = 12, prefixLen = 64, maxDist = 5, shifts = Seq(0, 12))
+        blockLen = 12, prefixLen = 64, maxDist = 5, shiftsOpt = Seq(0, 12))
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("fuzzy_dup", lit(true))
     val train = Tables.embeddings(spark, sfDir)
@@ -551,63 +628,19 @@ object QueriesText {
   }
 
   val qualityFunnel2Sql: String =
-    s"""WITH rn AS (
-      |  SELECT doc_id, ${normSql("text")} AS norm FROM documents
-      |  WHERE length(${normSql("text")}) > 0),
-      |rt AS (
-      |  SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
-      |         string_split(norm, ' ') AS w FROM rn),
-      |rbase AS (
-      |  SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_words,
-      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM rt),
-      |rg2 AS (
-      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 2
-      |    THEN list_transform(range(1, len(w)),
-      |      i -> array_to_string(w[i:i+1], ' '))
-      |    ELSE [array_to_string(w, ' ')] END) AS g FROM rt),
-      |rc2 AS (SELECT doc_id, g, count(*) AS c FROM rg2 GROUP BY 1, 2),
-      |rtop AS (
-      |  SELECT doc_id, g AS top_bigram, c AS top_bigram_count FROM (
-      |    SELECT doc_id, g, c, row_number() OVER (
-      |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM rc2)
-      |  WHERE rn = 1),
-      |rg5 AS (
-      |  SELECT doc_id, unnest(CASE WHEN len(w) >= 5
-      |    THEN list_transform(range(1, len(w) - 3),
-      |      i -> array_to_string(w[i:i+4], ' '))
-      |    ELSE [array_to_string(w, ' ')] END) AS g FROM rt),
-      |rc5 AS (SELECT doc_id, g, count(*) AS c FROM rg5 GROUP BY 1, 2),
-      |rdup5 AS (
-      |  SELECT doc_id, sum(c * CAST(length(g) AS BIGINT)) AS dup5_chars
-      |  FROM rc5 WHERE c > 1 GROUP BY 1),
+    s"""WITH ${normCteSql("r")},
+      |${repetitionCtesSql("r")},
       |repflag AS (
       |  SELECT b.doc_id,
-      |         ((1000 * (b.n_words - b.n_distinct)) // b.n_words > 300
-      |          OR CASE WHEN coalesce(t.top_bigram_count, 0) >= 2
-      |               THEN least((1000 * t.top_bigram_count * CAST(length(t.top_bigram) AS BIGINT))
-      |                    // b.n_chars, 1000)
-      |               ELSE 0 END > 180
-      |          OR least(coalesce((1000 * d.dup5_chars) // b.n_chars, 0), 1000) > 150)
+      |         ${repetitiveSql("b", "t", "d")}
       |           AS repetitive
       |  FROM rbase b
       |  LEFT JOIN rtop t USING (doc_id)
       |  LEFT JOIN rdup5 d USING (doc_id)),
-      |fb0 AS (
-      |  SELECT doc_id, substring(norm, 1, 12) AS blk,
-      |         substring(norm, 1, 64) AS pfx FROM rn),
-      |fb1 AS (
-      |  SELECT doc_id, substring(norm, 13, 12) AS blk,
-      |         substring(norm, 1, 64) AS pfx FROM rn
-      |  WHERE length(norm) > 12),
+      |${fuzzyPassCtesSql("r")},
       |fdup AS (
       |  SELECT DISTINCT id_b AS doc_id FROM (
-      |    SELECT y.doc_id AS id_b
-      |    FROM fb0 x JOIN fb0 y ON x.blk = y.blk AND x.doc_id < y.doc_id
-      |    WHERE levenshtein(x.pfx, y.pfx) <= 5
-      |    UNION ALL
-      |    SELECT y.doc_id AS id_b
-      |    FROM fb1 x JOIN fb1 y ON x.blk = y.blk AND x.doc_id < y.doc_id
-      |    WHERE levenshtein(x.pfx, y.pfx) <= 5)),
+      |    SELECT id_b FROM rp0 UNION ALL SELECT id_b FROM rp1)),
       |et AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
       |ee AS (
@@ -918,30 +951,12 @@ object QueriesText {
   def fuzzyMultipass(spark: SparkSession, sfDir: String): DataFrame =
     FuzzyMatch.multiPassPairs(Tables.documents(spark, sfDir), "doc_id",
         "text", blockLen = 12, prefixLen = 64, maxDist = 5,
-        shifts = Seq(0, 12))
+        shiftsOpt = Seq(0, 12))
       .orderBy(col("id_a"), col("id_b"))
 
   val fuzzyMultipassSql: String =
-    s"""WITH n AS (
-      |  SELECT doc_id, ${normSql("text")} AS norm FROM documents),
-      |b0 AS (
-      |  SELECT doc_id, substring(norm, 1, 12) AS blk,
-      |         substring(norm, 1, 64) AS pfx
-      |  FROM n WHERE length(norm) > 0),
-      |b1 AS (
-      |  SELECT doc_id, substring(norm, 13, 12) AS blk,
-      |         substring(norm, 1, 64) AS pfx
-      |  FROM n WHERE length(norm) > 12),
-      |p0 AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-      |         CAST(levenshtein(x.pfx, y.pfx) AS INT) AS edit_distance
-      |  FROM b0 x JOIN b0 y ON x.blk = y.blk AND x.doc_id < y.doc_id
-      |  WHERE levenshtein(x.pfx, y.pfx) <= 5),
-      |p1 AS (
-      |  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-      |         CAST(levenshtein(x.pfx, y.pfx) AS INT) AS edit_distance
-      |  FROM b1 x JOIN b1 y ON x.blk = y.blk AND x.doc_id < y.doc_id
-      |  WHERE levenshtein(x.pfx, y.pfx) <= 5)
+    s"""WITH ${normCteSql("")},
+      |${fuzzyPassCtesSql("")}
       |SELECT id_a, id_b, min(edit_distance) AS edit_distance
       |FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
       |GROUP BY id_a, id_b
@@ -959,57 +974,20 @@ object QueriesText {
     operators.Repetition.metrics(Tables.documents(spark, sfDir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  val repetitionFilterSql: String = {
-    def gramCte(name: String, n: Int): String =
-      s"""$name AS (
-         |  SELECT doc_id, unnest(CASE WHEN len(w) >= $n
-         |    THEN list_transform(range(1, len(w) - ${n - 2}),
-         |      i -> array_to_string(w[i:i+${n - 1}], ' '))
-         |    ELSE [array_to_string(w, ' ')] END) AS g FROM t)"""
-        .stripMargin
-    s"""WITH n AS (
-      |  SELECT doc_id, ${normSql("text")} AS norm FROM documents
-      |  WHERE length(${normSql("text")}) > 0),
-      |t AS (
-      |  SELECT doc_id, CAST(length(norm) AS BIGINT) AS n_chars,
-      |         string_split(norm, ' ') AS w FROM n),
-      |base AS (
-      |  SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_words,
-      |         CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct FROM t),
-      |${gramCte("g2", 2)},
-      |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
-      |top AS (
-      |  SELECT doc_id, g AS top_bigram, c AS top_bigram_count FROM (
-      |    SELECT doc_id, g, c, row_number() OVER (
-      |      PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM c2)
-      |  WHERE rn = 1),
-      |${gramCte("g5", 5)},
-      |c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
-      |dup5 AS (
-      |  SELECT doc_id, sum(c * CAST(length(g) AS BIGINT)) AS dup5_chars
-      |  FROM c5 WHERE c > 1 GROUP BY 1)
+  val repetitionFilterSql: String =
+    s"""WITH ${normCteSql("")},
+      |${repetitionCtesSql("")}
       |SELECT b.doc_id, b.n_words, b.n_chars,
-      |       (1000 * (b.n_words - b.n_distinct)) // b.n_words AS dup_word_pml,
+      |       ${dupWordPmlSql("b")} AS dup_word_pml,
       |       coalesce(t.top_bigram, '') AS top_bigram,
       |       coalesce(t.top_bigram_count, 0) AS top_bigram_count,
-      |       CASE WHEN coalesce(t.top_bigram_count, 0) >= 2
-      |         THEN least((1000 * t.top_bigram_count * CAST(length(t.top_bigram) AS BIGINT))
-      |              // b.n_chars, 1000)
-      |         ELSE 0 END AS top_bigram_pml,
-      |       least(coalesce((1000 * d.dup5_chars) // b.n_chars, 0), 1000)
-      |         AS dup5_pml,
-      |       ((1000 * (b.n_words - b.n_distinct)) // b.n_words > 300
-      |        OR CASE WHEN coalesce(t.top_bigram_count, 0) >= 2
-      |             THEN least((1000 * t.top_bigram_count * CAST(length(t.top_bigram) AS BIGINT))
-      |                  // b.n_chars, 1000)
-      |             ELSE 0 END > 180
-      |        OR least(coalesce((1000 * d.dup5_chars) // b.n_chars, 0), 1000) > 150)
-      |         AS repetitive
+      |       ${topBigramPmlSql("t", "b")} AS top_bigram_pml,
+      |       ${dup5PmlSql("d", "b")} AS dup5_pml,
+      |       ${repetitiveSql("b", "t", "d")} AS repetitive
       |FROM base b
       |LEFT JOIN top t USING (doc_id)
       |LEFT JOIN dup5 d USING (doc_id)
       |ORDER BY b.doc_id""".stripMargin
-  }
 
   // ------------------------------------------------------------------
   // q124 — exact set-similarity self-join via rare-first prefix

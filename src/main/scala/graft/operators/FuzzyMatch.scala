@@ -134,9 +134,14 @@ object FuzzyMatch {
     * `shifts.size` bounded joins — linear, never quadratic. */
   def multiPassPairs(df: DataFrame, idCol: String, textCol: String,
       blockLen: Int = 12, prefixLen: Int = 64, maxDist: Int = 5,
-      saltGroups: Int = 8, shifts: Seq[Int] = Seq(0, 12)): DataFrame = {
-    require(shifts.nonEmpty && shifts.distinct.size == shifts.size,
-      s"shifts $shifts must be non-empty and distinct")
+      saltGroups: Int = 8, shiftsOpt: Seq[Int] = Nil): DataFrame = {
+    // the default derives from blockLen so the two key regions never
+    // overlap — a hardcoded Seq(0, 12) with blockLen > 12 would leave
+    // chars 13..blockLen inside BOTH keys, and one edit there hides a
+    // pair from both passes
+    val shifts = if (shiftsOpt.isEmpty) Seq(0, blockLen) else shiftsOpt
+    require(shifts.distinct.size == shifts.size,
+      s"shifts $shifts must be distinct")
     shifts.map(sh => blockedPairsAt(
         df, idCol, textCol, blockLen, prefixLen, maxDist, saltGroups, sh))
       .reduce(_ unionByName _)

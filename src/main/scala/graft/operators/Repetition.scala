@@ -42,10 +42,17 @@ object Repetition {
     * top_bigram_count, top_bigram_pml, dup5_pml, repetitive).
     * Documents whose normalized text is empty are dropped (no signal). */
   def metrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = TextFunctions.normalizeText(col(textCol))
-    val base = df
-      .select(col(idCol).cast("long").as("doc_id"), norm.as("norm"))
+    // normalize ONCE per branch: every downstream expression (word
+    // stats, both shingle widths) reads the projected `norm` column
+    // instead of re-running the regex normalization inside its own
+    // subtree — Catalyst does not share subexpressions across a Filter
+    // and the Projects below it, so inlining normalizeText at each use
+    // would pay the regex 2x per gram branch
+    val normed = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.normalizeText(col(textCol)).as("norm"))
       .filter(length(col("norm")) > 0)
+    val base = normed
       .select(col("doc_id"), col("norm"),
         split(col("norm"), " ").as("w"),
         length(col("norm")).cast("long").as("n_chars"))
@@ -54,13 +61,13 @@ object Repetition {
         size(array_distinct(col("w"))).cast("long").as("n_distinct"))
 
     // (doc, gram) counts for one shingle width — partial agg before the
-    // doc-keyed shuffle; gram char length rides the group key. The
-    // empty-norm filter matches `base` so no gram work is done for docs
-    // the output drops anyway.
-    def gramCounts(n: Int) = df
-      .filter(length(TextFunctions.normalizeText(col(textCol))) > 0)
-      .select(col(idCol).cast("long").as("doc_id"),
-        explode(Dedup.shingleArray(col(textCol), n)).as("g"))
+    // doc-keyed shuffle; gram char length rides the group key. Shingles
+    // come from the already-normalized tokens (same tokenization as
+    // Dedup.shingleArray: split(normalizeText, " ")).
+    def gramCounts(n: Int) = normed
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleArrayExpression.shingles(
+          split(col("norm"), " "), n)).as("g"))
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("c"))
 

@@ -181,7 +181,12 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     // pin the candidate plan: it is referenced three times below (both
     // arms of the touched-id union + the output pair join) and without a
-    // pin each reference re-executes the whole upstream screen
+    // pin each reference re-executes the whole upstream screen. The pin
+    // is deliberately KEPT live (not released as an anchor of the outer
+    // finish) so a warm re-invocation at a different threshold reuses
+    // the screen — the same two-pin policy as
+    // Dedup.shingleJaccardOnCandidates; both entries are screen-sized
+    // (bounded by the candidate population), not corpus-sized.
     val pairs = graft.operators.LoopCache.finish(
       candidates.select(col("id_a"), col("id_b")).distinct())
     val touched = pairs.select(col("id_a").as("vn_id"))

@@ -101,12 +101,16 @@ object HttpFetch {
     var attemptMs = 0.0 // latency of the final attempt alone (no backoff)
     var done = false
     while (!done) {
-      val a0 = System.nanoTime()
+      // elapsedMs times the SEND alone — throttle queueing/pacing waits
+      // are excluded (the documented per-request contract: server
+      // latency, not politeness delay); totalMs still covers everything
       last =
-        try Right(HostThrottle.throttled(url, cfg)(
-          client.send(req, HttpResponse.BodyHandlers.ofString())))
+        try Right(HostThrottle.throttled(url, cfg) {
+          val a0 = System.nanoTime()
+          try client.send(req, HttpResponse.BodyHandlers.ofString())
+          finally attemptMs = (System.nanoTime() - a0) / 1e6
+        })
         catch { case e: java.io.IOException => Left(e) }
-      attemptMs = (System.nanoTime() - a0) / 1e6
       val retryable = last match {
         case Left(_) => true
         // 403 per the reference; 429/503 are the standard transient
@@ -169,7 +173,7 @@ object HttpFetch {
   * cluster-global target). State is keyed by authority, so two stub
   * servers on different ports never throttle each other. */
 private[graft] object HostThrottle {
-  private final class State(maxInFlight: Int) {
+  private final class State(val maxInFlight: Int) {
     val sem: java.util.concurrent.Semaphore =
       if (maxInFlight > 0) new java.util.concurrent.Semaphore(maxInFlight)
       else null
@@ -181,10 +185,21 @@ private[graft] object HostThrottle {
   private val states =
     new java.util.concurrent.ConcurrentHashMap[String, State]()
 
+  // authorities whose later reads asked for a DIFFERENT maxInFlight than
+  // the cached first-seen semaphore — warned once, loudly, instead of
+  // silently ignoring the new limit for the JVM's lifetime
+  private val limitMismatchWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   def throttled[T](url: String, cfg: HttpFetch.Config)(f: => T): T = {
     if (cfg.maxRequestsPerSecond <= 0 && cfg.maxInFlight <= 0) return f
     val auth = Option(URI.create(url).getAuthority).getOrElse(url)
     val st = states.computeIfAbsent(auth, _ => new State(cfg.maxInFlight))
+    if (st.maxInFlight != cfg.maxInFlight && limitMismatchWarned.add(auth))
+      System.err.println(
+        s"[http] WARNING: $auth already throttled with maxInFlight=" +
+          s"${st.maxInFlight}; this read's maxInFlight=${cfg.maxInFlight} " +
+          "is IGNORED (first-seen limit wins per authority per JVM)")
     if (st.sem != null) st.sem.acquire()
     try {
       if (cfg.maxRequestsPerSecond > 0) {

@@ -107,7 +107,7 @@ class Wave6Spec extends AnyFunSuite {
     // for the dog→cat doc). All single-pass pairs survive unchanged.
     val multi = operators.FuzzyMatch
       .multiPassPairs(docs, "doc_id", "text", blockLen = 12,
-        prefixLen = 64, maxDist = 5, shifts = Seq(0, 12))
+        prefixLen = 64, maxDist = 5, shiftsOpt = Seq(0, 12))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(multi == got ++ Map(
       (1L, 3L) -> 2, (2L, 3L) -> 5, (3L, 5L) -> 2), multi.toString)

@@ -32,9 +32,26 @@ def same(x, y):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = {a.split("=")[0].lstrip("-"): a.split("=", 1)[1]
-            for a in sys.argv[1:] if a.startswith("--") and "=" in a}
+    # accept BOTH --opt=value and --opt value (the docstring advertises
+    # the space form; silently dropping it would run every oracle with
+    # the default timeout)
+    args, opts = [], {}
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a.lstrip("-").split("=", 1)
+            elif i + 1 < len(argv):
+                k, v = a.lstrip("-"), argv[i + 1]
+                i += 1
+            else:
+                raise SystemExit(f"option {a} needs a value")
+            opts[k] = v
+        else:
+            args.append(a)
+        i += 1
     sf_dir, out_dir, json_out = args[0], args[1], args[2]
     timeout = float(opts.get("timeout", 300))
     only = set(opts["only"].split(",")) if "only" in opts else None
