@@ -527,7 +527,10 @@ object QueriesText {
        |              // $b.n_chars, 1000)
        |         ELSE 0 END""".stripMargin
   private def dup5PmlSql(d: String, b: String): String =
-    s"least(coalesce((1000 * $d.dup5_chars) // $b.n_chars, 0), 1000)"
+    // CAST: DuckDB sum() yields HUGEINT and // keeps it, so without the
+    // cast the output column hashes as HUGEINT vs the Spark plan's
+    // BIGINT even though every value is equal (r9's one red row).
+    s"CAST(least(coalesce((1000 * $d.dup5_chars) // $b.n_chars, 0), 1000) AS BIGINT)"
   private def repetitiveSql(b: String, t: String, d: String): String =
     s"""(${dupWordPmlSql(b)} > 300
        |        OR ${topBigramPmlSql(t, b)} > 180

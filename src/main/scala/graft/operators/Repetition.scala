@@ -40,8 +40,22 @@ object Repetition {
   /** Per-document repetition metrics + flag:
     * (idCol, n_words, n_chars, dup_word_pml, top_bigram,
     * top_bigram_count, top_bigram_pml, dup5_pml, repetitive).
-    * Documents whose normalized text is empty are dropped (no signal). */
-  def metrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * Documents whose normalized text is empty are dropped (no signal).
+    *
+    * `hashGrams` (default, the production tier) rides every gram shuffle
+    * on FIXED-WIDTH `(xxhash64(gram), length(gram))` instead of the gram
+    * string — 5-gram strings average ~6x a word and dominated q140's
+    * shuffle bytes (VERDICT r9). The dup5 metric needs only count·length,
+    * so hashing is free there; the top-bigram STRING is recovered by a
+    * bounded join-back: collect the (few, usually 1) max-count hashes per
+    * doc, join them to the doc's own text on doc_id, and re-derive the
+    * lexicographically smallest matching gram map-side — identical
+    * tie-break semantics to the string tier, modulo 64-bit collisions
+    * inside one document's gram set (~1e-13/doc; RepetitionSpec pins
+    * hashed ≡ string on the real corpus). `hashGrams=false` keeps the
+    * all-strings plan for that equivalence spec. */
+  def metrics(df: DataFrame, idCol: String, textCol: String,
+      hashGrams: Boolean = true): DataFrame = {
     // normalize ONCE per branch: every downstream expression (word
     // stats, both shingle widths) reads the projected `norm` column
     // instead of re-running the regex normalization inside its own
@@ -60,35 +74,76 @@ object Repetition {
         size(col("w")).cast("long").as("n_words"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct"))
 
-    // (doc, gram) counts for one shingle width — partial agg before the
-    // doc-keyed shuffle; gram char length rides the group key. Shingles
-    // come from the already-normalized tokens (same tokenization as
-    // Dedup.shingleArray: split(normalizeText, " ")).
-    def gramCounts(n: Int) = normed
+    // exploded grams for one shingle width (same tokenization as
+    // Dedup.shingleArray: split(normalizeText, " "))
+    def grams(n: Int) = normed
       .select(col("doc_id"),
         explode(graft.functions.ShingleArrayExpression.shingles(
           split(col("norm"), " "), n)).as("g"))
-      .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("c"))
+    // (doc, gram) counts — partial agg before the doc-keyed shuffle; in
+    // the hashed tier the string is dropped BEFORE the exchange and only
+    // (gh, glen) ride the wire
+    def gramCounts(n: Int) = {
+      val keyed =
+        if (hashGrams)
+          grams(n).select(col("doc_id"), xxhash64(col("g")).as("gh"),
+            length(col("g")).cast("long").as("glen"))
+        else
+          grams(n).select(col("doc_id"), col("g").as("gh"),
+            length(col("g")).cast("long").as("glen"))
+      keyed.groupBy(col("doc_id"), col("gh"), col("glen"))
+        .agg(count(lit(1)).as("c"))
+    }
 
-    // most frequent 2-gram, ties to the smallest gram: min over
-    // (-count, gram) — deterministic cross-engine
-    val topBigram = gramCounts(2)
-      .groupBy(col("doc_id"))
-      .agg(min(struct((-col("c")).as("negc"), col("g"))).as("t"))
-      .select(col("doc_id"), col("t.g").as("top_bigram"),
-        (-col("t.negc")).as("top_bigram_count"))
+    // most frequent 2-gram, ties to the lexicographically smallest gram.
+    // String tier: min over (-count, gram) directly. Hashed tier: find
+    // the max count, collect the tied hashes (bounded: ties only — one
+    // hash per doc in the common case), and resolve the winning STRING
+    // later against base's own `norm` column (already present in the
+    // final doc-keyed join) — the same tie-break without ever putting a
+    // gram string on the wire. The hashed branch emits (doc_id, ghs,
+    // top_bigram_count); the string branch emits the resolved string.
+    val counts2 = gramCounts(2)
+    val topBigram = if (!hashGrams) {
+      counts2
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("c")).as("negc"), col("gh").as("g"))).as("t"))
+        .select(col("doc_id"), col("t.g").as("top_bigram"),
+          (-col("t.negc")).as("top_bigram_count"))
+    } else {
+      val cmax = counts2.groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bigram_count"))
+      counts2.join(cmax, Seq("doc_id"))
+        .filter(col("c") === col("top_bigram_count"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("gh")).as("ghs"),
+          max(col("top_bigram_count")).as("top_bigram_count"))
+    }
 
     // characters covered by duplicated 5-grams (count·length, no
-    // overlap merge — documented approximation, capped later)
+    // overlap merge — documented approximation, capped later); needs
+    // only count and length, so the hashed tier pays nothing here
     val dup5 = gramCounts(5)
       .filter(col("c") > 1)
       .groupBy(col("doc_id"))
-      .agg(sum(col("c") * length(col("g")).cast("long")).as("dup5_chars"))
+      .agg(sum(col("c") * col("glen")).as("dup5_chars"))
 
-    base
+    val joined = base
       .join(topBigram, Seq("doc_id"), "left")
       .join(dup5, Seq("doc_id"), "left")
+    val resolved =
+      if (!hashGrams) joined
+      else joined.withColumn("top_bigram",
+        // map-side string recovery: smallest of the doc's own 2-grams
+        // whose hash is in the candidate set (ghs is never null here —
+        // every normed doc has >= 1 gram under the short-doc contract —
+        // but a null lambda result just drops the element, so a miss
+        // degrades to NULL -> '' like the string tier's left-join miss)
+        array_min(filter(
+          graft.functions.ShingleArrayExpression.shingles(
+            split(col("norm"), " "), 2),
+          x => array_contains(col("ghs"), xxhash64(x)))))
+    resolved
       .select(
         col("doc_id"), col("n_words"), col("n_chars"),
         expr("1000 * (n_words - n_distinct) div n_words").as("dup_word_pml"),

@@ -420,6 +420,37 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
+  test("repetition metrics: gram exchanges carry fixed-width hashes, " +
+      "never gram strings") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.StringType
+    // the (doc, gram) shuffles were q140's dominant cost when they keyed
+    // on raw 5-gram strings (VERDICT r9 #3); the production tier must
+    // keep them at 3 longs/row
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val direct = p.collect { case n => n }
+      direct ++ direct.flatMap {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case q: QueryStageExec => nodes(q.plan)
+        case _ => Nil
+      }
+    }
+    val plan = graft.operators.Repetition.metrics(
+        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+      .queryExecution.executedPlan
+    val gramEx = nodes(plan).collect {
+      case e: Exchange if e.output.exists(_.name == "gh") => e
+    }
+    assert(gramEx.nonEmpty, plan.toString)
+    gramEx.foreach { e =>
+      val strs = e.output.filter(_.dataType == StringType)
+      assert(strs.isEmpty,
+        s"gram exchange carries string payload ${strs.map(_.name)}:\n$e")
+    }
+  }
+
   test("cross-corpus banded screen: band exchange carries ids only") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
