@@ -27,30 +27,37 @@ object QueriesGraph {
   }
 
   val copurchasePagerankSql: String = {
+    // MATERIALIZED on every CTE: without the hint DuckDB re-inlines the
+    // multi-referenced iteration chain and the sf1 oracle exceeds the
+    // 600 s gate timeout; with it the same statement runs in ~130 s
+    // (VERDICT r9 #7 — closes the sf1 component-check gap)
     val base =
-      """WITH edges AS (
+      """WITH edges AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
-        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-        |init AS (SELECT CAST(least(1000000000000,
+        |deg AS MATERIALIZED (
+        |  SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        |nodes AS MATERIALIZED (
+        |  SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |init AS MATERIALIZED (SELECT CAST(least(1000000000000,
         |  ((9223372036854775807 // 85 // greatest(count(*), 1)) // 100) * 100)
         |  AS BIGINT) AS tok FROM nodes),
-        |r0 AS (SELECT id, (SELECT tok FROM init) AS r FROM nodes)""".stripMargin
+        |r0 AS MATERIALIZED (
+        |  SELECT id, (SELECT tok FROM init) AS r FROM nodes)""".stripMargin
     // one CTE pair per exact iteration: per-target token sums (BIGINT,
     // order-invariant) + teleport re-base; `//` truncates toward zero
     // exactly like Spark's `div`. `init` replays PageRank.autoInitTokens
     // (largest dampDen-multiple with nodes·init·85 < 2^63, capped 10^12)
     // so the oracle derives the same token scale at ANY data scale.
     val iters = (1 to 5).map { i =>
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT e.dst AS id,
          |         CAST(sum((r.r * 85) // (100 * d.outdeg)) AS BIGINT) AS contrib
          |  FROM edges e JOIN r${i - 1} r ON e.src = r.id
          |               JOIN deg d ON e.src = d.src
          |  GROUP BY e.dst),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT n.id, CAST((SELECT (tok // 100) * 15 FROM init)
          |    + coalesce(c.contrib, 0) AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN c$i c USING (id))""".stripMargin
@@ -701,23 +708,26 @@ object QueriesGraph {
   }
 
   val hitsScoresSql: String = {
+    // MATERIALIZED: same sf1-timeout fix as copurchasePagerankSql — the
+    // a/h chains and their scalar-subquery max() re-reads otherwise
+    // re-evaluate each round's join repeatedly at sf1
     val base =
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS s
-        |       FROM e)""".stripMargin
+        |h0 AS MATERIALIZED (
+        |  SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS s FROM e)""".stripMargin
     val rounds = (1 to 3).map { i =>
-      s"""a${i}r AS (
+      s"""a${i}r AS MATERIALIZED (
          |  SELECT e.dst AS id, CAST(sum(h.s) AS BIGINT) AS r
          |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
-         |a$i AS (
+         |a$i AS MATERIALIZED (
          |  SELECT id, r // greatest((SELECT max(r) FROM a${i}r) // 1000000,
          |                           1) AS s FROM a${i}r),
-         |h${i}r AS (
+         |h${i}r AS MATERIALIZED (
          |  SELECT e.src AS id, CAST(sum(a.s) AS BIGINT) AS r
          |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
-         |h$i AS (
+         |h$i AS MATERIALIZED (
          |  SELECT id, r // greatest((SELECT max(r) FROM h${i}r) // 1000000,
          |                           1) AS s FROM h${i}r)""".stripMargin
     }

@@ -15,12 +15,16 @@ import graft.streaming.{FunnelStream, Replay, StreamingOps}
   * assertions: the streaming result now faces the independent engine, so a
   * shared Spark-side bug in both tiers can't self-confirm.
   *
-  * bench=false in the registry: the replay collects verify-SF rows to the
-  * driver to control micro-batch boundaries (the harness's documented
-  * seam) — not a scale-representative throughput path. The production
-  * shape is `readStream` + the same transform; its scale story (bounded
-  * state via watermarks / by-construction register bounds) is documented
-  * on each operator.
+  * bench=false in the registry: the replay harness controls micro-batch
+  * boundaries (the documented seam) — not a scale-representative
+  * throughput path. Two feed tiers: the small event-table replays
+  * collect rows for MemoryStream; the big-table replays (q134 lineitem,
+  * q136 document text) ride Replay.replayFiles — a distributed file
+  * feed with the same contiguous-slice contract and NO driver collect,
+  * so the oracle gate runs at sf1+ without driver-memory risk. The
+  * production shape is `readStream` + the same transform; its scale
+  * story (bounded state via watermarks / by-construction register
+  * bounds) is documented on each operator.
   */
 object QueriesStreaming {
 
@@ -191,18 +195,17 @@ object QueriesStreaming {
   // is whichever partition reports first, by design.
   // -------------------------------------------------------------------
   def dedupStreamReplay(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val rows = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text"))
-      .orderBy(col("doc_id"))
-      .as[(Long, String)].collect().toSeq
-    val kept = Replay.replay(spark, rows, numBatches = 8,
-        OutputMode.Append) { ds =>
-      StreamingOps.dedupStream(
-        ds.map { case (id, text) =>
-          (id, text, new java.sql.Timestamp(86400000L + id))
-        }.toDF("doc_id", "text", "ts"),
-        "text", "ts", watermark = "3650 days")
+    // FILE-SOURCE tier (Replay.replayFiles): document TEXT was the
+    // second-largest driver collect in the replay family — the file
+    // feed streams it without the driver ever holding the corpus
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        // synthetic monotone event time (the corpus has no timestamp;
+        // arrival order is the dedup-relevant dimension)
+        expr("timestamp_millis(86400000 + doc_id)").as("ts"))
+    val kept = Replay.replayFiles(spark, docs, Seq(col("doc_id")),
+        numBatches = 8, OutputMode.Append) { df =>
+      StreamingOps.dedupStream(df, "text", "ts", watermark = "3650 days")
     }
     kept.select(col("digest")).orderBy(col("digest"))
   }
@@ -217,20 +220,24 @@ object QueriesStreaming {
   // register aggregation; the sink table after the last batch is the full
   // register state, summarized exactly like the batch tier. Oracle:
   // q119's SQL, verbatim — max-of-rho state is commutative, associative
-  // and idempotent, so ANY batching must land on the identical registers
-  // (no ordering of the replay is even needed; the default row order is
-  // kept deliberately, exercising the no-order-guarantee claim).
+  // and idempotent, so ANY batching must land on the identical registers.
+  //
+  // This one rides the FILE-SOURCE replay tier (Replay.replayFiles,
+  // VERDICT r9 #5): lineitem is the largest replayed input (60M rows at
+  // sf1 — collecting it to feed MemoryStream is the harness's driver-
+  // memory bottleneck), and the register stream is the safest proof
+  // vehicle for the file tier because its state is order-insensitive by
+  // construction. Slices are range-partitioned on l_orderkey — a real
+  // ordering, but ANY slicing lands on identical registers.
   // -------------------------------------------------------------------
   def distinctRegistersStreamReplay(spark: SparkSession,
       sfDir: String): DataFrame = {
-    import spark.implicits._
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_orderkey"))
-    val rows = li.as[(String, Long)].collect().toSeq
-    val regs = Replay.replay(spark, rows, numBatches = 8,
-        OutputMode.Complete) { ds =>
+    val regs = Replay.replayFiles(spark, li, Seq(col("l_orderkey")),
+        numBatches = 8, OutputMode.Complete) { df =>
       StreamingOps.distinctRegistersStream(
-        ds.toDF("l_returnflag", "l_orderkey"), "l_returnflag", "l_orderkey")
+        df, "l_returnflag", "l_orderkey")
     }
     val sk = DistinctSketch.summary(regs, Seq("l_returnflag"))
     val exact = li.groupBy(col("l_returnflag"))

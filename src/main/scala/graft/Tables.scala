@@ -82,25 +82,35 @@ object Tables {
     * for q94 PageRank / q110 PPR / q113 BFS. Per-order fanout is bounded
     * by basket size (≤ 7 lineitems → ≤ 42 directed pairs), so the
     * self-join stays linear in orders at any corpus scale. */
-  def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-  }
+  def copurchaseEdges(spark: SparkSession, sfDir: String): DataFrame =
+    // STAGED (Staging.stagedOrDerive): eight graph queries share this
+    // table, and deriving it is a fact-table self-join + distinct — the
+    // dominant production-cold cost when paid per query (VERDICT r9 #4).
+    // The first caller per corpus materializes it once; everyone after
+    // (across queries AND JVMs) scans the staged parquet.
+    graft.operators.Staging.stagedOrDerive(spark, "copurchase_edges",
+        Seq(path(sfDir, "lineitem"))) {
+      val li = lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+    }
 
   /** Ordered co-purchase pairs WITH multiplicity: one (src < dst) row per
     * shared order — q102 triangles / q111 LPA sparsify on the repeat
     * count, so no distinct here. Same bounded per-order fanout. */
-  def copurchasePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-  }
+  def copurchasePairs(spark: SparkSession, sfDir: String): DataFrame =
+    // staged like copurchaseEdges (four queries share it)
+    graft.operators.Staging.stagedOrDerive(spark, "copurchase_pairs",
+        Seq(path(sfDir, "lineitem"))) {
+      val li = lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    }
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")

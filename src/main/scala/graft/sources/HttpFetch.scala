@@ -173,7 +173,10 @@ object HttpFetch {
   * cluster-global target). State is keyed by authority, so two stub
   * servers on different ports never throttle each other. */
 private[graft] object HostThrottle {
-  private final class State(val maxInFlight: Int) {
+  // BOTH limits are pinned first-seen (ADVICE r9: rate was read
+  // per-call while in-flight was pinned — mixed configs for one host
+  // got half-applied semantics; now one rule, one warning, covers both)
+  private final class State(val maxInFlight: Int, val ratePerSec: Double) {
     val sem: java.util.concurrent.Semaphore =
       if (maxInFlight > 0) new java.util.concurrent.Semaphore(maxInFlight)
       else null
@@ -194,16 +197,21 @@ private[graft] object HostThrottle {
   def throttled[T](url: String, cfg: HttpFetch.Config)(f: => T): T = {
     if (cfg.maxRequestsPerSecond <= 0 && cfg.maxInFlight <= 0) return f
     val auth = Option(URI.create(url).getAuthority).getOrElse(url)
-    val st = states.computeIfAbsent(auth, _ => new State(cfg.maxInFlight))
-    if (st.maxInFlight != cfg.maxInFlight && limitMismatchWarned.add(auth))
+    val st = states.computeIfAbsent(auth,
+      _ => new State(cfg.maxInFlight, cfg.maxRequestsPerSecond))
+    if ((st.maxInFlight != cfg.maxInFlight ||
+        st.ratePerSec != cfg.maxRequestsPerSecond) &&
+        limitMismatchWarned.add(auth))
       System.err.println(
         s"[http] WARNING: $auth already throttled with maxInFlight=" +
-          s"${st.maxInFlight}; this read's maxInFlight=${cfg.maxInFlight} " +
-          "is IGNORED (first-seen limit wins per authority per JVM)")
+          s"${st.maxInFlight}, rate=${st.ratePerSec}/s; this read's " +
+          s"maxInFlight=${cfg.maxInFlight}, " +
+          s"rate=${cfg.maxRequestsPerSecond}/s is IGNORED " +
+          "(first-seen limits win per authority per JVM)")
     if (st.sem != null) st.sem.acquire()
     try {
-      if (cfg.maxRequestsPerSecond > 0) {
-        val interval = (1e9 / cfg.maxRequestsPerSecond).toLong
+      if (st.ratePerSec > 0) {
+        val interval = (1e9 / st.ratePerSec).toLong
         // claim the next start slot atomically, then sleep until it
         var slot = 0L
         var claimed = false
@@ -225,6 +233,10 @@ private[graft] object HostThrottle {
 
   /** Test hook: observed in-flight ceiling would need instrumentation in
     * the caller; what the spec needs is a reset between scenarios so a
-    * prior test's pacing clock never delays the next. */
-  private[graft] def reset(): Unit = states.clear()
+    * prior test's pacing clock never delays the next. The warned set
+    * resets too — a re-created authority must re-warn (ADVICE r9). */
+  private[graft] def reset(): Unit = {
+    states.clear()
+    limitMismatchWarned.clear()
+  }
 }

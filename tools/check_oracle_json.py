@@ -79,11 +79,30 @@ def main():
         report[name] = row
         import time
         t0 = time.time()
-        timer = threading.Timer(timeout, con.interrupt)
-        timer.start()
+        # the Spark-output read runs OUTSIDE the watchdog: it must not
+        # consume the oracle's timeout budget, and a failure here is a
+        # missing/corrupt dump, not an oracle timeout
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+        except Exception as e:
+            row["err"] = str(e)[:200]
+            print(f"FAIL {name}: {row['err']}")
+            fails += 1
+            continue
+        # watchdog with a done-flag under a lock: a bare Timer(con.
+        # interrupt) can fire AFTER the query completes but before
+        # cancel(), leaving a stray interrupt that kills the NEXT oracle
+        done, lock = [False], threading.Lock()
+
+        def _maybe_interrupt():
+            with lock:
+                if not done[0]:
+                    con.interrupt()
+
+        timer = threading.Timer(timeout, _maybe_interrupt)
+        timer.start()
+        try:
             want = con.execute(sql).df()
         except Exception as e:
             msg = str(e)[:200]
@@ -94,7 +113,16 @@ def main():
             fails += 1
             continue
         finally:
+            with lock:
+                done[0] = True
             timer.cancel()
+            # absorb a stray interrupt that slipped between query
+            # completion and the flag write (TOCTOU window is tiny but
+            # nonzero): a throwaway statement eats it harmlessly
+            try:
+                con.execute("SELECT 1")
+            except Exception:
+                pass
         row["sec"] = round(time.time() - t0, 2)
         got = got[sorted(got.columns)]
         want = want[sorted(want.columns)]

@@ -53,12 +53,18 @@ for t in ("nation", "region"):
             f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
     print(f"[replica] {t}: done")
 
-# documents: shift ids AND prefix every token per replica so
-# cross-replica shingle sets are disjoint
+# documents: shift ids AND tag every token per replica so
+# cross-replica shingle sets are disjoint. The tag is a SUFFIX, not a
+# prefix: prefix-blocked operators (FuzzyMatch keys on the first 12
+# chars of normalized text) would see every replica-local doc share the
+# 'r<i>_' prefix, eating block-key entropy and exploding pass-0
+# candidates ~quadratically (SCALE.md r9: 2.3M candidates at sf1) — a
+# fixture artifact, not operator behavior. Suffixing keeps the leading
+# characters original so 10x probes measure the operator.
 con.sql(
     f"COPY (SELECT doc_id + r.i * {SHIFT} AS doc_id, "
     f"  array_to_string(list_transform(string_split(text, ' '), "
-    f"    t -> 'r' || r.i || '_' || t), ' ') AS text, "
+    f"    t -> t || '_r' || r.i), ' ') AS text, "
     f"  lang, source, n_chars "
     f"FROM '{SRC}/documents.parquet', {rep}) "
     f"TO '{DST}/documents.parquet' (FORMAT PARQUET)")
