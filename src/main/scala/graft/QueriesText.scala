@@ -599,7 +599,8 @@ object QueriesText {
   // ------------------------------------------------------------------
   def qualityFunnel2(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val rep = operators.Repetition.metrics(docs, "doc_id", "text")
+    val rep = operators.Repetition.metrics(
+        Tables.rebalance(docs.select("doc_id", "text")), "doc_id", "text")
       .select(col("doc_id"), col("repetitive"))
     val dupB = FuzzyMatch.multiPassPairs(docs, "doc_id", "text",
         blockLen = 12, prefixLen = 64, maxDist = 5, shiftsOpt = Seq(0, 12))
@@ -974,7 +975,13 @@ object QueriesText {
   // contract, top-gram ties break to the smallest gram in both engines.
   // ------------------------------------------------------------------
   def repetitionFilter(spark: SparkSession, sfDir: String): DataFrame =
-    operators.Repetition.metrics(Tables.documents(spark, sfDir), "doc_id", "text")
+    // rebalance: the metrics pass is map-only CPU (per-doc gram hashmaps)
+    // downstream of a single-row-group scan — spread it across cores
+    // first (no-op on real multi-file inputs)
+    operators.Repetition.metrics(
+        Tables.rebalance(Tables.documents(spark, sfDir)
+          .select("doc_id", "text")),
+        "doc_id", "text")
       .orderBy(col("doc_id"))
 
   val repetitionFilterSql: String =

@@ -420,15 +420,12 @@ class ScaleSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange SinglePartition"), plan)
   }
 
-  test("repetition metrics: gram exchanges carry fixed-width hashes, " +
-      "never gram strings") {
+  test("repetition metrics: production plan is MAP-ONLY (zero exchanges); " +
+      "relational gram exchanges carry fixed-width hashes, never strings") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.types.StringType
-    // the (doc, gram) shuffles were q140's dominant cost when they keyed
-    // on raw 5-gram strings (VERDICT r9 #3); the production tier must
-    // keep them at 3 longs/row
     def nodes(p: SparkPlan): Seq[SparkPlan] = {
       val direct = p.collect { case n => n }
       direct ++ direct.flatMap {
@@ -437,13 +434,23 @@ class ScaleSpec extends AnyFunSuite {
         case _ => Nil
       }
     }
-    val plan = graft.operators.Repetition.metrics(
-        Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // production tier: every metric is per-document, so the plan must be
+    // scan->project with NO exchange at all — the strongest scale shape
+    val prod = graft.operators.Repetition.metrics(docs, "doc_id", "text")
       .queryExecution.executedPlan
-    val gramEx = nodes(plan).collect {
+    assert(nodes(prod).collect { case e: Exchange => e }.isEmpty,
+      prod.toString)
+    // relational reference tier: the (doc, gram) shuffles were q140's
+    // dominant cost when they keyed on raw 5-gram strings (VERDICT r9
+    // #3); the hashed tier must keep them at 3 longs/row
+    val rel = graft.operators.Repetition
+      .metricsRelational(docs, "doc_id", "text", hashGrams = true)
+      .queryExecution.executedPlan
+    val gramEx = nodes(rel).collect {
       case e: Exchange if e.output.exists(_.name == "gh") => e
     }
-    assert(gramEx.nonEmpty, plan.toString)
+    assert(gramEx.nonEmpty, rel.toString)
     gramEx.foreach { e =>
       val strs = e.output.filter(_.dataType == StringType)
       assert(strs.isEmpty,

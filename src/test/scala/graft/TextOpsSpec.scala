@@ -378,19 +378,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(d5.getAs[Boolean]("repetitive"))
   }
 
-  test("repetition metrics: hashed-gram production tier ≡ string tier " +
-      "row-for-row on the real corpus") {
-    // the default tier shuffles (xxhash64(gram), length) instead of gram
-    // strings (VERDICT r9 #3); this pins that the hash never changes a
-    // value — counts, tie-breaks, and the recovered top_bigram string
-    // all match the all-strings formulation on real documents
+  test("repetition metrics: map-only production tier ≡ hashed-gram tier " +
+      "≡ string tier row-for-row on the real corpus") {
+    // the production tier computes everything in one scalar expression
+    // (zero shuffles); the relational tiers are the reference shapes the
+    // oracle SQL mirrors. Full-row equality across all three pins that
+    // neither the in-row hashmaps nor the fixed-width gram hashing ever
+    // changes a value — counts, tie-breaks, the top_bigram string
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val hashed = operators.Repetition.metrics(docs, "doc_id", "text")
+    val mapOnly = operators.Repetition.metrics(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect().toSeq
+    val hashed = operators.Repetition
+      .metricsRelational(docs, "doc_id", "text", hashGrams = true)
       .orderBy($"doc_id").collect().toSeq
     val strings = operators.Repetition
-      .metrics(docs, "doc_id", "text", hashGrams = false)
+      .metricsRelational(docs, "doc_id", "text", hashGrams = false)
       .orderBy($"doc_id").collect().toSeq
-    assert(hashed.nonEmpty)
+    assert(mapOnly.nonEmpty)
+    assert(mapOnly == strings)
     assert(hashed == strings)
   }
 
