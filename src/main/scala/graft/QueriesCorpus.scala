@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Chunking, CorpusDiff, Decontaminate, Dedup, NgramLm, Overlap}
+import graft.operators.{Bm25, Bpe, Chunking, CorpusDiff, Decontaminate, Dedup, NgramLm, Overlap}
 
 /** Corpus-preparation wave 2: the sequence-level operators between a
   * cleaned document corpus and model-ready training batches — train/eval
@@ -970,4 +970,102 @@ object QueriesCorpus {
       |         / CAST(padded_len * count(*) AS DOUBLE) AS waste_frac
       |FROM p GROUP BY padded_len ORDER BY padded_len""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // q145 — BPE merge-candidate mining (Sennrich et al. 2016): top-50
+  // adjacent character pairs weighted by word frequency — the first
+  // tokenizer-training merge step. Pair counting runs over the WORD-TYPE
+  // table (operators/Bpe.scala), so the corpus-scale work is exactly a
+  // word count; everything downstream is vocabulary-sized.
+  // -------------------------------------------------------------------
+  def bpeMergeCandidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("text"))
+    Bpe.mergeCandidates(docs, "text", k = 50).orderBy(col("rank"))
+  }
+
+  val bpeMergeCandidatesSql: String =
+    """WITH t AS (
+      |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents
+      |  WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0),
+      |wc AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(t) AS word FROM t) GROUP BY word),
+      |pairs AS (
+      |  SELECT substr(word, u.i, 1) AS lhs, substr(word, u.i + 1, 1) AS rhs,
+      |         cnt
+      |  FROM wc, UNNEST(range(1, len(word))) AS u(i)
+      |  WHERE len(word) >= 2),
+      |agg AS (
+      |  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS pair_freq
+      |  FROM pairs GROUP BY lhs, rhs)
+      |SELECT lhs, rhs, pair_freq,
+      |       row_number() OVER (ORDER BY pair_freq DESC, lhs, rhs) AS rank
+      |FROM agg ORDER BY pair_freq DESC, lhs, rhs LIMIT 50""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q147 — dataset card: the per-source statistics table a corpus
+  // release ships (docs, tokens, length envelope, exact-dup rate, lang
+  // mix). One grouped pass; the only non-trivial aggregate is the exact
+  // distinct-normalized-text count, which shuffles 32-char md5 digests,
+  // never bodies (the q56 rule). All outputs integer or exact-ratio
+  // doubles — engine-reproducible by construction.
+  // -------------------------------------------------------------------
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val d = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("source", "lang", "text"))
+    val norm = TextFunctions.normalizeText(col("text"))
+    d.select(col("source"), col("lang"),
+        size(TextFunctions.tokensWs(col("text"))).cast("long").as("ntok"),
+        md5(norm).as("dig"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("n_tokens"),
+        min(col("ntok")).as("min_tokens"),
+        max(col("ntok")).as("max_tokens"),
+        countDistinct(col("dig")).as("n_distinct_norm"),
+        count_if(col("lang") === "en").as("n_en"),
+        count_if(col("lang") === "es").as("n_es"),
+        count_if(col("lang") === "fr").as("n_fr"),
+        count_if(col("lang") === "de").as("n_de"),
+        count_if(col("lang") === "zh").as("n_zh"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("min_tokens"), col("max_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avg_tokens"),
+        col("n_distinct_norm"),
+        expr("((n_docs - n_distinct_norm) * 10000) DIV n_docs").as("dup_bps"),
+        col("n_en"), col("n_es"), col("n_fr"), col("n_de"), col("n_zh"))
+      .orderBy(col("source"))
+  }
+
+  val datasetCardSql: String =
+    """WITH s AS (
+      |  SELECT source, lang,
+      |         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS p
+      |  FROM documents),
+      |t AS (
+      |  SELECT source, lang, md5(p) AS dig,
+      |         CASE WHEN length(p) = 0 THEN 0
+      |              ELSE len(string_split(p, ' ')) END AS ntok
+      |  FROM s)
+      |SELECT source,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(ntok) AS BIGINT) AS n_tokens,
+      |       CAST(min(ntok) AS BIGINT) AS min_tokens,
+      |       CAST(max(ntok) AS BIGINT) AS max_tokens,
+      |       CAST(CAST(sum(ntok) AS BIGINT) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS avg_tokens,
+      |       CAST(count(DISTINCT dig) AS BIGINT) AS n_distinct_norm,
+      |       CAST((count(*) - count(DISTINCT dig)) * 10000 AS BIGINT)
+      |         // count(*) AS dup_bps,
+      |       CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+      |       CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS n_es,
+      |       CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr,
+      |       CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de,
+      |       CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{BloomJoin, DistinctSketch, Sampling, TfIdf, TopK, ZOrder}
+import graft.operators.{BloomJoin, DistinctSketch, Dsir, Sampling, TfIdf, TopK, UniMax, ZOrder}
 
 /** Pipeline-utility queries (q45-q52): the selection / sizing / scrubbing
   * operations around the dedup+similarity core of a training-data pipeline
@@ -879,5 +879,123 @@ object QueriesPipeline {
       |         AS oov_bps
       |FROM toks t LEFT JOIN vocab v ON t.term = v.term
       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q143 — DSIR importance resampling (Xie et al. 2023): hashed-n-gram
+  // LLR scoring against a target slice, Gumbel top-k selection. The
+  // corpus-scale steps are a narrow feature explode, one buckets-row
+  // model aggregate, one fixed-width per-doc re-aggregate, and a
+  // TakeOrdered top-k (operators/Dsir.scala). All float staging through
+  // DECIMAL(18,6) (q88 rule), the Gumbel draw through the exact Lehmer
+  // uniform (q45 rule) — every value engine-reproducible.
+  // ------------------------------------------------------------------
+  def dsirImportance(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "source", "text"))
+    val weights = Dsir.importanceWeights(docs, "doc_id", "text",
+      isTarget = col("source") === "src1", buckets = 4096)
+    Dsir.gumbelTopK(weights, "doc_id", k = 256).orderBy(col("rank"))
+  }
+
+  val dsirImportanceSql: String = {
+    val norm = normSql("text")
+    s"""WITH toks AS (
+      |  SELECT doc_id, source, string_split($norm, ' ') AS t
+      |  FROM documents WHERE length($norm) > 0),
+      |feats AS (
+      |  SELECT doc_id, ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096
+      |           AS bucket, source
+      |  FROM (
+      |    SELECT doc_id, source, unnest(t) AS f FROM toks
+      |    UNION ALL
+      |    SELECT doc_id, source, t[u.i] || ' ' || t[u.i + 1] AS f
+      |    FROM toks, UNNEST(range(1, len(t))) AS u(i))),
+      |counts AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS c_r,
+      |         CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT)
+      |           AS c_t
+      |  FROM feats GROUP BY bucket),
+      |tot AS (
+      |  SELECT CAST(sum(c_r) AS BIGINT) AS n_r,
+      |         CAST(sum(c_t) AS BIGINT) AS n_t FROM counts),
+      |llr AS (
+      |  SELECT bucket,
+      |         CAST(ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + 4096 AS DOUBLE))
+      |            - ln(CAST(c_r + 1 AS DOUBLE) / CAST(n_r + 4096 AS DOUBLE))
+      |           AS DECIMAL(18,6)) AS llr
+      |  FROM counts, tot),
+      |w AS (
+      |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |         sum(l.llr) AS log_w_dec
+      |  FROM feats f JOIN llr l USING (bucket) GROUP BY f.doc_id),
+      |scored AS (
+      |  SELECT doc_id, n_feats, log_w_dec,
+      |         log_w_dec + CAST(-ln(-ln(
+      |             (CAST(((doc_id * 48271) % 2147483647) * 48271
+      |                % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0))
+      |           AS DECIMAL(18,6)) AS score_dec
+      |  FROM w)
+      |SELECT doc_id, n_feats,
+      |       CAST(log_w_dec AS DOUBLE) AS log_w,
+      |       CAST(score_dec AS DOUBLE) AS score,
+      |       row_number() OVER (ORDER BY score_dec DESC, doc_id) AS rank
+      |FROM scored ORDER BY score_dec DESC, doc_id LIMIT 256""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q144 — UniMax epoch allocation (Chung et al. 2023): water-fill a
+  // 3/5-of-corpus token budget across sources with a 2-epoch repeat cap
+  // (operators/UniMax.scala). The only corpus-scale step is the
+  // per-source token count; the fill itself is integer-exact window
+  // arithmetic on the |sources|-row aggregate.
+  // ------------------------------------------------------------------
+  def unimaxEpochs(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("source", "text"))
+    val perSource = docs
+      .select(col("source"),
+        size(TextFunctions.tokensWs(col("text"))).as("n_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok").cast("long")).as("n_tok"))
+    UniMax.epochAllocations(perSource, "source", "n_tok",
+      epochCap = 2, budgetNum = 3, budgetDen = 5)
+  }
+
+  val unimaxEpochsSql: String = {
+    val norm = normSql("text")
+    s"""WITH toks AS (
+      |  SELECT source, string_split($norm, ' ') AS t
+      |  FROM documents WHERE length($norm) > 0),
+      |per AS (
+      |  SELECT source, CAST(sum(len(t)) AS BIGINT) AS n_tokens
+      |  FROM toks GROUP BY source),
+      |w1 AS (
+      |  SELECT source, n_tokens, 2 * n_tokens AS cap,
+      |         (SELECT CAST(sum(n_tokens) * 3 AS BIGINT) // 5 FROM per)
+      |           AS b,
+      |         row_number() OVER (ORDER BY 2 * n_tokens, source) AS i,
+      |         count(*) OVER () AS n,
+      |         CAST(sum(2 * n_tokens) OVER (ORDER BY 2 * n_tokens, source
+      |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix
+      |  FROM per),
+      |w2 AS (SELECT *, cap * (n - i + 1) + (prefix - cap) <= b
+      |         AS is_capped FROM w1),
+      |w3 AS (
+      |  SELECT *,
+      |         coalesce(max(CASE WHEN is_capped THEN i END) OVER (), 0)
+      |           AS k,
+      |         coalesce(max(CASE WHEN is_capped THEN prefix END) OVER (), 0)
+      |           AS prefix_k
+      |  FROM w2),
+      |w4 AS (
+      |  SELECT *, CASE WHEN is_capped THEN cap
+      |                 ELSE (b - prefix_k) // greatest(n - k, 1) END
+      |            AS allocated
+      |  FROM w3)
+      |SELECT source, n_tokens, cap, allocated,
+      |       CAST(allocated AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs,
+      |       CAST(b - sum(allocated) OVER () AS BIGINT) AS unallocated
+      |FROM w4 ORDER BY source""".stripMargin
   }
 }

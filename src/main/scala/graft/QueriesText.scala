@@ -1081,4 +1081,33 @@ object QueriesText {
        |FROM cand c JOIN jp ON jp.id_a = c.id_a AND jp.id_b = c.id_b
        |WHERE jp.jaccard >= 0.8 ORDER BY c.id_a, c.id_b""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q146 — hard-negative mining (contrastive training prep): for each
+  // anchor, the top-5 most-similar vectors with a DIFFERENT label
+  // (operators/Similarity.hardNegatives). ids+rank only — the q35 rule:
+  // ranking is stable cross-engine, raw cosines are not.
+  // ------------------------------------------------------------------
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 50), k = 5)
+      .select(col("qid"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    """WITH e AS (SELECT vec_id, label,
+      |             CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS qid, label AS q_label, emb AS qemb
+      |      FROM e WHERE vec_id < 50),
+      |s AS (SELECT qid, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+      |             list_cosine_similarity(e.emb, q.qemb) AS cosine
+      |      FROM e, q WHERE e.label != q.q_label),
+      |r AS (SELECT qid, neighbor_id, neighbor_label,
+      |             row_number() OVER (PARTITION BY qid
+      |                                ORDER BY cosine DESC, neighbor_id) AS rank
+      |      FROM s)
+      |SELECT qid, rank, neighbor_id, neighbor_label
+      |FROM r WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 }

@@ -81,6 +81,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * k most-similar vectors with a DIFFERENT label — the "looks right,
+    * isn't" examples that make the best negatives (the in-batch-negatives
+    * upgrade every dual-encoder recipe ships). Same plan shape as
+    * [[bruteForceKnn]] (anchors broadcast, corpus streams once, per-pair
+    * label-mismatch filter before scoring, per-anchor top-k window); for
+    * corpus×corpus mining swap the broadcast for the [[lshKnn]] bucketed
+    * screen with the same mismatch predicate.
+    * Output: (qid, rank, neighbor_id, neighbor_label). */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"),
+      col(embCol).cast("array<double>").as("emb"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(labelCol).as("q_label"),
+      col(embCol).cast("array<double>").as("qemb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_label") =!= col("q_label"))
+      .select(col("qid"), col("neighbor_id"), col("neighbor_label"),
+        VectorFunctions.cosineSimilarity(col("emb"), col("qemb")).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.select(col("qid"), col("neighbor_id"), col("neighbor_label"),
+        row_number().over(w).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed approximate top-k: same output shape as bruteForceKnn but
     * only pairs sharing a hyperplane bucket are scored. */
   def lshKnn(
