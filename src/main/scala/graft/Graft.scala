@@ -213,4 +213,31 @@ object Graft {
 
   def distinctEstimate(regSum: Long, registersHit: Long): Double =
     DistinctSketch.estimate(regSum, registersHit)
+
+  /** DSIR importance weights (per-doc hashed-n-gram LLR vs a target
+    * slice); resample with [[dsirResample]]. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame =
+    Dsir.importanceWeights(docs, idCol, textCol, isTarget, buckets)
+
+  /** Gumbel top-k selection over [[dsirWeights]] output. */
+  def dsirResample(weights: DataFrame, idCol: String, k: Int): DataFrame =
+    Dsir.gumbelTopK(weights, idCol, k)
+
+  /** UniMax water-filled token budget across sources. */
+  def unimaxAllocations(perSource: DataFrame, srcCol: String, tokCol: String,
+      epochCap: Int, budgetNum: Long, budgetDen: Long): DataFrame =
+    UniMax.epochAllocations(perSource, srcCol, tokCol, epochCap,
+      budgetNum, budgetDen)
+
+  /** Top-k BPE merge candidates (adjacent char pairs by word frequency). */
+  def bpeMergeCandidates(docs: DataFrame, textCol: String,
+      k: Int = 50): DataFrame =
+    Bpe.mergeCandidates(docs, textCol, k)
+
+  /** Per-anchor hardest wrong-label neighbors (contrastive mining). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame =
+    Similarity.hardNegatives(corpus, queries, k, idCol, embCol, labelCol)
 }
