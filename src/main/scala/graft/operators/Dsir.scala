@@ -95,8 +95,14 @@ object Dsir {
     * is independent of partitioning and engine. */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int): DataFrame = {
-    val feats = featureBuckets(docs, idCol, textCol, Seq("source"), buckets)
-    val llr = llrTable(feats, isTarget, buckets)
+    // materialize the caller's target predicate BEFORE tokenizing, so the
+    // feature stream carries one boolean instead of whichever columns the
+    // predicate happens to reference (and the predicate may use any
+    // column of `docs`, not a hard-coded one)
+    val marked = docs.withColumn("_is_target", isTarget)
+    val feats = featureBuckets(marked, idCol, textCol, Seq("_is_target"),
+      buckets)
+    val llr = llrTable(feats, col("_is_target"), buckets)
     feats.join(broadcast(llr), "bucket")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"),
