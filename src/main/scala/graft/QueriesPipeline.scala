@@ -956,6 +956,11 @@ object QueriesPipeline {
     val perSource = docs
       .select(col("source"),
         size(TextFunctions.tokensWs(col("text"))).as("n_tok"))
+      // drop empty-normalized docs BEFORE grouping (the oracle's
+      // `WHERE length(norm) > 0` CTE): a source whose every doc is
+      // blank must be absent from the allocation, not present with
+      // n_tok=0 (whose epochs would be 0/0 = NULL)
+      .filter(col("n_tok") > 0)
       .groupBy(col("source"))
       .agg(sum(col("n_tok").cast("long")).as("n_tok"))
     UniMax.epochAllocations(perSource, "source", "n_tok",

@@ -50,8 +50,10 @@ object Dsir {
     grams.select(
       (col(idCol) +: carryCols.map(col) :+
         explode(concat(col("t"),
-          // bigrams: zip each token with its successor; zip_with stops at
-          // the shorter array so the trailing null pair never appears
+          // bigrams: zip each token with its successor. zip_with PADS the
+          // shorter array with nulls (it does not stop at it), so both
+          // slices are forced to the same length n-1 — shortening either
+          // slice expression would null-pad phantom bigrams in
           zip_with(slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
             slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
             (a, b) => concat_ws(" ", a, b)))).as("feature")): _*)

@@ -76,6 +76,14 @@ object Staging {
   def stagedOrDerive(spark: SparkSession, name: String,
       inputs: Seq[String])(derive: => DataFrame): DataFrame = {
     val dir = stageRoot.resolve(s"$name-${fingerprint(inputs)}")
+    // CONTRACT: the (path, size, mtime) fingerprint is the same freshness
+    // rule Spark's own file index uses — it cannot see a same-size
+    // rewrite inside one mtime tick or an mtime-preserving copy
+    // (`cp -p`/`rsync -a`) of an equal-size file. Corpus swaps done that
+    // way must either point SPARK_GRAFT_STAGE_DIR elsewhere, delete the
+    // stage dir, or set SPARK_GRAFT_STAGE_REFRESH=1 to force re-derive.
+    val force = sys.env.get("SPARK_GRAFT_STAGE_REFRESH").contains("1")
+    if (force) deleteRecursively(dir)
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
       val tmp = stageRoot.resolve(
         s".${dir.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")

@@ -195,8 +195,15 @@ private[graft] object HostThrottle {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def throttled[T](url: String, cfg: HttpFetch.Config)(f: => T): T = {
-    if (cfg.maxRequestsPerSecond <= 0 && cfg.maxInFlight <= 0) return f
     val auth = Option(URI.create(url).getAuthority).getOrElse(url)
+    // an unthrottled Config does NOT bypass an authority's pinned limits:
+    // once any read has throttled a host, every later call in the JVM
+    // flows through that state (and warns of its differing config below)
+    // — otherwise one unconfigured reader would unpace a host that
+    // another reader promised to protect. Only a host NO config has ever
+    // limited skips the machinery entirely.
+    if (cfg.maxRequestsPerSecond <= 0 && cfg.maxInFlight <= 0 &&
+        !states.containsKey(auth)) return f
     val st = states.computeIfAbsent(auth,
       _ => new State(cfg.maxInFlight, cfg.maxRequestsPerSecond))
     if ((st.maxInFlight != cfg.maxInFlight ||

@@ -357,6 +357,26 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"uncapped fleet never overlapped: peak ${inflightMax.get()}")
   }
 
+  test("an unthrottled read cannot bypass a host's pinned limits") {
+    // first-seen limits win per authority — INCLUDING against a later
+    // read that configures no limits at all: once any reader promised
+    // the host maxInFlight=2, an unconfigured reader in the same JVM
+    // must flow through the same semaphore, not unpace the host
+    graft.sources.HostThrottle.reset()
+    inflightNow.set(0); inflightMax.set(0)
+    val pin = graft.sources.HttpIngest.read(spark,
+      (1 to 4).map(i => s"$base/slow?i=$i&c=1"),
+      Map("numPartitions" -> "4", "maxInFlight" -> "2"))
+    assert(pin.count() == 4)
+    inflightMax.set(0)
+    val free = graft.sources.HttpIngest.read(spark,
+      (1 to 8).map(i => s"$base/slow?i=$i&c=2"),
+      Map("numPartitions" -> "8")) // no limits configured
+    assert(free.count() == 8)
+    assert(inflightMax.get() <= 2,
+      s"unthrottled read bypassed the pinned cap: peak ${inflightMax.get()}")
+  }
+
   test("numPartitions + cookieSession: each slice is its own ordered session") {
     // two independent set→read chains, each contiguous in the list; with
     // numPartitions=2 each chain runs in its own task with its own

@@ -61,12 +61,24 @@ for t in ("nation", "region"):
 # candidates ~quadratically (SCALE.md r9: 2.3M candidates at sf1) — a
 # fixture artifact, not operator behavior. Suffixing keeps the leading
 # characters original so 10x probes measure the operator.
+#
+# Caveat: a suffix only disambiguates the 12-char block window when the
+# FIRST token is shorter than the window. A doc whose first token is
+# >= 12 chars would keep an identical block key across all replicas
+# (its suffix falls outside the window), re-concentrating the r9
+# quadratic artifact on long-leading-token docs — so exactly those
+# first tokens ALSO get an in-window 'r<i>_' prefix. Conditional, so
+# corpora without such docs (this testdata has none: verified 0 at
+# sf0.01/sf0.1) are byte-identical to the plain-suffix scheme.
 con.sql(
     f"COPY (SELECT doc_id + r.i * {SHIFT} AS doc_id, "
-    f"  array_to_string(list_transform(string_split(text, ' '), "
-    f"    t -> t || '_r' || r.i), ' ') AS text, "
+    f"  array_to_string(list_prepend("
+    f"      (CASE WHEN length(l[1]) >= 12 THEN 'r' || r.i || '_' "
+    f"            ELSE '' END) || l[1] || '_r' || r.i, "
+    f"      list_transform(l[2:], t -> t || '_r' || r.i)), ' ') AS text, "
     f"  lang, source, n_chars "
-    f"FROM '{SRC}/documents.parquet', {rep}) "
+    f"FROM (SELECT *, string_split(text, ' ') AS l "
+    f"      FROM '{SRC}/documents.parquet'), {rep}) "
     f"TO '{DST}/documents.parquet' (FORMAT PARQUET)")
 print("[replica] documents: done")
 
