@@ -31,25 +31,32 @@ object DistinctSketch {
   /** Register count (2^8). Std error of the estimate ≈ 1.04/√256 ≈ 6.5%. */
   val M = 256
 
-  private def h(key: Column): Column = md5(key.cast("string"))
+  // ONE digest per row: reg and rho unpack from the same codegen'd
+  // expression (functions/Md5Register.scala) — the hex-string SQL
+  // formulation below stays the cross-engine contract the oracles
+  // replay, and the expression is spec-pinned bit-equal to it:
+  //   reg = conv(substring(md5(k),1,2),16,10)
+  //   v   = conv(substring(md5(k),3,13),16,10)
+  //   rho = IF(v=0, 53, 53 - length(bin(v)))
+  private def packed(key: Column): Column =
+    graft.functions.Md5RegisterExpression.md5Register(key)
 
   /** Register index in [0, 256): the hash's first 8 bits. */
-  def reg(key: Column): Column =
-    conv(substring(h(key), 1, 2), 16, 10).cast("int")
+  def reg(key: Column): Column = shiftright(packed(key), 6)
 
-  /** Leading-zero rank in [1, 53] of the hash's next 52 bits.
-    * `length(bin(v))` is the integer bit length in Spark and DuckDB
-    * alike — no float log2, so the rank is cross-engine exact. */
-  def rho(key: Column): Column = {
-    val v = conv(substring(h(key), 3, 13), 16, 10).cast("long")
-    when(v === 0L, lit(53)).otherwise(lit(53) - length(bin(v)).cast("int"))
-  }
+  /** Leading-zero rank in [1, 53] of the hash's next 52 bits (bit
+    * length via integer ops — no float log2, cross-engine exact). */
+  def rho(key: Column): Column = packed(key).bitwiseAND(lit(63))
 
   /** Sketch state: one (group..., reg, max_rho) row per touched
-    * register — at most 256 rows per group whatever the key count. */
+    * register — at most 256 rows per group whatever the key count.
+    * `max(rho)` per register rides `max(packed)`: packed = reg·64+rho,
+    * so within a register group the packed max IS the rho max — one
+    * hash, one narrow int column through the whole aggregate. */
   def registers(df: DataFrame, groupCols: Seq[String], keyCol: String): DataFrame =
-    df.groupBy(groupCols.map(col) :+ reg(col(keyCol)).as("reg"): _*)
-      .agg(max(rho(col(keyCol))).as("max_rho"))
+    df.select(groupCols.map(col) :+ packed(col(keyCol)).as("_pk"): _*)
+      .groupBy(groupCols.map(col) :+ shiftright(col("_pk"), 6).as("reg"): _*)
+      .agg(max(col("_pk").bitwiseAND(lit(63))).as("max_rho"))
 
   /** Merge register tables (per-shard / per-day sketches) into one:
     * union + max per (group, reg). Exactly the partial-aggregation step

@@ -145,11 +145,10 @@ object StreamingOps {
     * idempotent, the streaming registers after any prefix equal the batch
     * registers over the same rows — the spec asserts it. */
   def distinctRegistersStream(df: DataFrame, groupCol: String,
-      keyCol: String): DataFrame = {
-    import graft.operators.DistinctSketch
-    df.groupBy(col(groupCol), DistinctSketch.reg(col(keyCol)).as("reg"))
-      .agg(max(DistinctSketch.rho(col(keyCol))).as("max_rho"))
-  }
+      keyCol: String): DataFrame =
+    // one digest per row (the q119 packed-register path), same grouped
+    // max — streaming aggregation state is unchanged in shape
+    graft.operators.DistinctSketch.registers(df, Seq(groupCol), keyCol)
 
   /** Stream-static anomaly screen — the continuous half of q106's exact
     * integer 2σ test: hourly per-type counts aggregate in-stream

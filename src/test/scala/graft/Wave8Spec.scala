@@ -164,6 +164,23 @@ class Wave8Spec extends AnyFunSuite {
       (r0.getAs[Double]("log_w") + g)) < 1e-9)
   }
 
+  // ---------------- md5 register expression ----------------
+
+  test("md5Register packs bit-identically to the hex SQL contract") {
+    // the oracle-replayed formulation, evaluated by Spark itself, vs the
+    // one-pass byte expression — over ids, strings, unicode, empty
+    val keys = ((1 to 500).map(_.toString) ++
+      Seq("", "a", "solar plasma", "ünïcødé-Ω", "x" * 1000)).toDF("k")
+    val got = keys.select(
+      graft.functions.Md5RegisterExpression.md5Register($"k").as("pk"),
+      expr("CAST(conv(substring(md5(k),1,2),16,10) AS INT)").as("reg_sql"),
+      expr("""CAST(IF(conv(substring(md5(k),3,13),16,10) = 0, 53,
+               53 - length(bin(CAST(conv(substring(md5(k),3,13),16,10) AS BIGINT))))
+             AS INT)""").as("rho_sql"))
+    assert(got.filter(shiftright($"pk", 6) =!= $"reg_sql" ||
+      $"pk".bitwiseAND(lit(63)) =!= $"rho_sql").count() == 0)
+  }
+
   // ---------------- hard negatives ----------------
 
   test("hard negatives: same-label candidates never mined; rank follows cosine") {
