@@ -58,8 +58,10 @@ object Dsir {
             slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
             (a, b) => concat_ws(" ", a, b)))).as("feature")): _*)
       .withColumn("bucket",
-        pmod(conv(substring(md5(col("feature")), 1, 8), 16, 10).cast("long"),
-          lit(buckets)))
+        // one-pass codegen md5 word (functions/Md5Word.scala), bit-equal
+        // to the oracle's ('0x'||substr(md5(f),1,8))::BIGINT % buckets
+        pmod(graft.functions.Md5Word32Expression.md5Word32(col("feature")),
+          lit(buckets.toLong)))
       .drop("feature")
   }
 

@@ -191,8 +191,10 @@ object Sampling {
       s"split percents must be positive: $splits")
     require(splits.map(_._2).sum == 100,
       s"split percents must sum to 100: $splits")
-    val bucket = conv(substring(md5(col(textCol)), 1, 8), 16, 10)
-      .cast("long") % 100
+    // one-pass codegen md5 word (functions/Md5Word.scala), bit-equal to
+    // the documented hex chain and the DuckDB replay
+    val bucket =
+      graft.functions.Md5Word32Expression.md5Word32(col(textCol)) % 100
     val bounds = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
     val assign = splits.init.zip(bounds.init).foldRight(
       lit(splits.last._1)) { case (((name, _), hi), rest) =>

@@ -181,6 +181,16 @@ class Wave8Spec extends AnyFunSuite {
       $"pk".bitwiseAND(lit(63)) =!= $"rho_sql").count() == 0)
   }
 
+  test("md5Word32 equals the hex-chain SQL contract") {
+    val keys = ((1 to 500).map(i => s"doc $i text") ++
+      Seq("", "a", "ünïcødé-Ω", "y" * 999)).toDF("k")
+    val bad = keys.select(
+        graft.functions.Md5Word32Expression.md5Word32($"k").as("w"),
+        expr("CAST(conv(substring(md5(k),1,8),16,10) AS BIGINT)").as("w_sql"))
+      .filter($"w" =!= $"w_sql").count()
+    assert(bad == 0)
+  }
+
   // ---------------- hard negatives ----------------
 
   test("hard negatives: same-label candidates never mined; rank follows cosine") {
