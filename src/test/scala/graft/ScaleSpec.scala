@@ -513,4 +513,63 @@ class ScaleSpec extends AnyFunSuite {
         s"$name peak task memory ${e.peakTaskMem} B breached the ceiling")
     }
   }
+
+  // ---- wave-8 plan pins: the load-bearing shapes PLANS.md documents ----
+
+  private def planOf(name: String): String = {
+    val q = Queries.registry.find(_.name == name).get
+    q.fn(spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+  }
+  private def keyedExchanges(plan: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(plan).length
+
+  test("q143 DSIR: LLR broadcast, TakeOrdered selection, two keyed shuffles") {
+    val plan = planOf("q143_dsir_importance")
+    // the 4096-row model table must broadcast to the scoring pass, never
+    // shuffle-join against the feature stream
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // Gumbel top-k is a TakeOrdered tree-reduction, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // keyed stages: the bucket-model aggregate + the per-doc re-aggregate
+    // (the k-row rank window's SinglePartition is bounded by construction)
+    assert(keyedExchanges(plan) <= 2, s"${keyedExchanges(plan)} keyed:\n$plan")
+  }
+
+  test("q145 BPE: pair mining over word types, TakeOrdered top-k") {
+    val plan = planOf("q145_bpe_merges")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // word count + pair aggregate are the only keyed stages
+    assert(keyedExchanges(plan) <= 2, s"${keyedExchanges(plan)} keyed:\n$plan")
+  }
+
+  test("q146 hard negatives: anchors broadcast, rank-limit pushed below the shuffle") {
+    val plan = planOf("q146_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    // WindowGroupLimit must trim each partition to its per-anchor top-k
+    // BEFORE the qid exchange - the property that bounds the shuffle at
+    // |anchors|*k rows per partition regardless of corpus size
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(keyedExchanges(plan) <= 2, s"${keyedExchanges(plan)} keyed:\n$plan")
+  }
+
+  test("q147 dataset card: document text never rides the distinct shuffle") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val q = Queries.registry.find(_.name == "q147_dataset_card").get
+    val df = q.fn(spark, "/root/testdata/sf0.001")
+    val sp = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    // the conditional scan rebalance is ROUND-ROBIN and legitimately
+    // carries text (it exists to spread the tokenize/md5 work of a
+    // coarse local scan; a no-op on real multi-file inputs) — the pin
+    // is about the KEYED aggregation shuffles
+    val shuffles = sp.collect { case e: ShuffleExchangeExec => e }
+      .filterNot(_.outputPartitioning
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(e => !e.output.exists(_.name == "text")),
+      s"text must not ride the dataset-card keyed shuffles:\n$sp")
+  }
 }
