@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarityExpression, HyperplaneBucketExpression, L2SqExpression, MinHashSignatureExpression, MortonCodeExpression, PyRoundExpression, RollingHashExpression, SimHashExpression}
+import graft.functions.{CosineSimilarityExpression, HyperplaneBucketExpression, L2SqExpression, Md5RegisterExpression, Md5Word32Expression, MinHashSignatureExpression, MortonCodeExpression, PyRoundExpression, RollingHashExpression, SimHashExpression}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to plain SQL. Install at build time
@@ -23,6 +23,10 @@ import graft.functions.{CosineSimilarityExpression, HyperplaneBucketExpression, 
   *  - `cosine_sim(a, b)` / `l2_sq(a, b)` → DOUBLE vector kernels over
   *    ARRAY<DOUBLE> embeddings; `hyperplane_bucket(emb, nPlanes)` → LONG
   *    LSH bucket (graft.functions.VectorExpressions, codegen'd).
+  *  - `md5_register(key)` → INT packed HLL register pair reg*64+rho
+  *    (the q119 sketch state in one digest pass)
+  *  - `md5_word32(str)` → LONG first 32 md5 bits, unsigned (the
+  *    engine-portable content-bucket key)
   *  - `morton_code(a, b)` → LONG z-curve interleave of two 16-bit bucket
   *    ordinals (graft.functions.MortonCodeExpression; the kernel of
   *    operators.ZOrder's clustered layout).
@@ -111,6 +115,18 @@ object GraftExtensions {
         require(args.length == 2,
           "py_round(x, scale) takes exactly 2 arguments (scale literal)")
         PyRoundExpression(args.head, intLit(args(1), "scale", 0, 18))
+      }),
+    ("md5_register",
+      new ExpressionInfo(classOf[Md5RegisterExpression].getName, "md5_register"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "md5_register(key) takes exactly 1 argument")
+        Md5RegisterExpression(args.head)
+      }),
+    ("md5_word32",
+      new ExpressionInfo(classOf[Md5Word32Expression].getName, "md5_word32"),
+      { args: Seq[Expression] =>
+        require(args.length == 1, "md5_word32(str) takes exactly 1 argument")
+        Md5Word32Expression(args.head)
       }))
 
   /** Register on an already-built session (tests, REPLs). */

@@ -251,6 +251,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("rolling_hash"), plan)
   }
 
+  test("md5_register / md5_word32 registered for SQL; equal their hex contracts") {
+    GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT md5_register('42') AS pk,
+        |       CAST(conv(substring(md5('42'),1,2),16,10) AS INT) AS reg_sql,
+        |       md5_word32('hello') AS w,
+        |       CAST(conv(substring(md5('hello'),1,8),16,10) AS BIGINT) AS w_sql
+        |""".stripMargin).collect().head
+    assert(got.getAs[Int]("pk") >> 6 == got.getAs[Int]("reg_sql"))
+    assert((got.getAs[Int]("pk") & 63) >= 1 && (got.getAs[Int]("pk") & 63) <= 53)
+    assert(got.getAs[Long]("w") == got.getAs[Long]("w_sql"))
+  }
+
   test("vector kernels registered for SQL via GraftExtensions") {
     GraftExtensions.register(spark)
     val got = spark.sql(
