@@ -49,8 +49,45 @@ object Bench {
   private val SentinelChunk = 20
   private val SentinelDriftMax = 1.4
   private val SentinelMedianMax = 1.3
-  private val SentinelAbsRef =
-    sys.env.get("SPARK_GRAFT_SENTINEL_REF").map(_.toDouble).getOrElse(0.373)
+  // The 0.373 s idle reference is a property of ONE box (the judge-
+  // confirmed calibration host, identified below) — on any other
+  // machine the hardcoded value is meaningless: a slower host would be
+  // permanently flagged contended, a faster one never (ADVICE r10).
+  // Resolution order: explicit env override > per-host calibration
+  // file (written as a running min by every run, so it converges to
+  // the host's true idle floor) > the hardcoded value iff this IS the
+  // calibrated host > None (absolute check skipped with a loud
+  // warning; the two relative detectors still run).
+  private val CalibratedHost = "vm"
+  private def hostName: String =
+    try java.net.InetAddress.getLocalHost.getHostName
+    catch { case _: Throwable => "unknown" }
+  private def calibFile: java.nio.file.Path = java.nio.file.Paths.get(
+    sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_sentinel_ref_$hostName")
+  private val SentinelAbsRef: Option[Double] =
+    sys.env.get("SPARK_GRAFT_SENTINEL_REF").map(_.toDouble)
+      .orElse {
+        try {
+          if (java.nio.file.Files.exists(calibFile))
+            Some(new String(java.nio.file.Files.readAllBytes(calibFile), "UTF-8").trim.toDouble)
+          else None
+        } catch { case _: Throwable => None }
+      }
+      .orElse(if (hostName == CalibratedHost) Some(0.373) else None)
+  /** Running-min self-calibration: record this run's best (minimum)
+    * sentinel so later runs on this host have an idle reference even
+    * without the env var. Min-merged with any existing value — a
+    * loaded run can only leave the stored floor unchanged, never
+    * raise it. */
+  private def updateCalibration(runMin: Double): Unit =
+    try {
+      val prior =
+        if (java.nio.file.Files.exists(calibFile))
+          new String(java.nio.file.Files.readAllBytes(calibFile), "UTF-8").trim.toDouble
+        else Double.MaxValue
+      val v = math.min(prior, runMin)
+      java.nio.file.Files.write(calibFile, f"$v%.4f".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
   private val MaxChunkRetries = 2
 
   /** Constant-work probe: seconds for an agg over SentinelRows generated
@@ -111,19 +148,32 @@ object Bench {
     // every query: flag it from the median of the per-probe mins vs the
     // final (running-min) baseline; and load present for the WHOLE run
     // (baseline poisoned too) from the absolute host calibration.
+    if (SentinelAbsRef.isEmpty)
+      System.err.println(
+        s"[bench] WARNING: no idle sentinel reference for host '$hostName' " +
+          "(SPARK_GRAFT_SENTINEL_REF unset, no calibration file, not the " +
+          "calibrated box) — the ABSOLUTE contention check is skipped; " +
+          "per-probe and sustained-median checks still apply. This run " +
+          "seeds the per-host calibration file for future runs.")
     def sustainedDrift(): Boolean = probeMins.nonEmpty && {
       val sorted = probeMins.sorted
       val med = sorted(sorted.size / 2)
       med > sentinelBase * SentinelMedianMax ||
-        sentinelBase > SentinelAbsRef * SentinelMedianMax
+        SentinelAbsRef.exists(ref => sentinelBase > ref * SentinelMedianMax)
     }
 
+    // Per-query failed-ATTEMPT counter (ADVICE r10): min-of-successes
+    // merge means a query that deterministically fails in one tier but
+    // passes the other reports a clean number — the artifact must still
+    // show the failures so a cold-only regression stays visible.
+    val failCounts = scala.collection.mutable.LinkedHashMap[String, Int]()
     def timeQuery(q: Queries.Q): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          failCounts(q.name) = failCounts.getOrElse(q.name, 0) + 1
           false
         }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
@@ -158,6 +208,7 @@ object Bench {
         .mkString("{", ",", "}")
       val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
       println(f"""{"metric":"total_prodcold","value":$total%.3f,"unit":"sec","sf":"$sfDir","sentinel_base":$sentinelBase%.3f,"sentinels":$sj,"contended":$contended,"queries":$qj}""")
+      updateCalibration(sentinelBase)
       spark.stop()
       return
     }
@@ -211,16 +262,26 @@ object Bench {
     val total = totalOf(results)
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // Queries where one whole tier produced no sample (every attempt in
+    // that tier failed) but the other tier succeeded: the merged number
+    // is real, but the artifact must say it's one-tier-only (ADVICE r10).
+    val warmMap = warmByName.toMap
+    val partial = passA.collect {
+      case (n, a) if (a < 0) != (warmMap.getOrElse(n, -1.0) < 0) &&
+        merge(a, warmMap.getOrElse(n, -1.0)) >= 0 => "\"" + n + "\""
+    }.mkString("[", ",", "]")
+    val failCountsJ = failCounts
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
-    // Field order matters: the driver archives only a ~2000-char TAIL of
-    // this line, so the warm min-of-two "queries" dict — the tier every
-    // prior round's artifact shows, the round-over-round comparable —
-    // must print LAST. (Round 6 printed "queries_cold" last; its tail
-    // captured the cold tier instead and naive tail-vs-tail comparison
-    // fabricated 2-14x phantom regressions.) The cold tier prints first
-    // and the full line is also written to BENCH_DETAIL.json so neither
-    // tier is ever lost to the tail window.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,"sentinels":$sj,"contended":$contended,"queries":${qjson(results)}}"""
+    // Full record — both tiers, every query, the raw sentinel series,
+    // attempt-failure counts — goes to the DETAIL FILE. stdout gets a
+    // SHORT line instead: rounds 8-10 proved the ~5 KB full line never
+    // survives the driver's ~2000-char tail window (BENCH_r{8,9,10}.json
+    // all read "parsed": null), so the official artifact recorded no
+    // headline number three rounds running. The short line carries the
+    // totals, the audit verdict, and the 20 heaviest warm queries —
+    // under ~1.5 KB, so it parses from the tail.
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"partial":$partial,"attempt_failures":$failCountsJ,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,"sentinels":$sj,"contended":$contended,"queries":${qjson(results)}}"""
     // Detail file lands next to the checkout being benched: env override
     // first, else the working directory (NOT a hardcoded absolute path —
     // a bench run from another checkout must not write into this one).
@@ -232,7 +293,10 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    println(line)
+    val topWarm = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val shortLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_cold":${totalOf(passA)}%.3f,"n_queries":${results.size},"failed":$failed,"partial":$partial,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,"contended":$contended,"detail":"$detailPath","queries":${qjson(topWarm)}}"""
+    println(shortLine)
+    updateCalibration(sentinelBase)
     spark.stop()
   }
 }

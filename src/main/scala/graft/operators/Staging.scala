@@ -84,7 +84,21 @@ object Staging {
     // stage dir, or set SPARK_GRAFT_STAGE_REFRESH=1 to force re-derive.
     val force = sys.env.get("SPARK_GRAFT_STAGE_REFRESH").contains("1")
     if (force) deleteRecursively(dir)
-    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+    // A failed atomic rename does NOT prove a concurrent stager won: the
+    // target may be a STALE PARTIAL dir — an interrupted
+    // SPARK_GRAFT_STAGE_REFRESH deleteRecursively, or anything created
+    // outside the write-tmp-then-rename protocol (ADVICE r10). Only the
+    // `_SUCCESS` marker certifies completeness, so after a lost rename
+    // re-check it; if absent, the blocker is garbage — delete it and
+    // retry the stage rather than silently reading truncated parquet.
+    var attempts = 0
+    while (!Files.exists(dir.resolve("_SUCCESS")) && attempts < 3) {
+      attempts += 1
+      // Under the protocol a stage dir appears atomically and complete,
+      // so dir-present-but-unmarked is stale garbage by definition —
+      // clear it up front so the rename below can land.
+      if (Files.exists(dir) && !Files.exists(dir.resolve("_SUCCESS")))
+        deleteRecursively(dir)
       val tmp = stageRoot.resolve(
         s".${dir.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       derive.write.mode("overwrite").parquet(tmp.toString)
@@ -92,10 +106,15 @@ object Staging {
       catch {
         case _: java.nio.file.FileAlreadyExistsException |
             _: java.nio.file.DirectoryNotEmptyException =>
-          // a concurrent stager won the rename: use theirs, drop ours
           deleteRecursively(tmp)
+          if (!Files.exists(dir.resolve("_SUCCESS"))) deleteRecursively(dir)
       }
     }
+    if (!Files.exists(dir.resolve("_SUCCESS")))
+      throw new IllegalStateException(
+        s"stage dir $dir has no _SUCCESS marker after $attempts attempts — " +
+          "a stale partial stage dir keeps winning the rename race; " +
+          "delete it manually or point SPARK_GRAFT_STAGE_DIR elsewhere")
     spark.read.parquet(dir.toString)
   }
 

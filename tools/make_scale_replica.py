@@ -63,17 +63,22 @@ for t in ("nation", "region"):
 # characters original so 10x probes measure the operator.
 #
 # Caveat: a suffix only disambiguates the 12-char block window when the
-# FIRST token is shorter than the window. A doc whose first token is
-# >= 12 chars would keep an identical block key across all replicas
-# (its suffix falls outside the window), re-concentrating the r9
-# quadratic artifact on long-leading-token docs — so exactly those
-# first tokens ALSO get an in-window 'r<i>_' prefix. Conditional, so
-# corpora without such docs (this testdata has none: verified 0 at
-# sf0.01/sf0.1) are byte-identical to the plain-suffix scheme.
+# first replica-distinguishing character of the '_r<i>' suffix still
+# falls INSIDE the window. The suffix occupies positions
+# L+1 .. L+2+len(i) after a first token of length L, so the digit is
+# in-window only when L + 2 + len(i) <= 12. Docs over that bound would
+# keep an identical block key across all replicas, re-concentrating
+# the r9 quadratic artifact on long-leading-token docs — so exactly
+# those first tokens ALSO get an in-window 'r<i>_' prefix. (ADVICE r10:
+# an earlier version prefixed only at L >= 12, leaving L = 10..11
+# ambiguous — single-digit indices put the digit at L+3 > 12.)
+# Conditional, so corpora whose docs all satisfy the bound are
+# byte-identical to the plain-suffix scheme.
 con.sql(
     f"COPY (SELECT doc_id + r.i * {SHIFT} AS doc_id, "
     f"  array_to_string(list_prepend("
-    f"      (CASE WHEN length(l[1]) >= 12 THEN 'r' || r.i || '_' "
+    f"      (CASE WHEN length(l[1]) + 2 + length(CAST(r.i AS VARCHAR)) > 12 "
+    f"            THEN 'r' || r.i || '_' "
     f"            ELSE '' END) || l[1] || '_r' || r.i, "
     f"      list_transform(l[2:], t -> t || '_r' || r.i)), ' ') AS text, "
     f"  lang, source, n_chars "
