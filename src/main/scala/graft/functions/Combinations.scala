@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.graftbridge.SqlBridge.AbstractDataType
+import org.apache.spark.sql.types._
+
+/** All C(k,3) ordered triples of a SORTED long array as one codegen'd
+  * scalar expression — the basket-expansion kernel of the frequent-
+  * itemset queries (q114).
+  *
+  * Replaces the higher-order-function formulation
+  *
+  * {{{ flatten(flatten(transform(sequence(0, n-3), i ->
+  *       transform(sequence(i+1, n-2), j ->
+  *         transform(sequence(j+1, n-1), k -> struct(...)))))) }}}
+  *
+  * which pays twice: janino has to compile the triply-nested lambda
+  * tree (seconds of codegen on first call — the dominant COLD cost of
+  * q114), and evaluation allocates a `sequence` array plus nested
+  * array-of-array shells per basket before flattening. Here the same
+  * triples come out of one flat three-level loop writing structs
+  * directly — no intermediate arrays, trivial codegen (a single static
+  * call), identical output order (lexicographic in (i,j,k), which over
+  * a sorted input is lexicographic in (p1,p2,p3)).
+  *
+  * Null array elements are not expected (inputs come from
+  * `collect_set`) and would NPE-free read as 0 via `getLong` — callers
+  * own pre-filtering, as with the HOF shape. */
+case class Combinations3Expression(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("p1", LongType, nullable = false),
+      StructField("p2", LongType, nullable = false),
+      StructField("p3", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "combinations3"
+  override def foldable: Boolean = child.foldable
+
+  override def nullSafeEval(input: Any): Any =
+    Combinations3Expression.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Combinations3Expression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Combinations3Expression =
+    copy(child = newChild)
+}
+
+object Combinations3Expression {
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def compute(items: ArrayData): ArrayData = {
+    val n = items.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[AnyRef])
+    val v = items.toLongArray()
+    val out = new Array[AnyRef](n * (n - 1) * (n - 2) / 6)
+    var w = 0
+    var i = 0
+    while (i < n - 2) {
+      var j = i + 1
+      while (j < n - 1) {
+        var k = j + 1
+        while (k < n) {
+          val row = new GenericInternalRow(3)
+          row.setLong(0, v(i)); row.setLong(1, v(j)); row.setLong(2, v(k))
+          out(w) = row
+          w += 1
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column API: `combinations3(sortedLongs)` → array of (p1,p2,p3)
+    * structs. */
+  def combinations3(sortedLongs: Column): Column =
+    SqlBridge.column(Combinations3Expression(SqlBridge.expression(sortedLongs)))
+}

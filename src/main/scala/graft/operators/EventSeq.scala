@@ -112,17 +112,27 @@ object EventSeq {
       tsCol: String, typeCol: String): DataFrame = {
     val ev = events.select(col(entityCol).as("ent"),
       col(typeCol).as("ty"), col(tsCol).as("ts"))
-    val a = ev.groupBy(col("ent"), col("ty").as("e1"))
-      .agg(min(col("ts")).as("t1"))
-    val ab = ev.join(a, "ent")
-      .filter(col("ts") > col("t1"))
-      .groupBy(col("ent"), col("e1"), col("ty").as("e2"))
-      .agg(min(col("ts")).as("t2"))
-    ev.join(ab, "ent")
-      .filter(col("ts") > col("t2"))
-      .select(col("ent"), col("e1"), col("e2"), col("ty").as("e3"))
-      .distinct()
-      .groupBy(col("e1"), col("e2"), col("e3"))
+    // ONE entity-keyed aggregation (events ride the shuffle once, as
+    // bare timestamps), then the whole greedy-witness pattern search
+    // runs in-row per entity (functions/SeqPatterns — binary search for
+    // "earliest e2 after first e1", max-time check for e3). The former
+    // three-hop join shape shuffled entities × patterns × events
+    // intermediates; this shuffles each event once and each entity's
+    // T-type summary once. sort_array on the struct makes the per-
+    // entity summary order (and so the emitted pattern order)
+    // deterministic — output equality never rides collect_list order.
+    val perType = ev.groupBy(col("ent"), col("ty"))
+      .agg(min(col("ts")).as("first"), max(col("ts")).as("maxt"),
+        sort_array(collect_list(col("ts"))).as("tss"))
+    val perUser = perType.groupBy(col("ent"))
+      .agg(sort_array(collect_list(
+        struct(col("ty"), col("first"), col("maxt"), col("tss")))).as("tys"))
+    perUser
+      .select(explode(
+        graft.functions.SequentialPatternsExpression.seqPatterns(col("tys")))
+        .as("p"))
+      .groupBy(col("p.e1").as("e1"), col("p.e2").as("e2"),
+        col("p.e3").as("e3"))
       .agg(count(lit(1)).as("n_entities"))
   }
 }

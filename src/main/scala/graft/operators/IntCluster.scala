@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   *    of the vector side; argmin is a `min(struct(dist, k))` partial agg
   *    keyed on the vector id (co-keyed with the input, no extra wide
   *    exchange of vector payloads);
-  *  - update: posexplode to (cluster, dim, value) then one hash
-  *    aggregate — partial aggregation collapses each map task to ≤ k·d
-  *    rows before the shuffle, so shuffle volume is k·d·partitions
-  *    regardless of corpus size.
+  *  - update: one elementwise vector-sum aggregate (functions/VectorSum)
+  *    — map-side partials collapse each task to ≤ k arrays before the
+  *    shuffle, so shuffle volume is k·d·partitions regardless of corpus
+  *    size (and no rows × dims posexplode ever materializes).
   */
 object IntCluster {
 
@@ -42,16 +42,19 @@ object IntCluster {
     * absent from `members` keep their `prev` centroid (deterministic
     * empty-cluster rule). */
   private def updateCentroids(members: DataFrame, prev: DataFrame): DataFrame = {
+    // elementwise vector-sum aggregate (functions/VectorSum): one array
+    // per (partition, cluster) rides the exchange — the posexplode →
+    // groupBy (cluster, dim) shape it replaces shuffled rows × dims
+    // exploded rows per round. Exact 64-bit addition either way; `div`
+    // truncates toward zero — the cross-engine contract for the
+    // (possibly negative) code sums.
     val sums = members
-      .select(col("cluster"), posexplode(col("codes")).as(Seq("pos", "v")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      // `div` truncates toward zero — the cross-engine contract for the
-      // (possibly negative) code sums
-      .select(col("cluster"), col("pos"), expr("s div n").cast("int").as("cv"))
       .groupBy(col("cluster"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("codes_new"))
+      .agg(graft.functions.VectorSumLongs.vectorSum(
+          col("codes").cast("array<long>")).as("vsum"),
+        count(lit(1)).as("n"))
+      .select(col("cluster"),
+        expr("transform(vsum, s -> CAST(s div n AS INT))").as("codes_new"))
     prev.join(sums, Seq("cluster"), "left")
       .select(col("cluster"),
         coalesce(col("codes_new"), col("codes")).as("codes"))
@@ -150,14 +153,15 @@ object IntCluster {
       codesCol: String): DataFrame = {
     val vecs = df.select(col(idCol).cast("long").as("id"),
       col(groupCol).as("grp"), col(codesCol).as("codes"))
+    // same vector-sum shape as [[updateCentroids]]: groups × dims values
+    // on the exchange instead of a rows × dims posexplode
     val centroids = vecs
-      .select(col("grp"), posexplode(col("codes")).as(Seq("pos", "v")))
-      .groupBy(col("grp"), col("pos"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-      .select(col("grp"), col("pos"), expr("s div n").cast("int").as("cv"))
       .groupBy(col("grp"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cv")))),
-        s => s.getField("cv")).as("ccodes"))
+      .agg(graft.functions.VectorSumLongs.vectorSum(
+          col("codes").cast("array<long>")).as("vsum"),
+        count(lit(1)).as("n"))
+      .select(col("grp"),
+        expr("transform(vsum, s -> CAST(s div n AS INT))").as("ccodes"))
     val wRank = Window.partitionBy(col("grp"))
       .orderBy(col("dist2").desc, col("id"))
     val wCnt = Window.partitionBy(col("grp"))

@@ -148,6 +148,22 @@ object Similarity {
   def ivfKnn(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    ivfKnnProbe(ivfIndex(corpus, nCentroids, idCol, embCol),
+      queries, k, nProbe, idCol, embCol)
+
+  /** IVF index build — the OFFLINE half of [[ivfKnn]], split out so
+    * callers can stage it (operators/Staging) instead of re-fitting the
+    * coarse quantizer on every query call: index construction is a
+    * one-off batch job in any real ANN deployment, and re-running 8
+    * KMeans passes per probe query was the dominant per-call cost.
+    *
+    * Returned as ONE frame so a stage write is a single atomic parquet
+    * dir: assignment rows (`neighbor_id`, `cell`, `emb`) plus codebook
+    * rows encoded with `neighbor_id` NULL and `emb` = the centroid.
+    * [[ivfKnnProbe]] splits them back on `neighbor_id IS NULL`. */
+  def ivfIndex(
+      corpus: DataFrame, nCentroids: Int = 16,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -168,12 +184,26 @@ object Similarity {
     // input from the scan; the cache existed for the 8 fit passes
     fe.unpersist(blocking = false)
     val assigned = model.transform(fe).select(
-      col("neighbor_id"), col("emb"), col("cell"))
-    // centroid table as plain arrays, broadcast to rank probe cells per query
+      col("neighbor_id"), col("cell"), col("emb"))
+    val idType = assigned.schema("neighbor_id").dataType
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "centroid")
+      .map { case (v, i) => (i, v.toArray) }.toSeq.toDF("cell", "emb")
+      .select(lit(null).cast(idType).as("neighbor_id"), col("cell"),
+        col("emb"))
+    assigned.unionByName(centroids)
+  }
+
+  /** Probe-time half of [[ivfKnn]] over a pre-built (possibly staged)
+    * [[ivfIndex]] frame. */
+  def ivfKnnProbe(
+      index: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 2,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val assigned = index.filter(col("neighbor_id").isNotNull)
+    // centroid table as plain arrays, broadcast to rank probe cells per query
+    val centroids = index.filter(col("neighbor_id").isNull)
+      .select(col("cell"), col("emb").as("centroid"))
     val q = queries.select(col(idCol).as("qid"),
       col(embCol).cast("array<double>").as("qemb"))
     val probeW = Window.partitionBy(col("qid"))
