@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.operators.{BloomJoin, DistinctSketch, Dsir, Sampling, TfIdf, TopK, UniMax, ZOrder}
@@ -773,6 +774,12 @@ object QueriesPipeline {
         col("o_custkey").as("cust"))
     val dayRegs = DistinctSketch.registers(dc, Seq("day"), "cust")
     val days = dc.select(col("day").as("d")).distinct()
+    // ×7 register expansion, kept deliberately: per-day register hits
+    // are SPARSE (~m·(1−e^{−n_day/m}) of the 256 registers), so the
+    // expansion shuffles ≈ 7·hits rows — measured cheaper than the
+    // dense (day × 256) grid a range-frame window merge needs (the
+    // grid quadruples the row count at this corpus's per-day
+    // cardinality and pays two extra exchanges).
     val rolled = dayRegs.withColumn("k", explode(expr("sequence(0, 6)")))
       .select(expr("date_add(day, k)").as("d"), col("reg"), col("max_rho"))
       .join(broadcast(days), "d")

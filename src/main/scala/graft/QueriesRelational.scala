@@ -728,10 +728,39 @@ object QueriesRelational {
       .select(to_date(col("o_orderdate")).as("day"),
         col("o_custkey").as("cust")).distinct()
     val days = dc.select(col("day").as("d")).distinct()
-    dc.withColumn("k", explode(expr("sequence(0, 6)")))
-      .select(expr("date_add(day, k)").as("d"), col("cust"))
+    // interval sweep instead of ×7 expansion + countDistinct: each
+    // customer's order days chain into MERGED coverage intervals
+    // [first, last+6] (a new interval starts when the gap to the
+    // previous order day exceeds the 6-day reach, so intervals of one
+    // customer never overlap), every interval contributes +1 at its
+    // start and −1 past its end, and active_7d(d) is the running sum
+    // of those deltas at d. The heavy exchanges carry the distinct
+    // (day, cust) pairs once and then ≤ one delta pair per order day
+    // — no 7× row expansion, no Expand for a distinct-count (the
+    // merged intervals make each customer count exactly once per
+    // covered day by construction).
+    val wc = Window.partitionBy(col("cust")).orderBy(col("day"))
+    val intervals = dc
+      .withColumn("gap", datediff(col("day"), lag(col("day"), 1).over(wc)))
+      .withColumn("ivl",
+        sum(when(col("gap").isNull || col("gap") > 6, 1L).otherwise(0L))
+          .over(wc))
+      .groupBy(col("cust"), col("ivl"))
+      .agg(min(col("day")).as("s"), date_add(max(col("day")), 7).as("e1"))
+    val deltas = intervals.select(
+        explode(array(
+          struct(col("s").as("d"), lit(1L).as("delta")),
+          struct(col("e1").as("d"), lit(-1L).as("delta")))).as("x"))
+      .select(col("x.d").as("d"), col("x.delta").as("delta"))
+      .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+    // running sum over the (tiny) sorted boundary∪report day axis,
+    // then keep the real report days
+    val wd = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(deltas, Seq("d"), "full")
+      .withColumn("active_7d", sum(coalesce(col("delta"), lit(0L))).over(wd))
       .join(broadcast(days), "d") // keep real report days only
-      .groupBy(col("d")).agg(countDistinct(col("cust")).as("active_7d"))
+      .select(col("d"), col("active_7d"))
       .orderBy(col("d"))
   }
 
