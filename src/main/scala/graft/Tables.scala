@@ -51,9 +51,22 @@ object Tables {
   private val relayoutKeys = Map(
     // sort keys are UNIQUE per row (primary key + line number), so the
     // frozen layout is one deterministic function of the data — no
-    // arrival-order tie survives into the staged file
-    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
-    "orders"   -> Seq("o_orderkey"))
+    // arrival-order tie survives into the staged file.
+    // documents/embeddings are row-count-small but CPU-heavy per row
+    // (regex/tokenize/vector math), and Catalyst legitimately pushes
+    // those projections/filters down to the scan — which on a single-
+    // row-group file means ONE core does all of it (the q56 quality
+    // filter measured 1.3 s single-task at sf0.1). Splitting the scan
+    // parallelizes the pushed-down work itself, which no post-scan
+    // `rebalance` exchange can (the push-down lands below it).
+    // embeddings deliberately NOT relayouted: 2k rows carry no scan
+    // parallelism to win, and the KMeans coarse quantizer's random init
+    // samples BY PARTITION — re-splitting the file re-rolls every
+    // fitted codebook, destabilizing the probabilistic recall margins
+    // the IVF/LSH specs pin against the raw fixture.
+    "lineitem"   -> Seq("l_orderkey", "l_linenumber"),
+    "orders"     -> Seq("o_orderkey"),
+    "documents"  -> Seq("doc_id"))
   private def relayout(spark: SparkSession, sfDir: String,
       name: String): DataFrame = {
     val raw = path(sfDir, name)
