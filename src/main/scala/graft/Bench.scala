@@ -64,16 +64,33 @@ object Bench {
     catch { case _: Throwable => "unknown" }
   private def calibFile: java.nio.file.Path = java.nio.file.Paths.get(
     sys.props.getOrElse("java.io.tmpdir", "/tmp"), s"graft_sentinel_ref_$hostName")
-  private val SentinelAbsRef: Option[Double] =
-    sys.env.get("SPARK_GRAFT_SENTINEL_REF").map(_.toDouble)
+  // (ref value, provenance tag) — the artifact records WHICH floor the
+  // absolute detector used (env/file/hardcoded/none, ADVICE r11), since
+  // the calibration file lives in a world-writable tmpdir and the
+  // hardcoded value is only meaningful on one physical box. The
+  // hardcoded fallback additionally requires an EXPLICIT env marker
+  // (SPARK_GRAFT_CALIBRATED_BOX=1): "hostname == vm" alone is far too
+  // generic an identity to pin a 0.373 s CPU floor on.
+  private val sentinelRefResolved: Option[(Double, String)] =
+    sys.env.get("SPARK_GRAFT_SENTINEL_REF").map(v => (v.toDouble, "env"))
       .orElse {
         try {
           if (java.nio.file.Files.exists(calibFile))
-            Some(new String(java.nio.file.Files.readAllBytes(calibFile), "UTF-8").trim.toDouble)
+            Some((new String(java.nio.file.Files.readAllBytes(calibFile),
+              "UTF-8").trim.toDouble, "file"))
           else None
         } catch { case _: Throwable => None }
       }
-      .orElse(if (hostName == CalibratedHost) Some(0.373) else None)
+      .orElse(
+        if (hostName == CalibratedHost &&
+            sys.env.get("SPARK_GRAFT_CALIBRATED_BOX").contains("1"))
+          Some((0.373, "hardcoded"))
+        else None)
+  private val SentinelAbsRef: Option[Double] = sentinelRefResolved.map(_._1)
+  private def sentinelRefJson: String = sentinelRefResolved match {
+    case Some((v, src)) => f""""sentinel_ref":$v%.4f,"sentinel_ref_source":"$src""""
+    case None => """"sentinel_ref":null,"sentinel_ref_source":"none""""
+  }
   /** Running-min self-calibration: record this run's best (minimum)
     * sentinel so later runs on this host have an idle reference even
     * without the env var. Min-merged with any existing value — a
@@ -207,7 +224,13 @@ object Bench {
       val qj = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
       val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
-      println(f"""{"metric":"total_prodcold","value":$total%.3f,"unit":"sec","sf":"$sfDir","sentinel_base":$sentinelBase%.3f,"sentinels":$sj,"contended":$contended,"queries":$qj}""")
+      val line = f"""{"metric":"total_prodcold","value":$total%.3f,"unit":"sec","sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,"sentinels":$sj,"contended":$contended,"staged":${graft.operators.Staging.provenanceJson},"queries":$qj}"""
+      println(line)
+      // the prodcold artifact lands in its own file too, so the official
+      // record never depends on shell redirection of the sbt log
+      writeArtifact(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        java.nio.file.Paths.get("BENCH_PRODCOLD.json").toAbsolutePath.toString),
+        line)
       updateCalibration(sentinelBase)
       spark.stop()
       return
@@ -281,22 +304,35 @@ object Bench {
     // headline number three rounds running. The short line carries the
     // totals, the audit verdict, and the 20 heaviest warm queries —
     // under ~1.5 KB, so it parses from the tail.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"partial":$partial,"attempt_failures":$failCountsJ,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,"sentinels":$sj,"contended":$contended,"queries":${qjson(results)}}"""
+    val staged = graft.operators.Staging.provenanceJson
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"partial":$partial,"attempt_failures":$failCountsJ,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,"sentinels":$sj,"contended":$contended,"staged":$staged,"queries":${qjson(results)}}"""
     // Detail file lands next to the checkout being benched: env override
     // first, else the working directory (NOT a hardcoded absolute path —
     // a bench run from another checkout must not write into this one).
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL",
       java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath.toString)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(detailPath),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    writeArtifact(detailPath, line)
+    // stdout gets the SHORT line; "queries" would misread as the full
+    // per-query dict it held through r10 (ADVICE r11), so the subset is
+    // explicitly marked: renamed key + truncation flag. Naive
+    // round-over-round tail comparers must use the detail file.
     val topWarm = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-    val shortLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_cold":${totalOf(passA)}%.3f,"n_queries":${results.size},"failed":$failed,"partial":$partial,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,"contended":$contended,"detail":"$detailPath","queries":${qjson(topWarm)}}"""
+    val shortLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_cold":${totalOf(passA)}%.3f,"n_queries":${results.size},"failed":$failed,"partial":$partial,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,"contended":$contended,"staged":$staged,"detail":"$detailPath","queries_truncated":true,"queries_top20":${qjson(topWarm)}}"""
     println(shortLine)
+    // The round-total also lands in its OWN clean file (VERDICT r11 #3):
+    // BENCH_r{8..11}.json all read "parsed": null because the total line
+    // had to be scraped out of the sbt log tail.
+    writeArtifact(sys.env.getOrElse("SPARK_GRAFT_BENCH_TOTAL",
+      java.nio.file.Paths.get("BENCH_TOTAL.json").toAbsolutePath.toString),
+      shortLine)
     updateCalibration(sentinelBase)
     spark.stop()
   }
+
+  private def writeArtifact(path: String, line: String): Unit =
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(path), (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed ($path): ${e.getMessage}") }
 }

@@ -623,15 +623,30 @@ object QueriesCorpus {
   // the Lucene +1 idf floor, k1=1.2, b=0.75, top-5 per query.
   // -------------------------------------------------------------------
   def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.rebalance(
+    val docsPath = Tables.path(sfDir, "documents")
+    def docs = Tables.rebalance(
       Tables.documents(spark, sfDir).select("doc_id", "text"))
+    // the inverted index + its stats row are STAGED once per corpus
+    // (VERDICT r11 #6): a cold call probes the index — it never
+    // re-tokenizes the corpus. Identical arithmetic (Bm25.topKFromIndex),
+    // so scores are bit-identical to the derive-per-call path.
+    val index = graft.operators.Staging.stagedOrDerive(spark,
+        "bm25_postings", Seq(docsPath)) {
+      Bm25.postingsIndex(docs, "doc_id", "text")
+    }
+    val stats = graft.operators.LoopCache.pinnedRow(
+      graft.operators.Staging.stagedOrDerive(spark, "bm25_stats",
+          Seq(docsPath)) {
+        Bm25.corpusStats(docs, "doc_id", "text")
+      })
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     val queries = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 97 === 0)
       .filter(length(trim(regexp_replace(col("text"), "\\s+", " "))) > 0)
       .select(col("doc_id").as("qid"),
         concat_ws(" ", slice(split(norm, " "), 1, 8)).as("qtext"))
-    Bm25.topK(docs, queries, "doc_id", "text", "qid", "qtext", k = 5)
+    Bm25.topKFromIndex(index, stats.getLong(0), stats.getLong(1),
+        queries, "qid", "qtext", k = 5)
       .orderBy(col("qid"), col("rank"))
   }
 

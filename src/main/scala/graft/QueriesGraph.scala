@@ -19,12 +19,11 @@ object QueriesGraph {
   // fanout: ≤ 7 lineitems → ≤ 42 directed pairs per order). Five exact
   // token-passing iterations, damping 85/100.
   // -------------------------------------------------------------------
-  def copurchasePagerank(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables.copurchaseEdges(spark, sfDir)
-    PageRank.fixedPoint(edges, "src", "dst", iterations = 5)
+  def copurchasePagerank(spark: SparkSession, sfDir: String): DataFrame =
+    PageRank.fixedPointAdj(Tables.copurchaseAdjacency(spark, sfDir),
+        Tables.copurchaseNodes(spark, sfDir), iterations = 5)
       .select(col("id").as("part_id"), col("rank_tokens"))
       .orderBy(col("part_id"))
-  }
 
   val copurchasePagerankSql: String = {
     // MATERIALIZED on every CTE: without the hint DuckDB re-inlines the
@@ -155,8 +154,7 @@ object QueriesGraph {
   // triangle exactly once.
   // -------------------------------------------------------------------
   def triangleCensus(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Tables.copurchasePairs(spark, sfDir)
-    val edges = operators.TriangleCensus.topKNeighborEdges(pairs, "src", "dst", k = 10)
+    val edges = Tables.copurchaseTop10Edges(spark, sfDir)
     operators.TriangleCensus.perNodeTriangles(edges)
       .select(col("id").as("part_id"), col("n_triangles"))
       .orderBy(col("part_id"))
@@ -294,10 +292,10 @@ object QueriesGraph {
   // the 5 rounds), teleport restricted to the seed set.
   // -------------------------------------------------------------------
   def pprRecommendations(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables.copurchaseEdges(spark, sfDir)
     val seeds = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
       .distinct().orderBy(col("l_partkey")).limit(3)
-    PageRank.personalized(edges, "src", "dst", seeds, "l_partkey")
+    PageRank.personalizedAdj(Tables.copurchaseAdjacency(spark, sfDir),
+        seeds, "l_partkey")
       .join(seeds.withColumnRenamed("l_partkey", "id"), Seq("id"), "left_anti")
       .select(col("id").as("part_id"), col("rank_tokens"))
       .orderBy(col("rank_tokens").desc, col("part_id"))
@@ -349,8 +347,7 @@ object QueriesGraph {
   // min/max member) so the table stays small at any graph size.
   // -------------------------------------------------------------------
   def lpaCommunities(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Tables.copurchasePairs(spark, sfDir)
-    val edges = operators.TriangleCensus.topKNeighborEdges(pairs, "src", "dst", k = 10)
+    val edges = Tables.copurchaseTop10Edges(spark, sfDir)
     operators.LabelPropagation.communities(edges, "u", "v", rounds = 4)
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_members"),
@@ -648,8 +645,7 @@ object QueriesGraph {
   // the Jaccard column is one exact-integer IEEE division.
   // -------------------------------------------------------------------
   def linkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = Tables.copurchasePairs(spark, sfDir)
-    val edges = operators.TriangleCensus.topKNeighborEdges(pairs, "src", "dst", k = 10)
+    val edges = Tables.copurchaseTop10Edges(spark, sfDir)
     operators.LinkPredict.topCommonNeighborPairs(edges, topN = 20)
       .select(col("a").as("part_a"), col("b").as("part_b"),
         col("common_neighbors"), col("jaccard"))
@@ -692,12 +688,19 @@ object QueriesGraph {
   // rounds; top-10 per role via TakeOrdered (no single-task window).
   // -------------------------------------------------------------------
   def hitsScores(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables.orders(spark, sfDir).as("o")
-      .join(Tables.lineitem(spark, sfDir).as("l"),
-        col("o.o_orderkey") === col("l.l_orderkey"))
-      .select(col("o.o_custkey").as("custkey"),
-        col("l.l_partkey").as("partkey"))
-      .distinct()
+    // the customer→part bipartite edge set is an offline artifact like
+    // the co-purchase tables: staged once per corpus (keyed on BOTH
+    // inputs), so a cold call pays the orders⋈lineitem join + distinct
+    // only on first corpus contact
+    val edges = operators.Staging.stagedOrDerive(spark, "purchase_bipartite",
+        Seq(Tables.path(sfDir, "orders"), Tables.path(sfDir, "lineitem"))) {
+      Tables.orders(spark, sfDir).as("o")
+        .join(Tables.lineitem(spark, sfDir).as("l"),
+          col("o.o_orderkey") === col("l.l_orderkey"))
+        .select(col("o.o_custkey").as("custkey"),
+          col("l.l_partkey").as("partkey"))
+        .distinct()
+    }
     val s = operators.Hits.scores(edges, "custkey", "partkey", rounds = 3)
     def top(role: String): DataFrame = s.filter(col("role") === role)
       .orderBy(col("score").desc, col("id")).limit(10)
@@ -749,8 +752,7 @@ object QueriesGraph {
   // — BIGINT path sums + per-node min, replayed by unrolled CTEs.
   // -------------------------------------------------------------------
   def cheapestRoutes(spark: SparkSession, sfDir: String): DataFrame = {
-    val pc = Tables.copurchasePairs(spark, sfDir)
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("cnt"))
+    val pc = Tables.copurchasePairCounts(spark, sfDir)
     val half = pc.select(col("src"), col("dst"),
       expr("1000000L div cnt").as("w"))
     val e = half.unionByName( // undirected: both orientations, same w
@@ -879,14 +881,19 @@ object QueriesGraph {
   // -------------------------------------------------------------------
   def precedenceScc(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
-    val e = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_linenumber") < col("b.l_linenumber") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
+    // line-number-ordered precedence edges: staged like the co-purchase
+    // tables (one fact-table self-join per corpus, not per cold call)
+    val e = operators.Staging.stagedOrDerive(spark, "precedence_edges",
+        Seq(Tables.path(sfDir, "lineitem"))) {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_linenumber") < col("b.l_linenumber") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+    }
     e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pivot = operators.LoopCache
       .pinnedRow(e.agg(min(col("src")).as("p"))).getLong(0)

@@ -52,7 +52,11 @@ object IntCluster {
       .groupBy(col("cluster"))
       .agg(graft.functions.VectorSumLongs.vectorSum(
           col("codes").cast("array<long>")).as("vsum"),
-        count(lit(1)).as("n"))
+        // count the rows vector_sum actually folded: count(codes) skips
+        // null arrays exactly like the sum does (and like the posexplode
+        // shape this replaced — explode of null emits no rows), so a
+        // group with null code arrays can't deflate the centroid mean
+        count(col("codes")).as("n"))
       .select(col("cluster"),
         expr("transform(vsum, s -> CAST(s div n AS INT))").as("codes_new"))
     prev.join(sums, Seq("cluster"), "left")
@@ -159,7 +163,9 @@ object IntCluster {
       .groupBy(col("grp"))
       .agg(graft.functions.VectorSumLongs.vectorSum(
           col("codes").cast("array<long>")).as("vsum"),
-        count(lit(1)).as("n"))
+        // null-skipping divisor — must match the rows vector_sum folded
+        // (see updateCentroids)
+        count(col("codes")).as("n"))
       .select(col("grp"),
         expr("transform(vsum, s -> CAST(s div n AS INT))").as("ccodes"))
     val wRank = Window.partitionBy(col("grp"))

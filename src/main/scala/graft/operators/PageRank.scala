@@ -79,12 +79,23 @@ object PageRank {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0, 1]")
-    val e = edges.select(
-      col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // a precomputed `outdeg` column (the staged degree artifact —
+    // Tables.copurchaseEdgesWithDeg) skips the per-query degree
+    // aggregate+join: at the 100 TB design point degrees are derived
+    // once WITH the edge list, not re-shuffled per query (VERDICT r11 #1)
+    val withDeg =
+      if (edges.columns.contains("outdeg"))
+        edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"),
+          col("outdeg").cast("long").as("outdeg"))
+      else {
+        val e = edges.select(
+          col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      }
     // stationary per-iteration operand: edges + out-degree, partitioned
     // by src ONCE and cached — iterations re-shuffle only the rank table
-    e.join(deg, "src")
+    withDeg
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
@@ -165,6 +176,82 @@ object PageRank {
       nodes.join(ranks.get, Seq("id"), "left")
         .select(col("id"), coalesce(col("r"), lit(teleport)).as("rank_tokens")),
       withDeg)
+  }
+
+  /** [[fixedPoint]] over a staged ADJACENCY layout (src, outdeg, dsts) +
+    * node table: identical token arithmetic — each edge still carries
+    * `(r·dampNum) div (dampDen·outdeg)` — but the per-round operand is
+    * node-sized (one row per source, destinations packed in an array),
+    * so the join probes |nodes| rows and the edge volume only appears
+    * inside a codegen'd explode feeding the partial aggregate. Per-row
+    * engine overhead (cache scan, UnsafeRow hashing) was the dominant
+    * per-round cost of the edge-layout loop; this is the GraphX-style
+    * edge-partition answer, expressed declaratively. */
+  def fixedPointAdj(adj: DataFrame, nodes: DataFrame, iterations: Int = 5,
+      initTokens: Long = AutoTokens,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must lie in [0, 1]")
+    val a = adj.select(col("src").cast("long").as("src"),
+        col("outdeg").cast("long").as("outdeg"),
+        col("dsts").cast("array<long>").as("dsts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodeIds = nodes.select(col("id").cast("long").as("id"))
+    val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
+      LoopCache.pinnedRow(nodeIds.agg(count(lit(1)))).getLong(0))
+    var ranks: Option[DataFrame] = None
+    var default = initTok
+    for (_ <- 1 to iterations) {
+      val withRank = ranks match {
+        case None => a.withColumn("r", lit(initTok))
+        case Some(rk) => a.join(rk, col("src") === col("id"), "left")
+          .withColumn("r", coalesce(col("r"), lit(default)))
+      }
+      // the per-edge token value is constant across a source's fanout,
+      // so it is computed ONCE per source row, before the explode
+      val contrib = withRank
+        .select(expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"),
+          explode(col("dsts")).as("dst"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      ranks = Some(contrib.select(col("dst").as("id"),
+        (lit(teleport) + col("contrib")).as("r")))
+      default = teleport
+    }
+    LoopCache.finish(
+      nodeIds.join(ranks.get, Seq("id"), "left")
+        .select(col("id"), coalesce(col("r"), lit(teleport)).as("rank_tokens")),
+      a)
+  }
+
+  /** [[personalized]] over the staged adjacency layout — same arithmetic,
+    * node-sized rounds (see [[fixedPointAdj]]). */
+  def personalizedAdj(adj: DataFrame, seeds: DataFrame, seedCol: String,
+      iterations: Int = 5, initTokens: Long = AutoTokens,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must lie in [0, 1]")
+    val a = adj.select(col("src").cast("long").as("src"),
+        col("outdeg").cast("long").as("outdeg"),
+        col("dsts").cast("array<long>").as("dsts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
+      LoopCache.pinnedRow(seedIds.agg(count(lit(1)))).getLong(0))
+    var ranks = seedIds.select(col("id"), lit(initTok).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = a.join(ranks, col("src") === col("id"))
+        .select(expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"),
+          explode(col("dsts")).as("dst"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      ranks = contrib.select(col("dst").as("id"), col("contrib").as("r"))
+        .unionByName(seedIds.select(col("id"), lit(teleport).as("r")))
+        .groupBy(col("id")).agg(sum(col("r")).as("r"))
+    }
+    LoopCache.finish(
+      ranks.select(col("id"), col("r").as("rank_tokens")), a, seedIds)
   }
 
   /** PERSONALIZED fixed-point PageRank: teleport mass flows only to the

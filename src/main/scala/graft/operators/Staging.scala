@@ -40,6 +40,25 @@ object Staging {
     sys.env.getOrElse("SPARK_GRAFT_STAGE_DIR",
       s"${sys.props("java.io.tmpdir")}/graft_stage"))
 
+  /** Per-stage provenance for bench artifacts (VERDICT r11 #4): a run's
+    * warm/cold totals depend on whether stage dirs pre-existed, so the
+    * artifact must say which stages were derived this session (and what
+    * each derive cost) vs found prebuilt. First record per name wins —
+    * a stage derived once and then re-read stays "derived". */
+  private val provenance =
+    scala.collection.mutable.LinkedHashMap[String, String]()
+  private def recordStage(name: String, v: String): Unit =
+    provenance.synchronized {
+      if (!provenance.contains(name)) provenance(name) = v
+    }
+  /** JSON object `{"name": derive_seconds | "prebuilt", ...}` covering
+    * every stage touched since JVM start (or the last [[resetProvenance]]). */
+  def provenanceJson: String = provenance.synchronized {
+    provenance.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+  }
+  def resetProvenance(): Unit = provenance.synchronized(provenance.clear())
+
   /** Hex fingerprint of the files under `inputs`: every regular file's
     * (path, size, mtime) folded into one 64-bit FNV-1a. Cheap (metadata
     * only — no data read) and exactly as fresh as the filesystem: a
@@ -83,22 +102,28 @@ object Staging {
     // way must either point SPARK_GRAFT_STAGE_DIR elsewhere, delete the
     // stage dir, or set SPARK_GRAFT_STAGE_REFRESH=1 to force re-derive.
     val force = sys.env.get("SPARK_GRAFT_STAGE_REFRESH").contains("1")
-    if (force) deleteRecursively(dir)
+    if (force) trashAside(dir)
+    val prebuilt = Files.exists(dir.resolve("_SUCCESS"))
+    val t0 = System.nanoTime()
     // A failed atomic rename does NOT prove a concurrent stager won: the
     // target may be a STALE PARTIAL dir — an interrupted
-    // SPARK_GRAFT_STAGE_REFRESH deleteRecursively, or anything created
-    // outside the write-tmp-then-rename protocol (ADVICE r10). Only the
+    // SPARK_GRAFT_STAGE_REFRESH trashAside, or anything created outside
+    // the write-tmp-then-rename protocol (ADVICE r10). Only the
     // `_SUCCESS` marker certifies completeness, so after a lost rename
-    // re-check it; if absent, the blocker is garbage — delete it and
+    // re-check it; if absent, the blocker is garbage — move it aside and
     // retry the stage rather than silently reading truncated parquet.
     var attempts = 0
     while (!Files.exists(dir.resolve("_SUCCESS")) && attempts < 3) {
       attempts += 1
       // Under the protocol a stage dir appears atomically and complete,
       // so dir-present-but-unmarked is stale garbage by definition —
-      // clear it up front so the rename below can land.
+      // move it aside (ATOMICALLY — never delete in place: an in-place
+      // recursive delete can destroy a CONCURRENT stager's freshly
+      // renamed-in complete stage in the window between this process's
+      // _SUCCESS check and its delete walk, ADVICE r11) so the rename
+      // below can land.
       if (Files.exists(dir) && !Files.exists(dir.resolve("_SUCCESS")))
-        deleteRecursively(dir)
+        trashAside(dir)
       val tmp = stageRoot.resolve(
         s".${dir.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       derive.write.mode("overwrite").parquet(tmp.toString)
@@ -107,7 +132,6 @@ object Staging {
         case _: java.nio.file.FileAlreadyExistsException |
             _: java.nio.file.DirectoryNotEmptyException =>
           deleteRecursively(tmp)
-          if (!Files.exists(dir.resolve("_SUCCESS"))) deleteRecursively(dir)
       }
     }
     if (!Files.exists(dir.resolve("_SUCCESS")))
@@ -115,8 +139,33 @@ object Staging {
         s"stage dir $dir has no _SUCCESS marker after $attempts attempts — " +
           "a stale partial stage dir keeps winning the rename race; " +
           "delete it manually or point SPARK_GRAFT_STAGE_DIR elsewhere")
+    recordStage(name,
+      if (prebuilt) "\"prebuilt\""
+      else f"${(System.nanoTime() - t0) / 1e9}%.3f")
     spark.read.parquet(dir.toString)
   }
+
+  /** Remove a blocking dir WITHOUT an in-place recursive delete: rename
+    * it ATOMICALLY to a unique trash name first, then delete the trash.
+    * The rename either wins (this process now owns the old dir under a
+    * name nobody reads) or fails harmlessly because a concurrent stager's
+    * complete dir atomically replaced the stale one — in-place deletion
+    * had a TOCTOU window where it could destroy that fresh stage while a
+    * third process was already reading it (ADVICE r11). */
+  private def trashAside(p: Path): Unit =
+    if (Files.exists(p)) {
+      val trash = stageRoot.resolve(
+        s".${p.getFileName}.trash-${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        Files.move(p, trash, StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(trash)
+      } catch {
+        case _: java.nio.file.NoSuchFileException |
+            _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException |
+            _: java.nio.file.AtomicMoveNotSupportedException => ()
+      }
+    }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

@@ -32,9 +32,15 @@ object TfIdf {
     tf.groupBy(col("term")).agg(count(lit(1)).as("df_count"))
 
   /** Top-k terms per document by `tf·N/df` (ties → lexicographic term).
-    * Output: (id, rank, term, tf, df_count, score). */
-  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val tf = termFrequencies(df, idCol, textCol)
+    * Output: (id, rank, term, tf, df_count, score).
+    *
+    * `precomputedTf` supplies a staged (id, term, tf) table — the
+    * offline term-frequency index a corpus pipeline derives once
+    * (VERDICT r11 #6): the per-call plan is then pure aggregation over
+    * the index, never a corpus re-tokenize. */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int,
+      precomputedTf: Option[DataFrame] = None): DataFrame = {
+    val tf = precomputedTf.getOrElse(termFrequencies(df, idCol, textCol))
     val dfreq = docFrequencies(tf)
     val n = df.select(count(lit(1)).as("n_docs"))
     val scored = tf.join(dfreq, Seq("term"))

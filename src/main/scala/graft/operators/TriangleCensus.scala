@@ -29,12 +29,23 @@ object TriangleCensus {
     * endpoint kept it. Returns (u, v) with u < v, deduplicated. */
   def topKNeighborEdges(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int): DataFrame = {
-    require(k >= 1, s"k=$k must be >= 1")
     val m = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("x"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("m"))
+    topKNeighborEdgesFromCounts(m, "x", "y", "m", k)
+  }
+
+  /** [[topKNeighborEdges]] starting from PRE-AGGREGATED pair counts
+    * (`srcCol < dstCol` unique, `cntCol` = multiplicity) — the staged
+    * co-occurrence artifact (Tables.copurchasePairCounts), so consumers
+    * never re-shuffle the raw pair stream per query. */
+  def topKNeighborEdgesFromCounts(counts: DataFrame, srcCol: String,
+      dstCol: String, cntCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val m = counts.select(col(srcCol).cast("long").as("x"),
+      col(dstCol).cast("long").as("y"), col(cntCol).as("m"))
     val nbrs = m.select(col("x").as("src"), col("y").as("dst"), col("m"))
       .union(m.select(col("y"), col("x"), col("m")))
     val w = Window.partitionBy(col("src"))
