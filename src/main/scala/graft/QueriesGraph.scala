@@ -292,8 +292,8 @@ object QueriesGraph {
   // the 5 rounds), teleport restricted to the seed set.
   // -------------------------------------------------------------------
   def pprRecommendations(spark: SparkSession, sfDir: String): DataFrame = {
-    val seeds = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
-      .distinct().orderBy(col("l_partkey")).limit(3)
+    val seeds = Tables.lineitemPartkeys(spark, sfDir)
+      .orderBy(col("l_partkey")).limit(3)
     PageRank.personalizedAdj(Tables.copurchaseAdjacency(spark, sfDir),
         seeds, "l_partkey")
       .join(seeds.withColumnRenamed("l_partkey", "id"), Seq("id"), "left_anti")
@@ -347,8 +347,8 @@ object QueriesGraph {
   // min/max member) so the table stays small at any graph size.
   // -------------------------------------------------------------------
   def lpaCommunities(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables.copurchaseTop10Edges(spark, sfDir)
-    operators.LabelPropagation.communities(edges, "u", "v", rounds = 4)
+    val adj = Tables.copurchaseTop10Adjacency(spark, sfDir)
+    operators.LabelPropagation.communitiesAdj(adj, rounds = 4)
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_members"),
         min(col("id")).as("min_member"), max(col("id")).as("max_member"))
@@ -399,10 +399,11 @@ object QueriesGraph {
   // n_parts) — how fast the co-purchase neighborhood saturates.
   // -------------------------------------------------------------------
   def bfsLevels(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables.copurchaseEdges(spark, sfDir)
-    val seeds = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
-      .distinct().orderBy(col("l_partkey")).limit(3)
-    operators.Bfs.levels(edges, "src", "dst", seeds, "l_partkey", rounds = 3)
+    val adj = Tables.copurchaseAdjacency(spark, sfDir)
+      .select(col("src").as("id"), col("dsts").as("nbrs"))
+    val seeds = Tables.lineitemPartkeys(spark, sfDir)
+      .orderBy(col("l_partkey")).limit(3)
+    operators.Bfs.levelsAdj(adj, seeds, "l_partkey", rounds = 3)
       .groupBy(col("level")).agg(count(lit(1)).as("n_parts"))
       .orderBy(col("level"))
   }
@@ -645,8 +646,9 @@ object QueriesGraph {
   // the Jaccard column is one exact-integer IEEE division.
   // -------------------------------------------------------------------
   def linkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables.copurchaseTop10Edges(spark, sfDir)
-    operators.LinkPredict.topCommonNeighborPairs(edges, topN = 20)
+    operators.LinkPredict.topCommonNeighborPairsAdj(
+        Tables.copurchaseTop10Adjacency(spark, sfDir),
+        Tables.copurchaseTop10Edges(spark, sfDir), topN = 20)
       .select(col("a").as("part_a"), col("b").as("part_b"),
         col("common_neighbors"), col("jaccard"))
   }
@@ -692,7 +694,7 @@ object QueriesGraph {
     // the co-purchase tables: staged once per corpus (keyed on BOTH
     // inputs), so a cold call pays the orders⋈lineitem join + distinct
     // only on first corpus contact
-    val edges = operators.Staging.stagedOrDerive(spark, "purchase_bipartite",
+    def edges = operators.Staging.stagedOrDerive(spark, "purchase_bipartite",
         Seq(Tables.path(sfDir, "orders"), Tables.path(sfDir, "lineitem"))) {
       Tables.orders(spark, sfDir).as("o")
         .join(Tables.lineitem(spark, sfDir).as("l"),
@@ -701,7 +703,20 @@ object QueriesGraph {
           col("l.l_partkey").as("partkey"))
         .distinct()
     }
-    val s = operators.Hits.scores(edges, "custkey", "partkey", rounds = 3)
+    // both adjacency orientations staged beside the edge table — the
+    // node-sized operands the HITS rounds iterate over (Hits.scoresAdj)
+    val keyedOn = Seq(Tables.path(sfDir, "orders"), Tables.path(sfDir, "lineitem"))
+    val custAdj = operators.Staging.stagedOrDerive(spark, "purchase_adj_cust",
+        keyedOn) {
+      edges.groupBy(col("custkey").as("id"))
+        .agg(sort_array(collect_list(col("partkey"))).as("nbrs"))
+    }
+    val partAdj = operators.Staging.stagedOrDerive(spark, "purchase_adj_part",
+        keyedOn) {
+      edges.groupBy(col("partkey").as("id"))
+        .agg(sort_array(collect_list(col("custkey"))).as("nbrs"))
+    }
+    val s = operators.Hits.scoresAdj(custAdj, partAdj, rounds = 3)
     def top(role: String): DataFrame = s.filter(col("role") === role)
       .orderBy(col("score").desc, col("id")).limit(10)
     top("auth").unionByName(top("hub"))
@@ -752,15 +767,11 @@ object QueriesGraph {
   // — BIGINT path sums + per-node min, replayed by unrolled CTEs.
   // -------------------------------------------------------------------
   def cheapestRoutes(spark: SparkSession, sfDir: String): DataFrame = {
-    val pc = Tables.copurchasePairCounts(spark, sfDir)
-    val half = pc.select(col("src"), col("dst"),
-      expr("1000000L div cnt").as("w"))
-    val e = half.unionByName( // undirected: both orientations, same w
-      half.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val seeds = Tables.part(spark, sfDir)
       .filter(col("p_size") === 50).select(col("p_partkey"))
     operators.ShortestPath
-      .distances(e, "src", "dst", "w", seeds, "p_partkey", rounds = 3)
+      .distancesAdj(Tables.copurchaseWeightedAdjacency(spark, sfDir),
+        seeds, "p_partkey", rounds = 3)
       .select(col("id").as("part_id"), col("cost"))
       .orderBy(col("part_id"))
   }
@@ -882,8 +893,11 @@ object QueriesGraph {
   def precedenceScc(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     // line-number-ordered precedence edges: staged like the co-purchase
-    // tables (one fact-table self-join per corpus, not per cold call)
-    val e = operators.Staging.stagedOrDerive(spark, "precedence_edges",
+    // tables (one fact-table self-join per corpus, not per cold call),
+    // in BOTH adjacency orientations — the FW and BW sweeps each iterate
+    // over a node-sized operand and the 1M-row edge table is never
+    // re-scanned per query
+    def e = operators.Staging.stagedOrDerive(spark, "precedence_edges",
         Seq(Tables.path(sfDir, "lineitem"))) {
       val li = Tables.lineitem(spark, sfDir)
         .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
@@ -894,15 +908,23 @@ object QueriesGraph {
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
     }
-    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val liPath = Seq(Tables.path(sfDir, "lineitem"))
+    val fwdAdj = Tables.rebalance(operators.Staging.stagedOrDerive(spark,
+        "precedence_adj_fwd", liPath) {
+      e.groupBy(col("src").as("id"))
+        .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    })
+    val bwdAdj = Tables.rebalance(operators.Staging.stagedOrDerive(spark,
+        "precedence_adj_bwd", liPath) {
+      e.groupBy(col("dst").as("id"))
+        .agg(sort_array(collect_list(col("src"))).as("nbrs"))
+    })
+    // pivot = smallest source part id (same value as min(src) over e)
     val pivot = operators.LoopCache
-      .pinnedRow(e.agg(min(col("src")).as("p"))).getLong(0)
+      .pinnedRow(fwdAdj.agg(min(col("id")).as("p"))).getLong(0)
     val seed = Seq(pivot).toDF("id")
-    val fwd = operators.Bfs.levels(e, "src", "dst", seed, "id", rounds = 3)
-    val bwd = operators.Bfs.levels(
-      e.select(col("dst").as("src"), col("src").as("dst")),
-      "src", "dst", seed, "id", rounds = 3)
-    e.unpersist(blocking = false) // both sweeps' finals are pinned
+    val fwd = operators.Bfs.levelsAdj(fwdAdj, seed, "id", rounds = 3)
+    val bwd = operators.Bfs.levelsAdj(bwdAdj, seed, "id", rounds = 3)
     fwd.as("f").join(bwd.as("b"), col("f.id") === col("b.id"))
       .select(col("f.id").as("part_id"), col("f.level").as("fwd_level"),
         col("b.level").as("bwd_level"))

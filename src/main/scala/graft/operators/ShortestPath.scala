@@ -70,4 +70,40 @@ object ShortestPath {
     e.unpersist(blocking = false) // final dist is materialized; edges done
     dist
   }
+
+  /** [[distances]] over a STAGED weighted adjacency layout — (id, nbrs)
+    * with nbrs an array of (d, w) structs: per relaxation the distance
+    * frontier joins the node-sized adjacency and edges fan out inside a
+    * codegen'd explode (see PageRank.fixedPointAdj). Same min-plus
+    * BIGINT arithmetic, same results. */
+  def distancesAdj(adj: DataFrame, seeds: DataFrame, seedCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val a = adj.select(col("id").cast("long").as("src"), col("nbrs"))
+    val s0 = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .select(col("id"), lit(0L).as("cost"))
+    LoopCache.memo(
+      Seq("sssp-adj", LoopCache.planKey(a), LoopCache.planKey(s0), rounds)) {
+      runAdj(a, s0, rounds)
+    }
+  }
+
+  private def runAdj(a: DataFrame, s0: DataFrame, rounds: Int): DataFrame = {
+    a.persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = s0
+    var pinnedPrev = s0
+    for (_ <- 1 to rounds) {
+      val relaxed = a.join(dist, col("src") === col("id"))
+        .select(col("cost"), explode(col("nbrs")).as("nb"))
+        .select(col("nb.d").as("id"), (col("cost") + col("nb.w")).as("cost"))
+      val pinned = LoopCache.step(
+        dist.unionByName(relaxed)
+          .groupBy(col("id")).agg(min(col("cost")).as("cost")),
+        pinnedPrev)
+      dist = SqlBridge.reRoot(pinned)
+      pinnedPrev = pinned
+    }
+    a.unpersist(blocking = false)
+    dist
+  }
 }

@@ -210,4 +210,103 @@ class KernelSpec extends AnyFunSuite {
       .select(col("d"), col("active_7d"))
     assert(sweep.except(ref).isEmpty && ref.except(sweep).isEmpty)
   }
+
+  // ---- round-12 adjacency-layout kernels ------------------------------
+  // Every *Adj operator variant is pinned result-identical to the
+  // edge-layout formulation it replaces, on a graph with hubs, a cycle,
+  // ties and an unreachable island — the layouts must be interchangeable
+  // for the staged-adjacency rollout to be purely a cost change.
+
+  private def adjGraphEdges = Seq(
+    (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 5L),
+    (5L, 4L), (6L, 7L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+
+  private def adjOf(e: org.apache.spark.sql.DataFrame) = e
+    .groupBy(col("src").as("id"))
+    .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+
+  test("combinations2 equals the wedge self-join pair expansion") {
+    val df = Seq(
+      Seq[Long](), Seq(7L), Seq(1L, 2L), Seq(2L, 3L, 5L, 8L)).toDF("s")
+    val rows = df.select(
+      graft.functions.Combinations2Expression.combinations2(col("s")).as("p"))
+      .collect()
+    assert(rows(0).getSeq[Any](0).isEmpty && rows(1).getSeq[Any](0).isEmpty)
+    val last = rows.last.getSeq[org.apache.spark.sql.Row](0)
+    assert(last.size == 6) // C(4,2)
+    assert(last.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((2L, 3L), (2L, 5L), (2L, 8L), (3L, 5L), (3L, 8L), (5L, 8L)))
+  }
+
+  test("adjacency PageRank equals edge-layout PageRank (fixed + personalized)") {
+    import graft.operators.PageRank
+    val e = adjGraphEdges
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val adj = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .groupBy(col("src"), col("outdeg"))
+      .agg(sort_array(collect_list(col("dst"))).as("dsts"))
+    val viaEdges = PageRank.fixedPoint(e, "src", "dst", iterations = 4)
+    val viaAdj = PageRank.fixedPointAdj(adj, nodes, iterations = 4)
+    assert(viaAdj.except(viaEdges).isEmpty && viaEdges.except(viaAdj).isEmpty)
+    val seeds = Seq(1L, 6L).toDF("id")
+    val pEdges = PageRank.personalized(e, "src", "dst", seeds, "id", iterations = 4)
+    val pAdj = PageRank.personalizedAdj(adj, seeds, "id", iterations = 4)
+    assert(pAdj.except(pEdges).isEmpty && pEdges.except(pAdj).isEmpty)
+  }
+
+  test("adjacency LPA equals edge-layout LPA (mode expression argmax)") {
+    import graft.operators.LabelPropagation
+    // undirected: communities() generates both orientations internally;
+    // the adjacency twin must get the same symmetric neighbor lists
+    val e = adjGraphEdges
+    val ue = e.select(col("src").as("id"), col("dst").as("nb"))
+      .union(e.select(col("dst").as("id"), col("src").as("nb"))).distinct()
+    val adj = ue.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("nb"))).as("nbrs"))
+    val viaEdges = LabelPropagation.communities(e, "src", "dst", rounds = 3)
+    val viaAdj = LabelPropagation.communitiesAdj(adj, rounds = 3)
+    assert(viaAdj.except(viaEdges).isEmpty && viaEdges.except(viaAdj).isEmpty)
+  }
+
+  test("adjacency HITS equals edge-layout HITS (lazy normalization)") {
+    import graft.operators.Hits
+    val e = adjGraphEdges
+    val srcAdj = adjOf(e)
+    val dstAdj = e.groupBy(col("dst").as("id"))
+      .agg(sort_array(collect_list(col("src"))).as("nbrs"))
+    val viaEdges = Hits.scores(e, "src", "dst", rounds = 3)
+    val viaAdj = Hits.scoresAdj(srcAdj, dstAdj, rounds = 3)
+    assert(viaAdj.except(viaEdges).isEmpty && viaEdges.except(viaAdj).isEmpty)
+  }
+
+  test("adjacency BFS and SSSP equal their edge-layout twins") {
+    import graft.operators.{Bfs, ShortestPath}
+    val e = adjGraphEdges
+    val seeds = Seq(1L).toDF("id")
+    val bEdges = Bfs.levels(e, "src", "dst", seeds, "id", rounds = 3)
+    val bAdj = Bfs.levelsAdj(adjOf(e), seeds, "id", rounds = 3)
+    assert(bAdj.except(bEdges).isEmpty && bEdges.except(bAdj).isEmpty)
+    val we = e.withColumn("w", col("src") * 10L + col("dst")) // distinct costs
+    val wadj = we
+      .groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(struct(col("dst").as("d"), col("w"))))
+        .as("nbrs"))
+    val dEdges = ShortestPath.distances(we, "src", "dst", "w", seeds, "id", rounds = 3)
+    val dAdj = ShortestPath.distancesAdj(wadj, seeds, "id", rounds = 3)
+    assert(dAdj.except(dEdges).isEmpty && dEdges.except(dAdj).isEmpty)
+  }
+
+  test("adjacency link prediction equals the wedge-join formulation") {
+    import graft.operators.{LinkPredict, TriangleCensus}
+    val pairs = adjGraphEdges // multiplicity-bearing occurrence pairs
+    val edges = TriangleCensus.topKNeighborEdges(pairs, "src", "dst", k = 3)
+    val ue = edges.select(col("u").as("id"), col("v").as("nb"))
+      .union(edges.select(col("v").as("id"), col("u").as("nb")))
+    val adj = ue.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("nb"))).as("nbrs"))
+    val viaEdges = LinkPredict.topCommonNeighborPairs(edges, topN = 10)
+    val viaAdj = LinkPredict.topCommonNeighborPairsAdj(adj, edges, topN = 10)
+    assert(viaAdj.except(viaEdges).isEmpty && viaEdges.except(viaAdj).isEmpty)
+  }
 }
