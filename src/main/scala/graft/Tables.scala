@@ -25,6 +25,16 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
+  /** Per-(session, path) memo of raw fixture reads — every bare
+    * `spark.read.parquet` re-lists + re-infers schema with a driver job
+    * per call; memoizing the relation is the catalog-table behavior
+    * (see operators/Staging.readStage for the full argument). */
+  private val rawReadCache = scala.collection.mutable.HashMap
+    .empty[(SparkSession, String), DataFrame]
+  private def readParquet(spark: SparkSession, p: String): DataFrame =
+    rawReadCache.synchronized(
+      rawReadCache.getOrElseUpdate((spark, p), spark.read.parquet(p)))
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     name match {
       case "events" => events(spark, sfDir)
@@ -72,7 +82,7 @@ object Tables {
     val raw = path(sfDir, name)
     if (!relayoutKeys.contains(name) ||
         sys.env.get("SPARK_GRAFT_RELAYOUT").contains("0"))
-      return spark.read.parquet(raw)
+      return readParquet(spark, raw)
     val keys = relayoutKeys(name).map(col)
     // partition count is part of the stage KEY (ADVICE r11): the layout
     // bakes in defaultParallelism, so a low-core session (a local[4]
@@ -109,7 +119,7 @@ object Tables {
 
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path(sfDir, "events"))
+    val raw = readParquet(spark, path(sfDir, "events"))
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // TIMESTAMP(NANOS) file read as raw nanos. ts DIV 1000: floor

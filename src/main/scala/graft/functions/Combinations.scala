@@ -112,6 +112,66 @@ object Combinations2Expression {
     SqlBridge.column(Combinations2Expression(SqlBridge.expression(sortedLongs)))
 }
 
+/** Full cross product of two long arrays as (a, b) structs — the
+  * new×old pair expansion of incremental dedup buckets
+  * (operators/Dedup.incrementalLshCandidatePairs), same flat-loop
+  * rationale as [[Combinations2Expression]]. */
+case class CrossPairsExpression(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cross_pairs"
+  override def foldable: Boolean = left.foldable && right.foldable
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CrossPairsExpression.compute(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.CrossPairsExpression.compute($l, $r)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CrossPairsExpression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CrossPairsExpression {
+
+  def compute(ls: ArrayData, rs: ArrayData): ArrayData = {
+    val n = ls.numElements(); val m = rs.numElements()
+    if (n == 0 || m == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val lv = ls.toLongArray(); val rv = rs.toLongArray()
+    val out = new Array[AnyRef](n * m)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < m) {
+        val row = new GenericInternalRow(2)
+        row.setLong(0, lv(i)); row.setLong(1, rv(j))
+        out(w) = row
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column API: `crossPairs(as, bs)` → array of (a,b) structs. */
+  def crossPairs(as: Column, bs: Column): Column =
+    SqlBridge.column(CrossPairsExpression(
+      SqlBridge.expression(as), SqlBridge.expression(bs)))
+}
+
 object Combinations3Expression {
 
   /** Static helper shared by interpreted eval and generated code. */

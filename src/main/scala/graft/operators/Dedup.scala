@@ -214,16 +214,17 @@ object Dedup {
     // buffer the whole bucket before the filter sees it). One shuffle.
     // Sorted+distinct ids make every pair (a < b) canonical with no
     // self-pairs for duplicate-id inputs.
-    val ids = array_distinct(sort_array(col("ids")))
-    val combos = flatten(transform(ids, (x, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        y => struct(x.as("id_a"), y.as("id_b")))))
+    // flat codegen'd C(k,2) kernel (functions/Combinations2) — the
+    // nested-HOF transform it replaces paid seconds of janino compile
+    // per cold call plus per-element array shells (the q114 lesson)
+    val combos = graft.functions.Combinations2Expression.combinations2(
+      array_distinct(sort_array(col("ids"))))
     val pairs = buckets.groupBy(col("band"), col("bucket"))
       .agg(graft.functions.BoundedCollectLongs
         .boundedCollectLongs(col("id"), maxBucketSize).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(combos).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
       .distinct()
     pairs
       .join(sigRows.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -287,12 +288,17 @@ object Dedup {
         size(col("new_ids")) >= 1)
     val newIds = array_distinct(sort_array(col("new_ids")))
     val oldIds = array_distinct(sort_array(col("old_ids")))
-    val newNew = flatten(transform(newIds, (x, i) =>
-      transform(slice(newIds, i + 2, size(newIds)),
-        y => struct(x.as("id_a"), y.as("id_b"), lit(false).as("vs_old")))))
-    val newOld = flatten(transform(newIds, x =>
-      transform(oldIds,
-        y => struct(x.as("id_a"), y.as("id_b"), lit(true).as("vs_old")))))
+    // flat kernels (Combinations2 / CrossPairs) instead of nested HOF
+    // transforms — same pairs, no janino lambda tower (see
+    // lshCandidatePairs)
+    val newNew = transform(
+      graft.functions.Combinations2Expression.combinations2(newIds),
+      p => struct(p.getField("a").as("id_a"), p.getField("b").as("id_b"),
+        lit(false).as("vs_old")))
+    val newOld = transform(
+      graft.functions.CrossPairsExpression.crossPairs(newIds, oldIds),
+      p => struct(p.getField("a").as("id_a"), p.getField("b").as("id_b"),
+        lit(true).as("vs_old")))
     val pairs = gathered
       .select(explode(concat(newNew, newOld)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.vs_old"))

@@ -130,6 +130,27 @@ object NgramLm {
       scoreBigrams(df, idCol, textCol, fitBigrams(df, idCol, textCol),
         alpha, broadcastModel))
 
+  /** [[bigramScores]] against an externally fitted (typically STAGED —
+    * a trained LM is the canonical offline artifact of a perplexity
+    * filter) model: the per-call plan tokenizes the corpus once for
+    * scoring and never re-fits the counts. */
+  def bigramScoresWithModel(df: DataFrame, idCol: String, textCol: String,
+      model: BigramModel, alpha: Double = 0.4,
+      broadcastModel: Boolean = true): DataFrame =
+    LoopCache.finish(
+      scoreBigrams(df, idCol, textCol, model, alpha, broadcastModel))
+
+  /** Raw unigram count table (tok, c1) — the stageable half of
+    * [[fitBigrams]], no session pins. */
+  def uniCountTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokenArrays(df, idCol, textCol).select(explode(col("ts")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+
+  /** Raw bigram count table (prev, tok, c2) — stageable, no pins. */
+  def biCountTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramStream(tokenArrays(df, idCol, textCol), idCol)
+      .groupBy(col("prev"), col("tok")).agg(count(lit(1)).as("c2"))
+
   /** Fitted bigram model: unigram counts, bigram counts, total tokens. */
   final case class BigramModel(uni: DataFrame, bi: DataFrame, n: Long)
 

@@ -59,6 +59,25 @@ object Staging {
   }
   def resetProvenance(): Unit = provenance.synchronized(provenance.clear())
 
+  /** Per-(session, dir) memo of the staged-read DataFrames. Every bare
+    * `spark.read.parquet(dir)` call re-lists the dir and re-infers the
+    * schema with a one-task driver job (~0.3-0.7 s on this box) — paid
+    * once per staged table per QUERY without the memo, which at a
+    * 143-query suite dwarfed several stages' actual scan time. This is
+    * the same relation-level metadata caching Spark's own catalog does
+    * for tables; `spark.catalog.clearCache()` (the prodcold protocol)
+    * drops cached DATA but deliberately not this plan-level metadata.
+    * Invalidated whenever this process (re-)derives the stage; an
+    * EXTERNAL rewrite of a stage dir mid-session is outside the
+    * freshness contract exactly as it is for catalog tables. */
+  private val readCache =
+    scala.collection.mutable.HashMap.empty[(SparkSession, String), DataFrame]
+  private def readStage(spark: SparkSession, dir: String,
+      invalidate: Boolean): DataFrame = readCache.synchronized {
+    if (invalidate) readCache.remove((spark, dir))
+    readCache.getOrElseUpdate((spark, dir), spark.read.parquet(dir))
+  }
+
   /** Hex fingerprint of the files under `inputs`: every regular file's
     * (path, size, mtime) folded into one 64-bit FNV-1a. Cheap (metadata
     * only — no data read) and exactly as fresh as the filesystem: a
@@ -142,7 +161,9 @@ object Staging {
     recordStage(name,
       if (prebuilt) "\"prebuilt\""
       else f"${(System.nanoTime() - t0) / 1e9}%.3f")
-    spark.read.parquet(dir.toString)
+    // a re-derive under the same dir name (REFRESH, stale-dir retry)
+    // must drop the memoized relation — its file list is gone
+    readStage(spark, dir.toString, invalidate = !prebuilt)
   }
 
   /** Remove a blocking dir WITHOUT an in-place recursive delete: rename
