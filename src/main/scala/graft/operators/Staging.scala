@@ -146,10 +146,14 @@ object Staging {
       val tmp = stageRoot.resolve(
         s".${dir.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
       derive.write.mode("overwrite").parquet(tmp.toString)
+      // ANY rename failure means "did not win" — on Linux a non-empty
+      // target surfaces as a bare FileSystemException (ENOTEMPTY), not
+      // DirectoryNotEmptyException, so catch the whole family
+      // (StagingSpec's concurrent-stagers pin): the loop re-checks
+      // `_SUCCESS` and either reads the winner or retries.
       try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-            _: java.nio.file.DirectoryNotEmptyException =>
+        case _: java.nio.file.FileSystemException =>
           deleteRecursively(tmp)
       }
     }

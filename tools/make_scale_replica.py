@@ -25,6 +25,18 @@ DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
 SHIFT = 10_000_000  # > every key in sf<=1 inputs
 REPLICAS = 10
 
+# The per-replica document-text tagging expression, over a row with
+# `l` = string_split(text, ' ') and `r.i` = the replica index. Shared
+# with tools/check_replica_entropy.py, which asserts the block-key
+# disjointness contract documented in the long comment below — edit the
+# expression only together with that check.
+DOC_TEXT_EXPR = (
+    "array_to_string(list_prepend("
+    "    (CASE WHEN length(l[1]) + 2 + length(CAST(r.i AS VARCHAR)) > 12 "
+    "          THEN 'r' || r.i || '_' "
+    "          ELSE '' END) || l[1] || '_r' || r.i, "
+    "    list_transform(l[2:], t -> t || '_r' || r.i)), ' ')")
+
 con = duckdb.connect()
 con.sql("SET preserve_insertion_order=false")
 rep = f"(SELECT unnest(range({REPLICAS})) AS i) r"
@@ -76,11 +88,7 @@ for t in ("nation", "region"):
 # byte-identical to the plain-suffix scheme.
 con.sql(
     f"COPY (SELECT doc_id + r.i * {SHIFT} AS doc_id, "
-    f"  array_to_string(list_prepend("
-    f"      (CASE WHEN length(l[1]) + 2 + length(CAST(r.i AS VARCHAR)) > 12 "
-    f"            THEN 'r' || r.i || '_' "
-    f"            ELSE '' END) || l[1] || '_r' || r.i, "
-    f"      list_transform(l[2:], t -> t || '_r' || r.i)), ' ') AS text, "
+    f"  {DOC_TEXT_EXPR} AS text, "
     f"  lang, source, n_chars "
     f"FROM (SELECT *, string_split(text, ' ') AS l "
     f"      FROM '{SRC}/documents.parquet'), {rep}) "
