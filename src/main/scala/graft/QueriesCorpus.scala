@@ -780,17 +780,24 @@ object QueriesCorpus {
   // boolean (q46's self-validating pattern: ±0.25 ≈ 4σ at numPerm=64).
   // -------------------------------------------------------------------
   def sourceSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
-    val d = Tables.rebalance(
+    val docsPath = Tables.path(sfDir, "documents")
+    def d = Tables.rebalance(
       Tables.documents(spark, sfDir).select("source", "text"))
-    val est = operators.SketchMerge.pairwiseEstimates(
+    // both per-source corpus digests are STAGED artifacts (|sources|
+    // merged sketches; the distinct source-shingle postings): a cold
+    // call joins them instead of re-shingling the corpus twice
+    val mergedSigs = operators.Staging.stagedOrDerive(spark,
+        "source_merged_sigs", Seq(docsPath)) {
       operators.SketchMerge.mergedSignatures(
-        Dedup.minHashSignatures(d, "source", "text"), "source", "sig"),
-      "source", "sig")
-    // the distinct shingle set feeds three plans (sizes + both join
-    // sides) — cache it so the explode + distinct shuffle runs once
-    val sh = Dedup.shingles(d, "source", "text", n = 3, dedup = true)
-      .toDF("source", "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.minHashSignatures(d, "source", "text"), "source", "sig")
+    }
+    val est = operators.SketchMerge.pairwiseEstimates(
+      mergedSigs, "source", "sig")
+    val sh = Tables.rebalance(operators.Staging.stagedOrDerive(spark,
+        "source_shingles", Seq(docsPath)) {
+      Dedup.shingles(d, "source", "text", n = 3, dedup = true)
+        .toDF("source", "shingle")
+    })
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&

@@ -240,20 +240,12 @@ object QueriesGraph {
   // IEEE division is engine-exact; top-20 with full tiebreaks.
   // -------------------------------------------------------------------
   def copurchaseLift(spark: SparkSession, sfDir: String): DataFrame = {
-    // op anchors three aggregates (pair counts, item counts, order
-    // total) — cache it so the distinct shuffle happens once
-    val op = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+    // the three market-basket aggregates are STAGED once per corpus
+    // (Tables.orderPart*): a cold call joins three small tables
+    val pairs = Tables.orderPartPairCounts(spark, sfDir)
       .filter(col("m") >= 3)
-    val cnt = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
-    val total = op.select(countDistinct(col("ok")).as("n_orders"))
-    // pin the 20-row result, release the distinct-(order,part) anchor
+    val cnt = Tables.orderPartCounts(spark, sfDir)
+    val total = Tables.orderPartStats(spark, sfDir)
     operators.LoopCache.finish(
       pairs
         .join(cnt.select(col("pk").as("pa"), col("n").as("na")), Seq("pa"))
@@ -263,8 +255,7 @@ object QueriesGraph {
           ((col("m") * col("n_orders")).cast("double") /
             (col("na") * col("nb")).cast("double")).as("lift"))
         .orderBy(col("lift").desc, col("pa"), col("pb"))
-        .limit(20),
-      op)
+        .limit(20))
   }
 
   val copurchaseLiftSql: String =
@@ -615,20 +606,23 @@ object QueriesGraph {
   }
 
   val kcorePartsSql: String = {
+    // MATERIALIZED: the q94/q122 sf1-timeout fix — each peeling round
+    // references its predecessor twice (both join sides) plus the th
+    // scalar subquery, and DuckDB re-inlines the chain at sf1
     val base =
-      """WITH edges AS (
+      """WITH edges AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         |  FROM lineitem a JOIN lineitem b
         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-        |a0 AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+        |a0 AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
         |       FROM edges GROUP BY src),
-        |th AS (SELECT CAST(sum(degree) * 3 // (count(*) * 4) AS BIGINT) AS k
+        |th AS MATERIALIZED (SELECT CAST(sum(degree) * 3 // (count(*) * 4) AS BIGINT) AS k
         |       FROM a0)""".stripMargin
     // one CTE per peeling round: degree over the subgraph induced by the
     // previous survivors, kept when >= k (same truncating integer ops as
     // Spark's DIV — cross-engine exact)
     val rounds = (1 to 3).map { i =>
-      s"""a$i AS (
+      s"""a$i AS MATERIALIZED (
          |  SELECT e.src AS id, CAST(count(*) AS BIGINT) AS degree
          |  FROM edges e JOIN a${i - 1} s ON e.src = s.id
          |               JOIN a${i - 1} t ON e.dst = t.id
@@ -834,18 +828,10 @@ object QueriesGraph {
   // are all BIGINT.
   // -------------------------------------------------------------------
   def associationRules(spark: SparkSession, sfDir: String): DataFrame = {
-    // op anchors three derived aggregates — cache the distinct shuffle
-    // once, release after the 20-row result is pinned (the q105 shape)
-    val op = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = op.as("a").join(op.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
-      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+    // staged market-basket aggregates (Tables.orderPart*, the q105 pair)
+    val pairs = Tables.orderPartPairCounts(spark, sfDir)
       .filter(col("m") >= 3)
-    val cnt = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val cnt = Tables.orderPartCounts(spark, sfDir)
     val rules = pairs
       .select(col("pa").as("antecedent"), col("pb").as("consequent"),
         col("m"))
@@ -856,7 +842,7 @@ object QueriesGraph {
         col("m").as("support"), expr("(10000 * m) div n").as("conf_bps"))
       .orderBy(col("conf_bps").desc, col("antecedent"), col("consequent"))
       .limit(20)
-    operators.LoopCache.finish(rules, op)
+    operators.LoopCache.finish(rules)
   }
 
   val associationRulesSql: String =

@@ -227,23 +227,32 @@ object QueriesRelational {
   // -------------------------------------------------------------------
   def windowRunningQty(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
+    // l_quantity joins the ORDER BY: the fixture generator samples with
+    // replacement, so (l_orderkey, l_linenumber) is NOT unique — two
+    // full-key-tied rows with different quantities make the interior
+    // running sum order-dependent (caught by the sf1 gate: one such tie
+    // exists at sf0.1 and the 10x replica multiplied it). With quantity
+    // in the order, tied rows either differ (deterministic order) or
+    // are interchangeable (equal prefix sums either way).
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.select(
         col("l_suppkey"), to_date(col("l_shipdate")).as("shipdate"),
         col("l_orderkey"), col("l_linenumber"),
         sum(col("l_quantity")).over(w).as("running_qty"))
-      .orderBy(col("l_suppkey"), col("shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey"), col("shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("running_qty"))
   }
 
   val windowRunningQtySql: String =
     """SELECT l_suppkey, CAST(l_shipdate AS DATE) AS shipdate, l_orderkey, l_linenumber,
       |       sum(l_quantity) OVER (PARTITION BY l_suppkey
-      |                             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |                             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
       |FROM lineitem
-      |ORDER BY l_suppkey, shipdate, l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_suppkey, shipdate, l_orderkey, l_linenumber, running_qty""".stripMargin
 
   // -------------------------------------------------------------------
   // q18 — exact distinct aggregation (expands to a two-phase agg plan).

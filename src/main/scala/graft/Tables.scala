@@ -254,6 +254,39 @@ object Tables {
         .groupBy(col("id")).agg(sort_array(collect_list(col("nb"))).as("nbrs"))
     })
 
+  /** Market-basket aggregates over DISTINCT (order, part) occurrences —
+    * the shared inputs of q105 lift / q130 association rules. Note the
+    * pre-distinct: these are NOT [[copurchasePairCounts]] (which counts
+    * raw lineitem pair rows — an order holding the same part twice
+    * contributes differently). Staged separately: pair counts, per-part
+    * order counts, and the 1-row order total. */
+  def orderPartPairCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.stagedOrDerive(spark, "op_paircounts",
+        Seq(path(sfDir, "lineitem"))) {
+      val op = orderPart(spark, sfDir)
+      op.as("a").join(op.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("m"))
+    }
+
+  def orderPartCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.stagedOrDerive(spark, "op_counts",
+        Seq(path(sfDir, "lineitem"))) {
+      orderPart(spark, sfDir).groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    }
+
+  def orderPartStats(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.stagedOrDerive(spark, "op_stats",
+        Seq(path(sfDir, "lineitem"))) {
+      orderPart(spark, sfDir).agg(countDistinct(col("ok")).as("n_orders"))
+    }
+
+  private def orderPart(spark: SparkSession, sfDir: String): DataFrame =
+    lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+
   /** Distinct part keys present in lineitem — the seed dimension of the
     * graph queries (q110/q113 take the 3 smallest). Staged: a
     * fact-table-wide distinct per cold call measured ~3 s at sf0.1;

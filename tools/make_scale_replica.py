@@ -95,14 +95,30 @@ con.sql(
     f"TO '{DST}/documents.parquet' (FORMAT PARQUET)")
 print("[replica] documents: done")
 
-# embeddings: shift ids and nudge the first dimension by a per-replica
-# epsilon — verbatim copies would make every vector a 10-way exact
-# cross-replica duplicate, turning near-dup/similarity screens
-# quadratic in the replica count instead of scaling the corpus
+# embeddings: shift ids and apply a PER-REPLICA DETERMINISTIC SIGN
+# PATTERN to the dimensions (replica 0 = identity). Sign flips are an
+# isometry, so WITHIN-replica geometry — norms, every pairwise cosine,
+# the planted-copy margins the ANN specs pin — is bit-exactly
+# preserved (float negation is exact), while CROSS-replica cosines of
+# same-base copies collapse to ~N(0, 1/d) ≈ |cos| ≲ 0.4 for d=128:
+# far below every near-dup threshold, so similarity structure scales
+# linearly in replicas. (The previous +i*0.001 first-dimension nudge
+# left same-base cross-replica pairs at cosine ≈ 0.9999 — the 10x
+# corpus was a 10-way near-duplicate pile and the embedding screens'
+# oracle checks measured that artifact, not the operator: the r12 sf1
+# gate caught q42 missing 1.5% of 90k cross-replica pairs the corpus
+# was never meant to contain.)
 con.sql(
     f"COPY (SELECT vec_id + r.i * {SHIFT} AS vec_id, "
-    f"  list_prepend(CAST(embedding[1] + r.i * 0.001 AS FLOAT), "
-    f"    embedding[2:]) AS embedding, "
+    f"  CASE WHEN r.i = 0 THEN embedding ELSE "
+    f"    list_transform(embedding, (x, k) -> "
+    # md5 parity, not hash()%2: DuckDB's integer hash has weak low-bit
+    # diffusion over consecutive keys (measured same-base cross-replica
+    # |cos| up to 0.84 for some replica pairs; md5 gives ≤ ~0.4, the
+    # N(0, 1/d) concentration bound)
+    f"      CASE WHEN ascii(substr(md5(CAST(k AS VARCHAR) || '_' || "
+    f"                                 CAST(r.i AS VARCHAR)), 1, 1)) % 2 = 0 "
+    f"           THEN x ELSE CAST(-x AS FLOAT) END) END AS embedding, "
     f"  label "
     f"FROM '{SRC}/embeddings.parquet', {rep}) "
     f"TO '{DST}/embeddings.parquet' (FORMAT PARQUET)")
