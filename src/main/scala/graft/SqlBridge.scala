@@ -17,6 +17,19 @@ object SqlBridge {
     * reference it directly). */
   type AbstractDataType = org.apache.spark.sql.types.AbstractDataType
 
+  /** Rebind `df` to another session sharing the same SparkContext: the
+    * identical analyzed plan, re-rooted so ACTIONS on the result read
+    * `to`'s SQLConf (exchange width, adaptive execution) instead of the
+    * originating session's. Cache interop is free — CacheManager lives
+    * in SharedState, shared across sessions, and matches by canonicalized
+    * plan, which rebinding does not change. */
+  def rebind(df: org.apache.spark.sql.DataFrame,
+      to: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      to.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
+
   /** Truncate `df`'s SQL lineage: a new frame whose logical plan is a
     * LEAF (`LogicalRDD`) over `df`'s executed RDD — the plan-surgery
     * half of `Dataset.checkpoint` (classic.Dataset.checkpoint:

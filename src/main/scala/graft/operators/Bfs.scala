@@ -65,10 +65,17 @@ object Bfs {
   def levelsAdj(adj: DataFrame, seeds: DataFrame, seedCol: String,
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
-    val a = adj.select(col("id").cast("long").as("src"),
+    val a0 = adj.select(col("id").cast("long").as("src"),
       col("nbrs").cast("array<long>").as("nbrs"))
+    // loop-tuned width + static rounds over a src-partitioned stationary
+    // operand (see LoopCache.loopSession)
+    val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
+      a0.agg(coalesce(sum(size(col("nbrs")).cast("long")), lit(0L))))
+      .getLong(0))
+    val Seq(aT, seedsT) = LoopCache.tunedInputs(w, a0, seeds)
+    val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
     def loop(step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-      var lv = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      var lv = seedsT.select(col(seedCol).cast("long").as("id")).distinct()
         .select(col("id"), lit(0L).as("level"))
       for (_ <- 1 to rounds) {
         val next = a.join(lv, col("src") === col("id"))

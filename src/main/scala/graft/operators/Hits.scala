@@ -93,10 +93,22 @@ object Hits {
       rounds: Int = 3, scale: Long = Scale): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     require(scale >= 1, s"scale=$scale must be >= 1")
-    val sa = srcAdj.select(col("id").cast("long").as("aid"),
+    val sa0 = srcAdj.select(col("id").cast("long").as("aid"),
       col("nbrs").cast("array<long>").as("nbrs"))
-    val da = dstAdj.select(col("id").cast("long").as("aid"),
+    val da0 = dstAdj.select(col("id").cast("long").as("aid"),
       col("nbrs").cast("array<long>").as("nbrs"))
+    // loop-tuned width + static half-rounds over aid-partitioned
+    // stationary operands (see LoopCache.loopSession); volume = the
+    // larger adjacency's edge count (each half-round explodes one side)
+    val vol = math.max(
+      LoopCache.pinnedRow(sa0.agg(coalesce(
+        sum(size(col("nbrs")).cast("long")), lit(0L)))).getLong(0),
+      LoopCache.pinnedRow(da0.agg(coalesce(
+        sum(size(col("nbrs")).cast("long")), lit(0L)))).getLong(0))
+    val w = LoopCache.loopWidth(srcAdj.sparkSession, vol)
+    val Seq(saT, daT) = LoopCache.tunedInputs(w, sa0, da0)
+    val sa = saT.repartition(w, col("aid")).sortWithinPartitions("aid")
+    val da = daT.repartition(w, col("aid")).sortWithinPartitions("aid")
     LoopCache.memo(Seq("hits-adj", LoopCache.planKey(sa), LoopCache.planKey(da),
         rounds, scale)) {
       runAdj(sa, da, rounds, scale)

@@ -102,9 +102,17 @@ object IntCluster {
     // centroid and split the seed window's pmod partition key into a
     // separate null partition — row_number restarts there and two seed
     // rows could share a cluster id.
-    val vecs = df.select(col(idCol).cast("long").as("id"),
+    val vecs0 = df.select(col(idCol).cast("long").as("id"),
         col(codesCol).as("codes"))
       .filter(col("id").isNotNull)
+    // loop-tuned rounds (LoopCache.loopSession): the centroid exchanges
+    // are k-row, so they run at the derived width with static plans. The
+    // corpus itself is NEVER repartitioned — assignment stays map-only
+    // over the scan layout at any scale.
+    val vecs = LoopCache.tunedInputs(
+      LoopCache.loopWidth(df.sparkSession,
+        LoopCache.pinnedRow(vecs0.agg(count(lit(1)))).getLong(0)),
+      vecs0).head
     // constant partition key: the frame only ever numbers the limit(k)
     // seed rows, but an empty partitionBy fires Spark's "No Partition
     // Defined for Window" warning on every run — alarm fatigue for a

@@ -50,9 +50,14 @@ object KCore {
     // broadcast semi-joins preserve the partitioning and every round's
     // degree count aggregates WITHOUT an exchange — one upfront shuffle
     // buys zero shuffles per round (the Bfs.levels layout)
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .repartition(col("src"))
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // loop-tuned width + static rounds (see LoopCache.loopSession); the
+    // volume pass is a count over the staged edge scan, pinned for warm
+    val w = LoopCache.loopWidth(edges.sparkSession,
+      LoopCache.pinnedRow(e0.agg(count(lit(1)))).getLong(0))
+    val e = LoopCache.tunedInputs(w, e0).head
+      .repartition(w, col("src")).sortWithinPartitions("src")
     def loop(step: (DataFrame, DataFrame) => DataFrame,
         execute: Boolean): DataFrame = {
       // round 0: every node, with its full-graph degree (symmetric edges

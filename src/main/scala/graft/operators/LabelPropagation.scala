@@ -57,8 +57,15 @@ object LabelPropagation {
     * argmax per node); same labels, same min-label tie-break. */
   def communitiesAdj(adj: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
-    val a = adj.select(col("id").cast("long").as("nid"),
-        col("nbrs").cast("array<long>").as("nbrs"))
+    val a0 = adj.select(col("id").cast("long").as("nid"),
+      col("nbrs").cast("array<long>").as("nbrs"))
+    // loop-tuned width + static rounds over an id-partitioned stationary
+    // operand (see LoopCache.loopSession)
+    val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
+      a0.agg(coalesce(sum(size(col("nbrs")).cast("long")), lit(0L))))
+      .getLong(0))
+    val a = LoopCache.tunedInputs(w, a0).head
+      .repartition(w, col("nid")).sortWithinPartitions("nid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // most frequent label, ties to the SMALLEST: one ascending scan of
     // the sorted label list — runs are contiguous, and strict > keeps

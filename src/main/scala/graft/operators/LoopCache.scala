@@ -96,6 +96,60 @@ object LoopCache {
     * captured plans/RDDs alive). */
   def clearMemo(): Unit = memoMap.synchronized(memoMap.clear())
 
+  /** Exchange width for a fixed-shape iterative loop, derived from the
+    * loop's per-round data volume (edge count for graph rounds, vector
+    * count for clustering): enough partitions to keep per-task volumes
+    * near `rowsPerTask`, capped at the cluster's parallelism, floored at
+    * 1. The width GROWS with the data — sf0.01 loops run 1-wide, sf0.1
+    * ~8-wide, a 100 TB graph saturates the cluster cap — instead of
+    * inheriting the ambient OLAP width, which at node-sized per-round
+    * volumes spends more on task scheduling than on work (measured on
+    * 5-round PageRank at sf0.1, 2.39M edges: 8-wide+static is 2.1×
+    * faster production-cold than 32-wide+adaptive). */
+  def loopWidth(spark: org.apache.spark.sql.SparkSession, volumeRows: Long,
+      rowsPerTask: Long = 300000L): Int = {
+    val cores = spark.sparkContext.defaultParallelism
+    math.max(1L, math.min(cores.toLong,
+      (volumeRows + rowsPerTask - 1) / rowsPerTask)).toInt
+  }
+
+  /** Session a loop's rounds execute under: same SparkContext and shared
+    * CacheManager (pins made here are visible to the parent and vice
+    * versa — SharedState owns the cache), but exchanges default to
+    * `width` partitions and ADAPTIVE EXECUTION OFF. AQE exists to
+    * re-plan shapes the planner can't know; a fixed-round loop's shape
+    * is chosen by the operator author (stationary partitioned operand,
+    * node-sized rank exchanges, explicit broadcast hints where a side is
+    * bounded), and AQE's per-exchange query-stage materialization adds a
+    * driver barrier + scheduling round-trip per shuffle per round — at
+    * node-sized volumes that overhead IS the round. Sessions are memoized
+    * per (parent, width) so repeated operator calls share one clone.
+    * Kill switch: SPARK_GRAFT_LOOPTUNE=0 returns the parent unchanged. */
+  private val tunedSessions = scala.collection.mutable.HashMap
+    .empty[(org.apache.spark.sql.SparkSession, Int),
+      org.apache.spark.sql.SparkSession]
+  def loopSession(parent: org.apache.spark.sql.SparkSession,
+      width: Int): org.apache.spark.sql.SparkSession =
+    if (sys.env.get("SPARK_GRAFT_LOOPTUNE").contains("0")) parent
+    else tunedSessions.synchronized {
+      tunedSessions.getOrElseUpdate((parent, width), {
+        val s = parent.newSession()
+        s.conf.set("spark.sql.shuffle.partitions", width.toString)
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        s
+      })
+    }
+
+  /** [[loopSession]] + [[SqlBridge.rebind]] over the loop's input frames:
+    * returns the tuned frames (all actions on plans derived from them run
+    * at loop width). Callers rebind every input ONCE at operator entry so
+    * no round mixes sessions. */
+  def tunedInputs(width: Int, frames: DataFrame*): Seq[DataFrame] = {
+    require(frames.nonEmpty)
+    val tuned = loopSession(frames.head.sparkSession, width)
+    frames.map(org.apache.spark.sql.graftbridge.SqlBridge.rebind(_, tuned))
+  }
+
   /** Operator epilogue: pin + force the final `result`, then release the
     * operator's internal `anchors` (edge tables, token streams, …). The
     * caller gets a materialized table; the operator leaves exactly one

@@ -193,11 +193,23 @@ object PageRank {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0, 1]")
-    val a = adj.select(col("src").cast("long").as("src"),
-        col("outdeg").cast("long").as("outdeg"),
-        col("dsts").cast("array<long>").as("dsts"))
+    val a0 = adj.select(col("src").cast("long").as("src"),
+      col("outdeg").cast("long").as("outdeg"),
+      col("dsts").cast("array<long>").as("dsts"))
+    // loop exchange width from the EDGE volume (one pinned node-sized
+    // pass); rounds execute at that width with static plans — see
+    // LoopCache.loopSession for why adaptive re-planning is the wrong
+    // default inside a fixed-shape loop
+    val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
+      a0.agg(coalesce(sum(col("outdeg")), lit(0L)))).getLong(0))
+    val Seq(aT, nodesT) = LoopCache.tunedInputs(w, a0,
+      nodes.select(col("id").cast("long").as("id")))
+    // stationary operand: hash-partitioned by the per-round join key and
+    // sorted, so every round's rank join needs NO exchange and NO sort on
+    // the adjacency side — only the node-sized rank table moves
+    val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodeIds = nodes.select(col("id").cast("long").as("id"))
+    val nodeIds = nodesT
     val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
       LoopCache.pinnedRow(nodeIds.agg(count(lit(1)))).getLong(0))
     var ranks: Option[DataFrame] = None
@@ -232,11 +244,18 @@ object PageRank {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0, 1]")
-    val a = adj.select(col("src").cast("long").as("src"),
-        col("outdeg").cast("long").as("outdeg"),
-        col("dsts").cast("array<long>").as("dsts"))
+    val a0 = adj.select(col("src").cast("long").as("src"),
+      col("outdeg").cast("long").as("outdeg"),
+      col("dsts").cast("array<long>").as("dsts"))
+    // same loop tuning as fixedPointAdj: edge-volume-derived width,
+    // static plans, src-partitioned stationary operand
+    val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
+      a0.agg(coalesce(sum(col("outdeg")), lit(0L)))).getLong(0))
+    val Seq(aT, seedsT) = LoopCache.tunedInputs(w, a0,
+      seeds.select(col(seedCol).cast("long").as("id")))
+    val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    val seedIds = seedsT.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
       LoopCache.pinnedRow(seedIds.agg(count(lit(1)))).getLong(0))

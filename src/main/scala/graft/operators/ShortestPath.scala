@@ -79,8 +79,15 @@ object ShortestPath {
   def distancesAdj(adj: DataFrame, seeds: DataFrame, seedCol: String,
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
-    val a = adj.select(col("id").cast("long").as("src"), col("nbrs"))
-    val s0 = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    val a0 = adj.select(col("id").cast("long").as("src"), col("nbrs"))
+    // loop-tuned width + static rounds over a src-partitioned stationary
+    // operand (see LoopCache.loopSession)
+    val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
+      a0.agg(coalesce(sum(size(col("nbrs")).cast("long")), lit(0L))))
+      .getLong(0))
+    val Seq(aT, seedsT) = LoopCache.tunedInputs(w, a0, seeds)
+    val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
+    val s0 = seedsT.select(col(seedCol).cast("long").as("id")).distinct()
       .select(col("id"), lit(0L).as("cost"))
     LoopCache.memo(
       Seq("sssp-adj", LoopCache.planKey(a), LoopCache.planKey(s0), rounds)) {

@@ -38,7 +38,10 @@ class Wave6Spec extends AnyFunSuite {
       if a % 5 == b % 5 || b == a + 1) yield (a, b)): _*)
     val before = sc.getPersistentRDDs.size
     KCore.survivors(edges, "src", "dst", k = 3L, rounds = 4).count()
-    assert(sc.getPersistentRDDs.size - before <= 1,
+    // TWO deliberate entries: the pinned final + the 1-row edge-count
+    // aggregate (LoopCache.pinnedRow feeding loopWidth — cached so warm
+    // re-invocations skip the volume pass)
+    assert(sc.getPersistentRDDs.size - before <= 2,
       "KCore leaked per-round tables or its edge anchor")
     // second invocation probes the pinned final: no new cache entries
     val after = sc.getPersistentRDDs.size
