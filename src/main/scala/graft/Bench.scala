@@ -165,20 +165,24 @@ object Bench {
     var sentinelBase = (1 to 3).map(_ => sentinelTime(spark)).min
     val sentinels = scala.collection.mutable.ArrayBuffer[Double]()
     var contended = false
-    // Every probe takes TWO back-to-back readings and decides on their
-    // min: a single reading taken right after a heavy query chunk is
-    // inflated by GC/page-cache pressure even on an idle box (the clean
-    // r9 PRODCOLD run's singles read 1.2-1.5x base — overlapping the
-    // contended run's 1.2-1.8x, so no single-reading threshold can
-    // separate them), while SUSTAINED host load inflates both readings.
-    // Both raw readings land in the recorded series unlaundered (ADVICE
-    // r9); decisions use the per-probe mins.
+    // Every probe takes THREE back-to-back readings — the SAME procedure
+    // as the baseline — and decides on their min. A single reading taken
+    // right after a heavy query chunk is inflated by GC/page-cache
+    // pressure even on an idle box (the clean r9 PRODCOLD run's singles
+    // read 1.2-1.5x base — overlapping the contended run's 1.2-1.8x, so
+    // no single-reading threshold can separate them), while SUSTAINED
+    // host load inflates every rep. The rep count must MATCH the
+    // baseline's: consecutive sentinel reps converge (measured idle:
+    // 0.44 -> 0.26 -> 0.23 s), so a min-of-2 probe systematically reads
+    // 1.2-1.45x a min-of-3 baseline on an idle box — r11/r12 hands-off
+    // runs flagged themselves contended on exactly that skew. Both/all
+    // raw readings land in the recorded series unlaundered (ADVICE r9);
+    // decisions use the per-probe mins.
     val probeMins = scala.collection.mutable.ArrayBuffer[Double]()
     def probe(): Double = {
-      val s1 = sentinelTime(spark)
-      val s2 = sentinelTime(spark)
-      sentinels += s1; sentinels += s2
-      val s = math.min(s1, s2)
+      val reads = (1 to 3).map(_ => sentinelTime(spark))
+      sentinels ++= reads
+      val s = reads.min
       probeMins += s
       sentinelBase = math.min(sentinelBase, s)
       s
