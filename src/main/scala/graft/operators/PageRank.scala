@@ -255,7 +255,10 @@ object PageRank {
       seeds.select(col(seedCol).cast("long").as("id")))
     val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seeds are STATIONARY like the adjacency: partitioned on the id key
+    // once, so the per-round teleport re-entry join needs no exchange
     val seedIds = seedsT.distinct()
+      .repartition(w, col("id")).sortWithinPartitions("id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
       LoopCache.pinnedRow(seedIds.agg(count(lit(1)))).getLong(0))
@@ -265,9 +268,15 @@ object PageRank {
         .select(expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"),
           explode(col("dsts")).as("dst"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      // teleport re-entry: propagated mass ⟗ seed rows. The old
+      // union+re-sum re-exchanged the node-sized rank table every round;
+      // the full-outer join runs exchange-free — contrib leaves its
+      // aggregate hash-partitioned on the id and the seed side is the
+      // pinned stationary layout above. Same sums, exactly.
       ranks = contrib.select(col("dst").as("id"), col("contrib").as("r"))
-        .unionByName(seedIds.select(col("id"), lit(teleport).as("r")))
-        .groupBy(col("id")).agg(sum(col("r")).as("r"))
+        .join(seedIds.withColumn("t", lit(true)), Seq("id"), "full_outer")
+        .select(col("id"), (coalesce(col("r"), lit(0L)) +
+          when(col("t").isNotNull, lit(teleport)).otherwise(lit(0L))).as("r"))
     }
     LoopCache.finish(
       ranks.select(col("id"), col("r").as("rank_tokens")), a, seedIds)
