@@ -573,4 +573,91 @@ class ScaleSpec extends AnyFunSuite {
     assert(shuffles.forall(e => !e.output.exists(_.name == "text")),
       s"text must not ride the dataset-card keyed shuffles:\n$sp")
   }
+
+  test("loop tuning: width from volume, session isolation, kill switch") {
+    import graft.operators.LoopCache
+    // width grows with volume and caps at the cluster's parallelism
+    val cores = spark.sparkContext.defaultParallelism
+    assert(LoopCache.loopWidth(spark, 0L) == 1)
+    assert(LoopCache.loopWidth(spark, 300000L) == 1)
+    assert(LoopCache.loopWidth(spark, 300001L) == math.min(2, cores))
+    assert(LoopCache.loopWidth(spark, 2390000L) == math.min(8, cores))
+    assert(LoopCache.loopWidth(spark, Long.MaxValue / 2) == cores)
+    // the tuned session is a clone: loop conf set there, parent untouched
+    val tuned = LoopCache.loopSession(spark, 3)
+    assert(tuned.conf.get("spark.sql.shuffle.partitions") == "3")
+    assert(tuned.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "3")
+    // memoized per (parent, width); pins made under it are visible to the
+    // parent (shared CacheManager) — rebind round-trips the same plan
+    assert(LoopCache.loopSession(spark, 3) eq tuned)
+    val df = spark.range(10).toDF("id")
+    val re = org.apache.spark.sql.graftbridge.SqlBridge.rebind(df, tuned)
+    assert(re.sparkSession eq tuned)
+    re.persist(); re.count()
+    assert(LoopCache.cached(spark.range(10).toDF("id")),
+      "a pin made under the tuned session must be visible to the parent")
+    spark.range(10).toDF("id").unpersist(blocking = true)
+  }
+
+  test("loop-tuned PageRank round: one node-sized exchange, stationary adjacency") {
+    import graft.operators.LoopCache
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // mirror fixedPointAdj's round construction on a staged-style
+    // adjacency and pin the physical shape the loop relies on: the
+    // cached operand is already hash(src, w)-partitioned AND sorted, so
+    // a round's ONLY live exchange is the node-sized contribution
+    // aggregate — the adjacency never moves and never re-sorts
+    val adj = (1L to 2000L)
+      .map(i => (i, 2L, Array(i % 97L + 1L, i % 89L + 2L)))
+      .toDF("src", "outdeg", "dsts")
+    val w = 4
+    val a = LoopCache.tunedInputs(w, adj).head
+      .repartition(w, col("src")).sortWithinPartitions("src")
+      .persist()
+    a.count()
+    val r1 = a.withColumn("r", lit(1000L))
+      .select(expr("(r * 85L) div (100L * outdeg)").as("c"),
+        explode(col("dsts")).as("dst"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      .select(col("dst").as("id"), (lit(1L) + col("contrib")).as("r"))
+    val round2 = a.join(r1, col("src") === col("id"), "left")
+      .withColumn("r", coalesce(col("r"), lit(7L)))
+      .select(expr("(r * 85L) div (100L * outdeg)").as("c"),
+        explode(col("dsts")).as("dst"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+    val sp = round2.queryExecution.executedPlan
+    // static plan (AQE off in the tuned session): exchanges are directly
+    // collectible. Live exchanges = ENSURE_REQUIREMENTS agg exchanges at
+    // the loop width, one per round; the REPARTITION_BY_NUM exchange
+    // inside InMemoryRelation's cached build plan is one-time, not live.
+    val live = sp.collect { case e: ShuffleExchangeExec => e }
+    assert(live.size == 2, s"2 rounds must shuffle exactly twice:\n$sp")
+    assert(live.forall(_.outputPartitioning.numPartitions == w),
+      s"loop exchanges must run at the derived width $w:\n$sp")
+    // the adjacency enters each round's join straight from the cache: no
+    // Sort and no Exchange above its InMemoryTableScan. The join itself is
+    // SMJ on real data (node-sized rank side exchanged nowhere, sorted
+    // only) and BHJ here where the tiny rank side broadcasts statically —
+    // both keep the stationary side stationary.
+    def adjSide(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[org.apache.spark.sql.execution.SparkPlan] = p.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.left
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight
+        => j.left
+    }
+    val side = adjSide(sp)
+    assert(side.nonEmpty, s"expected a rank join:\n$sp")
+    def cacheDirect(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      p.collectFirst {
+        case _: org.apache.spark.sql.execution.SortExec => false
+        case _: ShuffleExchangeExec => false
+        case _: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => true
+      }.getOrElse(false)
+    assert(cacheDirect(side.get),
+      s"adjacency side must read the cache with no sort/exchange:\n${side.get}")
+    a.unpersist(blocking = true)
+  }
 }
