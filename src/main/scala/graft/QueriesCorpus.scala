@@ -652,9 +652,22 @@ object QueriesCorpus {
     // (VERDICT r11 #6): a cold call probes the index — it never
     // re-tokenizes the corpus. Identical arithmetic (Bm25.topKFromIndex),
     // so scores are bit-identical to the derive-per-call path.
+    // the index is staged TOKEN-SORTED (range-partitioned + sorted) so
+    // the per-call vocabulary IN filter prunes parquet row groups via
+    // min/max stats — an index SEEK, not a full-index scan per retrieval
+    // call (see Bm25.topKFromIndex)
+    val n = spark.sparkContext.defaultParallelism
     val index = graft.operators.Staging.stagedOrDerive(spark,
-        "bm25_postings", Seq(docsPath)) {
+        s"bm25_postings_bytok_p$n", Seq(docsPath)) {
       Bm25.postingsIndex(docs, "doc_id", "text")
+        .repartitionByRange(n, col("tok")).sortWithinPartitions("tok")
+    }
+    // per-token df staged WITH the index (the offline IDF table): the
+    // per-call plan is one pass over the vocabulary slice — no per-call
+    // slice pin, no per-call df aggregate
+    val dfTable = graft.operators.Staging.stagedOrDerive(spark,
+        "bm25_df_bytok", Seq(docsPath)) {
+      Bm25.docFrequencies(index).sort(col("tok"))
     }
     val stats = graft.operators.LoopCache.pinnedRow(
       graft.operators.Staging.stagedOrDerive(spark, "bm25_stats",
@@ -667,7 +680,7 @@ object QueriesCorpus {
       .filter(length(trim(regexp_replace(col("text"), "\\s+", " "))) > 0)
       .select(col("doc_id").as("qid"),
         concat_ws(" ", slice(split(norm, " "), 1, 8)).as("qtext"))
-    Bm25.topKFromIndex(index, stats.getLong(0), stats.getLong(1),
+    Bm25.topKFromIndex(index, dfTable, stats.getLong(0), stats.getLong(1),
         queries, "qid", "qtext", k = 5)
       .orderBy(col("qid"), col("rank"))
   }

@@ -57,7 +57,7 @@ object Bm25 {
       .join(broadcast(qvocab), Seq("tok"), "left_semi")
     val tf = postings.groupBy(col("doc"), col("tok"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-    scoreFromTf(tf, stats.getLong(0), stats.getLong(1), qterms, k, k1, b)
+    scoreFromTf(tf, None, stats.getLong(0), stats.getLong(1), qterms, k, k1, b)
   }
 
   /** The full-vocabulary postings index (doc, tok, tf, dl) plus its
@@ -79,17 +79,45 @@ object Bm25 {
       .filter(size(col("ts")) > 0)
       .agg(count(lit(1)).as("n_docs"), sum(size(col("ts"))).as("total_len"))
 
-  /** [[topK]] served from a staged [[postingsIndex]] + [[corpusStats]]
-    * row: the per-call plan is a broadcast semi-join of the index slice
-    * the queries touch — no corpus tokenization anywhere. Identical
-    * arithmetic to [[topK]] (same tf/df/dl values, same stats division),
-    * so results are bit-identical. */
-  def topKFromIndex(index: DataFrame, nDocs: Long, totalLen: Long,
+  /** Per-token document frequency over a [[postingsIndex]] — the offline
+    * IDF table every search deployment materializes with its index.
+    * Stage it beside the postings: [[topKFromIndex]] then never
+    * aggregates (or pins) the index slice per call. Equal to the df the
+    * slice-side aggregate would compute — the slice keeps EVERY doc of a
+    * query-vocabulary token, so per-token counts match the full index. */
+  def docFrequencies(index: DataFrame): DataFrame =
+    index.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+
+  /** [[topK]] served from a staged [[postingsIndex]] + [[docFrequencies]]
+    * + [[corpusStats]] row: the per-call plan is ONE pass over the
+    * vocabulary slice of the index — df rides in from its staged table,
+    * so the slice is single-referenced and needs no per-call pin or
+    * aggregate. Identical arithmetic to [[topK]] (same tf/df/dl values,
+    * same stats division), so results are bit-identical.
+    *
+    * INDEX SEEK: the query vocabulary is bounded by the query text
+    * (|queries| × query length), so it is collected (pinned, query-sized)
+    * and pushed into the index scan as an IN filter — against a
+    * token-sorted staged layout, parquet min/max stats prune the scan to
+    * the row groups that contain query terms, the distributed analog of
+    * a term-dictionary seek. A full-index pass per retrieval call is the
+    * wrong cost model at any corpus size. Vocabularies above
+    * `maxSeekVocab` fall back to the broadcast semi-join (no collect). */
+  def topKFromIndex(index: DataFrame, dfTable: DataFrame,
+      nDocs: Long, totalLen: Long,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+      maxSeekVocab: Int = 65536): DataFrame = {
     val (qterms, qvocab) = queryTerms(queries, qidCol, qtextCol)
-    val tf = index.join(broadcast(qvocab), Seq("tok"), "left_semi")
-    scoreFromTf(tf, nDocs, totalLen, qterms, k, k1, b)
+    val vocab = LoopCache.pinnedRows(qvocab).map(_.getString(0)).toSeq
+    val (tf, df_) =
+      if (vocab.size <= maxSeekVocab && vocab.nonEmpty)
+        (index.filter(col("tok").isin(vocab: _*)),
+          dfTable.filter(col("tok").isin(vocab: _*)))
+      else
+        (index.join(broadcast(qvocab), Seq("tok"), "left_semi"),
+          dfTable.join(broadcast(qvocab), Seq("tok"), "left_semi"))
+    scoreFromTf(tf, Some(df_), nDocs, totalLen, qterms, k, k1, b)
   }
 
   /** Distinct (qid, tok) postings and the query vocabulary. */
@@ -101,19 +129,24 @@ object Bm25 {
     (qterms, qterms.select(col("tok")).distinct())
   }
 
-  /** Shared scoring tail over a query-vocabulary-restricted tf slice. */
-  private def scoreFromTf(tfSlice: DataFrame, nDocs: Long, totalLen: Long,
+  /** Shared scoring tail over a query-vocabulary-restricted tf slice.
+    * `dfPrecomputed`: the staged df table restricted to the vocabulary
+    * (see [[docFrequencies]]) — when absent, df is aggregated from the
+    * slice, which then needs a session-lived pin because it is
+    * referenced twice. */
+  private def scoreFromTf(tfSlice: DataFrame,
+      dfPrecomputed: Option[DataFrame], nDocs: Long, totalLen: Long,
       qterms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     val avgdl = totalLen.toDouble / nDocs.toDouble
-    // tf is referenced twice (the df aggregate and the scoring join);
-    // unpinned, each reference re-drives the slice derivation. Session-
-    // lived pin, bounded by (touched docs × query vocabulary) — the
-    // inverted-index slice, not the corpus.
+    // with a precomputed df the slice is single-referenced — no pin, one
+    // pass; otherwise pin it so the df aggregate and the scoring join
+    // don't re-derive it (bounded by touched docs × query vocabulary)
     val tf = tfSlice
-    if (!LoopCache.cached(tf))
+    if (dfPrecomputed.isEmpty && !LoopCache.cached(tf))
       tf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val df_ = dfPrecomputed.getOrElse(
+      tf.groupBy(col("tok")).agg(count(lit(1)).as("df")))
 
     val idf = log(lit(1.0) +
       (lit(nDocs.toDouble) - col("df").cast("double") + lit(0.5))
