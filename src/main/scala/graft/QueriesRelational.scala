@@ -35,9 +35,18 @@ object QueriesRelational {
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
         decSum("l_extendedprice").as("sum_base_price"),
-        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)")
+        // the exact decimal sum is TRUNCATED TO CENTS before the double
+        // cast: at scale 6 the sf1 sum's unscaled value exceeds 2^53, so
+        // DuckDB's two-step decimal→double (int→double, then divide)
+        // rounds differently from Spark's correctly-rounded conversion —
+        // the one-ulp cross-engine mismatch the sf1 gate caught (and
+        // half-rounding on a scale-down cast differs between engines
+        // too). FLOOR(sum·100) is pure integer arithmetic both engines
+        // replay exactly; the cent count fits 2^53, so the final double
+        // division is a single identical rounding on both.
+        expr("CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * 100) AS DOUBLE) / 100.0")
           .as("sum_disc_price"),
-        expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)")
+        expr("CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) * 100) AS DOUBLE) / 100.0")
           .as("sum_charge"),
         (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
         (decSum("l_extendedprice") / count(lit(1))).as("avg_price"),
@@ -50,8 +59,8 @@ object QueriesRelational {
     """SELECT l_returnflag, l_linestatus,
       |       sum(l_quantity) AS sum_qty,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+      |       CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * 100) AS DOUBLE) / 100.0 AS sum_disc_price,
+      |       CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) * 100) AS DOUBLE) / 100.0 AS sum_charge,
       |       sum(l_quantity) / count(*) AS avg_qty,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
       |       CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*) AS avg_disc,
