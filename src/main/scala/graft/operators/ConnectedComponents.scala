@@ -46,9 +46,19 @@ object ConnectedComponents {
       pairs: DataFrame, srcCol: String, dstCol: String,
       maxIterations: Int = 20, distinctPairs: Boolean = false,
       smallGraphEdges: Long = 1L << 18): DataFrame = {
-    val undirected = pairs
+    val undirected0 = pairs
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(pairs.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
+    // loop-tuned rounds above the union-find threshold (the cluster
+    // path): width from the directed-edge volume (one pinned pass over
+    // the pair table — dedup-pipeline pair tables are candidate-sized,
+    // not corpus-sized), static plans — the same LoopCache.loopSession
+    // rationale as the other iterative operators. The edge repartition
+    // below inherits the tuned width from the session conf.
+    val undirected = LoopCache.tunedInputs(
+      LoopCache.loopWidth(pairs.sparkSession,
+        LoopCache.pinnedRow(undirected0.agg(count(lit(1)))).getLong(0)),
+      undirected0).head
     // pre-partition on the iteration join key: the per-iteration
     // labels-join probes edges on `b`, so the cached side keeps
     // hashpartitioning(b) and only the (smaller) label side shuffles
@@ -56,7 +66,7 @@ object ConnectedComponents {
       .repartition(col("b"))
       .cache()
     if (edges.count() <= smallGraphEdges) {
-      val spark = pairs.sparkSession
+      val spark = edges.sparkSession
       import spark.implicits._
       val es = edges.as[(Long, Long)].collect()
       edges.unpersist(false)
