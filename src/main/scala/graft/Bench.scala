@@ -254,9 +254,15 @@ object Bench {
       println(line)
       // the prodcold artifact lands in its own file too, so the official
       // record never depends on shell redirection of the sbt log
-      writeArtifact(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-        java.nio.file.Paths.get("BENCH_PRODCOLD.json").toAbsolutePath.toString),
-        line)
+      val prodcoldPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        java.nio.file.Paths.get("BENCH_PRODCOLD.json").toAbsolutePath.toString)
+      writeArtifact(prodcoldPath, line)
+      // ABSOLUTE LAST stdout line: a minimal record that survives any
+      // log-tail scrape window (BENCH_r{8..12}.json all read "parsed":
+      // null because the full line outgrew the driver's ~2000-char tail
+      // — VERDICT r12 "what's wrong #1"). Everything else is in the file.
+      println(miniJson("total_prodcold", total, sfDir, contended,
+        results, prodcoldPath))
       updateCalibration(sentinelBase)
       spark.stop()
       return
@@ -352,8 +358,24 @@ object Bench {
     writeArtifact(sys.env.getOrElse("SPARK_GRAFT_BENCH_TOTAL",
       java.nio.file.Paths.get("BENCH_TOTAL.json").toAbsolutePath.toString),
       shortLine)
+    // ABSOLUTE LAST stdout line: minimal, tail-window-proof (see the
+    // prodcold branch note). The short line above stays for humans and
+    // for BENCH_TOTAL.json; this one exists to parse from a ~2000-char
+    // log tail even with sbt's trailing [success] line after it.
+    println(miniJson("total", total, sfDir, contended, results, detailPath))
     updateCalibration(sentinelBase)
     spark.stop()
+  }
+
+  /** Sub-500-char headline record: the driver contract's metric/value/
+    * unit/sf/queries keys with only the 5 heaviest queries inlined;
+    * `detail` points at the full artifact. */
+  private def miniJson(metric: String, total: Double, sfDir: String,
+      contended: Boolean, results: Seq[(String, Double)],
+      detailPath: String): String = {
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    f"""{"metric":"$metric","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"contended":$contended,"detail":"$detailPath","queries_truncated":true,"queries":$top}"""
   }
 
   private def writeArtifact(path: String, line: String): Unit =

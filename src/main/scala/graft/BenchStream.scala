@@ -136,6 +136,16 @@ object BenchStream {
         streaming.StreamingOps.dedupStream(s, "text", "ts",
           watermark = "1 hour")
       }(docsDir),
+      // dual-watermark stream-stream interval join (q135's production
+      // shape): views self-joined to ±10-minute clicks per user; both
+      // sides carry a 1-hour watermark, so join state is bounded by the
+      // horizon — the peak-state column is the claim under test
+      runTier("interval_join") { s =>
+        streaming.StreamingOps.intervalJoinStream(
+          s.filter(col("event_type") === "view"),
+          s.filter(col("event_type") === "click"),
+          "user_id", "ts")
+      }(eventsDir),
       // ---- dedup THROUGHPUT ATTRIBUTION sweep: the tier's low rows/s
       // is per-micro-batch fixed cost (state-store commit + a 32-way
       // keyed exchange + checkpoint fsync), not digest work — the

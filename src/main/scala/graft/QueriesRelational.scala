@@ -42,8 +42,18 @@ object QueriesRelational {
         // the one-ulp cross-engine mismatch the sf1 gate caught (and
         // half-rounding on a scale-down cast differs between engines
         // too). FLOOR(sum·100) is pure integer arithmetic both engines
-        // replay exactly; the cent count fits 2^53, so the final double
-        // division is a single identical rounding on both.
+        // replay exactly AT ANY SCALE: Spark evaluates FLOOR on the
+        // decimal (DecimalType result) and DuckDB's FLOOR(DECIMAL) is
+        // DECIMAL(38,0) (probed r13: floor(sum*100) past 2^53 cents
+        // returns the exact integer '9007199254740994', typeof
+        // DECIMAL(38,0) — no double lowering, the ADVICE r12 concern),
+        // so both engines cast the SAME integer with one correctly-
+        // rounded int→double conversion and divide by the same 100.0 —
+        // identical doubles even when the cent count itself exceeds
+        // 2^53 (KernelSpec "q10 cents arithmetic stays decimal-exact
+        // past 2^53"). Cost: the published column is the cent-truncated
+        // sum, ≤ $0.01 below the full-precision decimal→double value —
+        // the price of a hash-exact cross-engine gate on a double column.
         expr("CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) * 100) AS DOUBLE) / 100.0")
           .as("sum_disc_price"),
         expr("CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) * 100) AS DOUBLE) / 100.0")

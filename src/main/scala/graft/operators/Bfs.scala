@@ -90,10 +90,12 @@ object Bfs {
       lv
     }
     val probe = loop((next, _) => next)
-    if (LoopCache.cached(probe)) return probe
+    if (LoopCache.cached(probe)) return LoopCache.untuned(probe)
     a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = loop(LoopCache.step)
     a.unpersist(blocking = false)
-    out
+    // hand back a parent-session frame: the tuned width/AQE-off conf is
+    // for the rounds only, not the caller's downstream plan
+    LoopCache.untuned(out)
   }
 }

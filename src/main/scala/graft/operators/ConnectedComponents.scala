@@ -50,7 +50,9 @@ object ConnectedComponents {
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(pairs.select(col(dstCol).cast("long").as("a"), col(srcCol).cast("long").as("b")))
     // loop-tuned rounds above the union-find threshold (the cluster
-    // path): width from the directed-edge volume (one pinned pass over
+    // path): width from the UNDIRECTED union's volume — 2x the directed
+    // pair count, intentionally, because both orientations are what
+    // every round actually joins and aggregates (one pinned pass over
     // the pair table — dedup-pipeline pair tables are candidate-sized,
     // not corpus-sized), static plans — the same LoopCache.loopSession
     // rationale as the other iterative operators. The edge repartition
@@ -70,8 +72,9 @@ object ConnectedComponents {
       import spark.implicits._
       val es = edges.as[(Long, Long)].collect()
       edges.unpersist(false)
-      return spark.createDataset(unionFindMinLabels(es).toSeq)
-        .toDF("node", "comp")
+      return LoopCache.untuned(
+        spark.createDataset(unionFindMinLabels(es).toSeq)
+          .toDF("node", "comp"))
     }
     // convergence probe: per-node labels only ever DECREASE under min-label
     // propagation, so the label vector changed iff its exact sum changed —
@@ -113,7 +116,7 @@ object ConnectedComponents {
         s"connected components did not converge in $maxIterations iterations " +
           "(graph label-hop diameter exceeds the budget); raise maxIterations — " +
           "returning partial labels would silently under-merge clusters")
-    labels
+    LoopCache.untuned(labels)
   }
 
   /** Driver-side union-find with path compression over a collected edge

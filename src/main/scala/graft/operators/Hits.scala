@@ -109,10 +109,11 @@ object Hits {
     val Seq(saT, daT) = LoopCache.tunedInputs(w, sa0, da0)
     val sa = saT.repartition(w, col("aid")).sortWithinPartitions("aid")
     val da = daT.repartition(w, col("aid")).sortWithinPartitions("aid")
-    LoopCache.memo(Seq("hits-adj", LoopCache.planKey(sa), LoopCache.planKey(da),
-        rounds, scale)) {
-      runAdj(sa, da, rounds, scale)
-    }
+    LoopCache.untuned(
+      LoopCache.memo(Seq("hits-adj", LoopCache.planKey(sa), LoopCache.planKey(da),
+          rounds, scale)) {
+        runAdj(sa, da, rounds, scale)
+      })
   }
 
   private def runAdj(sa: DataFrame, da: DataFrame, rounds: Int,

@@ -99,7 +99,7 @@ object KCore {
     // reuse it instead of re-driving the peeling rounds (plan-only loop,
     // nothing executes on a probe hit)
     val probe = loop((next, _) => next, execute = false)
-    if (LoopCache.cached(probe)) return probe
+    if (LoopCache.cached(probe)) return LoopCache.untuned(probe)
     // PIN each round, RELEASE the previous (LoopCache.step): the alive
     // set is referenced twice per round (the two endpoint semi-joins),
     // so an uncached loop doubles the plan tree every round (the
@@ -109,6 +109,7 @@ object KCore {
     e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = loop(LoopCache.step, execute = true)
     e.unpersist(blocking = false) // final survivors are materialized
-    out
+    // parent-session frame out: tuned conf is scoped to the rounds
+    LoopCache.untuned(out)
   }
 }

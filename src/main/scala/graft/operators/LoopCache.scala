@@ -94,7 +94,15 @@ object LoopCache {
     * the memo, or a memoized operator's "cold" run silently returns the
     * previous invocation's frame (and the session-lived map keeps its
     * captured plans/RDDs alive). */
-  def clearMemo(): Unit = memoMap.synchronized(memoMap.clear())
+  def clearMemo(): Unit = {
+    memoMap.synchronized(memoMap.clear())
+    // the loop-session memo is the same kind of session-lived state: a
+    // harness that resets between queries must also drop the tuned
+    // clones, or a long-lived JVM that creates/stops many parent
+    // sessions (test suites, notebooks) retains every parent forever
+    // through this map's strong keys
+    tunedSessions.synchronized(tunedSessions.clear())
+  }
 
   /** Exchange width for a fixed-shape iterative loop, derived from the
     * loop's per-round data volume (edge count for graph rounds, vector
@@ -150,6 +158,26 @@ object LoopCache {
     frames.map(org.apache.spark.sql.graftbridge.SqlBridge.rebind(_, tuned))
   }
 
+  /** Inverse of [[tunedInputs]] at operator EXIT: when `df` is bound to
+    * a tuned loop session, rebind it to that session's parent so the
+    * tuned conf (fixed loop width, adaptive execution off) is scoped
+    * strictly to the loop's own rounds. Without this, any plan a caller
+    * composes ON the result — a join against a corpus-sized table, a
+    * downstream aggregation — silently executes 1-wide with AQE off.
+    * No-op for frames already on a parent session. The result stays
+    * cache-compatible: CacheManager matches by canonicalized plan,
+    * which rebinding does not change. */
+  def untuned(df: DataFrame): DataFrame =
+    tunedSessions.synchronized {
+      tunedSessions.collectFirst {
+        case ((parent, _), child) if child eq df.sparkSession => parent
+      }
+    } match {
+      case Some(parent) =>
+        org.apache.spark.sql.graftbridge.SqlBridge.rebind(df, parent)
+      case None => df
+    }
+
   /** Operator epilogue: pin + force the final `result`, then release the
     * operator's internal `anchors` (edge tables, token streams, …). The
     * caller gets a materialized table; the operator leaves exactly one
@@ -168,6 +196,8 @@ object LoopCache {
       result.count()
     }
     anchors.foreach(_.unpersist(blocking = false))
-    result
+    // loop-tuned operators: hand the caller a PARENT-session frame (the
+    // tuned conf must not leak into downstream plans — see [[untuned]])
+    untuned(result)
   }
 }

@@ -89,10 +89,11 @@ object ShortestPath {
     val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
     val s0 = seedsT.select(col(seedCol).cast("long").as("id")).distinct()
       .select(col("id"), lit(0L).as("cost"))
-    LoopCache.memo(
-      Seq("sssp-adj", LoopCache.planKey(a), LoopCache.planKey(s0), rounds)) {
-      runAdj(a, s0, rounds)
-    }
+    LoopCache.untuned(
+      LoopCache.memo(
+        Seq("sssp-adj", LoopCache.planKey(a), LoopCache.planKey(s0), rounds)) {
+        runAdj(a, s0, rounds)
+      })
   }
 
   private def runAdj(a: DataFrame, s0: DataFrame, rounds: Int): DataFrame = {

@@ -112,15 +112,27 @@ object Staging {
     * via write-to-temp + atomic rename; the `_SUCCESS` marker guards
     * against a stage dir that exists but predates rename atomicity. */
   def stagedOrDerive(spark: SparkSession, name: String,
-      inputs: Seq[String])(derive: => DataFrame): DataFrame = {
-    val dir = stageRoot.resolve(s"$name-${fingerprint(inputs)}")
+      inputs: Seq[String])(derive: => DataFrame): DataFrame =
     // CONTRACT: the (path, size, mtime) fingerprint is the same freshness
     // rule Spark's own file index uses — it cannot see a same-size
     // rewrite inside one mtime tick or an mtime-preserving copy
     // (`cp -p`/`rsync -a`) of an equal-size file. Corpus swaps done that
     // way must either point SPARK_GRAFT_STAGE_DIR elsewhere, delete the
     // stage dir, or set SPARK_GRAFT_STAGE_REFRESH=1 to force re-derive.
-    val force = sys.env.get("SPARK_GRAFT_STAGE_REFRESH").contains("1")
+    stagedOrDerive(spark, name, inputs,
+      sys.env.get("SPARK_GRAFT_STAGE_REFRESH").contains("1"))(derive)
+
+  /** [[stagedOrDerive]] with the refresh decision as a parameter — the
+    * env-var entry point above is the production path; the explicit
+    * `force` overload lets the concurrency specs drive the refresh
+    * branch deterministically. */
+  /** Resolved on-disk location of a stage (specs and tooling). */
+  private[graft] def stageDirOf(name: String, inputs: Seq[String]): Path =
+    stageRoot.resolve(s"$name-${fingerprint(inputs)}")
+
+  private[graft] def stagedOrDerive(spark: SparkSession, name: String,
+      inputs: Seq[String], force: Boolean)(derive: => DataFrame): DataFrame = {
+    val dir = stageDirOf(name, inputs)
     if (force) trashAside(dir)
     val prebuilt = Files.exists(dir.resolve("_SUCCESS"))
     val t0 = System.nanoTime()

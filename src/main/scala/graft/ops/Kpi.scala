@@ -96,26 +96,42 @@ object Kpi {
       exactP90: Boolean = true,
       crossEngineExact: Boolean = false): DataFrame = {
     // (aggregate expression, post-aggregation transform) — the faithful
-    // tier buffers the group's sorted values and interpolates after the
-    // agg, exactly like the reference's per-group elapsed lists
+    // tier buffers the group's values IN SCAN ORDER (the reference's
+    // per-group elapsed lists) and both final aggregates replay numpy on
+    // that buffer after the agg: p90 sorts then `_lerp`-interpolates,
+    // avg replays np.mean's pairwise summation
     val (p90Agg, p90Post): (Column, Column => Column) =
       if (!exactP90)
         (percentile_approx(col("elapsed_ms"), lit(0.9), lit(10000)), identity)
       else if (crossEngineExact)
         (percentile(col("elapsed_ms"), lit(0.9)), identity)
       else
-        (graft.functions.NpPercentile.sortedValues(col("elapsed_ms")),
-          c => graft.functions.NpPercentile.ofSorted(c, 0.9))
-    // BOTH tiers: mean from the exact DECIMAL(18,2) sum (elapsed is 2-dp
-    // by contract), divided once in double. The reference's np.mean is
-    // pairwise summation — in practice the correctly-rounded true mean —
-    // and the exact-sum path lands on the same nearest double. A plain
-    // double avg() does NOT: its error grows with naive left-fold
-    // summation and its value varies with partition order run to run,
-    // which flipped a py_round 2-dp boundary group (359.705…: ref 359.7,
-    // spark 359.71 — caught live by the parity gate, round 5).
-    val avgRaw =
-      sum(col("elapsed_ms").cast("decimal(18,2)")).cast("double") / count(lit(1))
+        (collect_list(col("elapsed_ms")),
+          c => graft.functions.NpPercentile.ofSorted(sort_array(c), 0.9))
+    // Mean tiers. crossEngineExact: exact DECIMAL(18,2) sum (elapsed is
+    // 2-dp by contract) divided once in double — the correctly-rounded
+    // true mean, which DuckDB replays for the hash-portable oracle gate.
+    // Faithful tier: np.mean's pairwise summation over the same scan-
+    // order buffer the p90 uses (NpMeanExpression) — numpy's sum is
+    // usually the correctly-rounded value too, but NOT always, and when
+    // a group's true mean lands exactly on a 2-dp midpoint the one-ulp
+    // accumulation error decides the printed cent (caught live by the
+    // parity gate, round 13: exact mean 373.045, np.mean
+    // 373.04499999999996 → ref 373.04, exact-sum path 373.05). A plain
+    // double avg() is wrong for BOTH tiers: naive left-fold error plus
+    // partition-order nondeterminism (round-5 parity catch, 359.705…).
+    // The faithful tier's avg aggregates the SAME collect_list expression
+    // as the p90 — Catalyst dedups identical aggregate expressions, so
+    // there is ONE physical buffer per group feeding both replays. The
+    // approx tier (the 100 TB cardinality switch) has no buffer and is
+    // not parity-gated: it keeps the exact-decimal mean.
+    val (avgAgg, avgPost): (Column, Column => Column) =
+      if (!crossEngineExact && exactP90)
+        (collect_list(col("elapsed_ms")),
+          c => graft.functions.NpMeanExpression.npMean(c))
+      else
+        (sum(col("elapsed_ms").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)), identity)
     // py_round, not bround: Python rounds the exact binary double, bround
     // rounds its shortest decimal repr — they disagree on values like
     // 696.515 (see PyRoundExpression scaladoc; caught by the parity gate)
@@ -130,13 +146,13 @@ object Kpi {
         count_if(col("status_code").between(400, 499)).as("client_4xx"),
         count_if(col("status_code").between(500, 599)).as("server_5xx"),
         count_if(col("parse_result") =!= "ok").as("parse_errors"),
-        avgRaw.as("avg_raw"),
+        avgAgg.as("avg_raw"),
         p90Agg.as("p90_raw"))
       .select(
         col("date_utc"), col("endpoint_base"), col("requests_total"),
         col("success_2xx"), col("client_4xx"), col("server_5xx"),
         col("parse_errors"),
-        round2(col("avg_raw")).as("avg_elapsed_ms"),
+        round2(avgPost(col("avg_raw"))).as("avg_elapsed_ms"),
         round2(p90Post(col("p90_raw"))).as("p90_elapsed_ms"))
       .orderBy(col("date_utc"), col("endpoint_base"))
   }

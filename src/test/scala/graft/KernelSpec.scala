@@ -309,4 +309,66 @@ class KernelSpec extends AnyFunSuite {
     val viaAdj = LinkPredict.topCommonNeighborPairsAdj(adj, edges, topN = 10)
     assert(viaAdj.except(viaEdges).isEmpty && viaEdges.except(viaAdj).isEmpty)
   }
+
+  test("np_mean replays numpy pairwise summation bit-exactly") {
+    import graft.functions.NpMeanExpression
+    // expectations computed by numpy 1.26 (float(np.mean(...))) on
+    // deterministic vectors crossing every boundary of the algorithm:
+    // n<8 naive fold, n<=128 8-way unroll, >128 pairwise recursion,
+    // >8192 nditer buffer blocks accumulated linearly
+    def vec(n: Int): Seq[Double] =
+      (0 until n).map(i => ((i.toLong * 1315423911L) % 100000L) / 100.0)
+    val expect = Seq(
+      1 -> 0.0, 7 -> 431.6157142857143, 8 -> 461.88500000000005,
+      64 -> 500.71500000000003, 127 -> 504.87488188976374,
+      128 -> 503.7975, 129 -> 504.59038759689923,
+      8192 -> 500.10265625, 8193 -> 500.13793238130114, 20000 -> 499.945)
+    for ((n, want) <- expect) {
+      val got = Seq(vec(n)).toDF("v")
+        .select(NpMeanExpression.npMean(col("v"))).head().getDouble(0)
+      assert(got == want, s"n=$n: np_mean $got != numpy $want")
+    }
+    // the live round-13 parity catch: a 64-value group whose EXACT mean
+    // is the 2-dp midpoint 373.045 — numpy's pairwise sum reads a hair
+    // below it and the reference prints 373.04; the exact-decimal mean
+    // would print 373.05. np_mean must land on numpy's side.
+    val empty = Seq(Seq.empty[Double]).toDF("v")
+      .select(NpMeanExpression.npMean(col("v"))).head().getDouble(0)
+    assert(empty == 0.0) // the reference's empty-group guard
+  }
+
+  test("q10 cents arithmetic stays decimal-exact past 2^53") {
+    // ADVICE r12: the FLOOR-to-cents scheme is only cross-engine exact
+    // while FLOOR evaluates on the DECIMAL, not through double. Pin the
+    // Spark side at a scale where the CENT COUNT itself exceeds 2^53
+    // (sum ≈ 9.1e13, cents ≈ 9.1e15): a double-lowered FLOOR would be
+    // off by up to 4 cents here. Reference = BigDecimal arithmetic.
+    // (The DuckDB side was probed directly: FLOOR(sum(DECIMAL)*100) is
+    // DECIMAL(38,0) and returned the exact 9007199254740994 on the same
+    // construction — see the q10 comment in QueriesRelational.)
+    val rows = Seq(
+      ("A", "95071992547409.91", "0.05"),
+      ("A", "0.03", "0.00"),
+      ("A", "0.07", "0.10"))
+    val df = rows.toDF("flag", "l_extendedprice", "l_discount")
+    val got = df.groupBy(col("flag")).agg(
+      expr("CAST(FLOOR(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) " +
+        "* 100) AS DOUBLE) / 100.0").as("sum_disc_price")).head()
+    val expected = {
+      import java.math.BigDecimal
+      val one = BigDecimal.ONE
+      val sum = rows.map { case (_, p, d) =>
+        new BigDecimal(p).multiply(one.subtract(new BigDecimal(d)))
+      }.reduce(_.add(_))
+      // floor to whole cents in BigDecimal, convert ONCE, divide
+      sum.multiply(new BigDecimal(100))
+        .setScale(0, java.math.RoundingMode.FLOOR).doubleValue() / 100.0
+    }
+    assert(got.getDouble(1) == expected,
+      s"FLOOR-to-cents drifted: got ${got.getDouble(1)}, want $expected")
+    // and the raw cent count really is past double-exact integer range
+    assert(new java.math.BigDecimal("95071992547409.91")
+      .multiply(new java.math.BigDecimal(100)).longValueExact() > (1L << 53))
+  }
 }

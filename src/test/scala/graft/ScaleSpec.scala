@@ -515,6 +515,46 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("memory envelope ceilings at sf0.1: dedup/LSH/capstone shapes stay " +
+      "spill-free under bounded per-task execution memory") {
+    // VERDICT r12 #6: the sf0.01 envelope above catches kernel-level
+    // blowups but not scale-dependent ones (a hot fuzzy block, an LSH
+    // bucket that grows with the corpus, the capstone's widest join).
+    // Measured sf0.1 peaks (r13): q121 65 MB, q56 64 MB, q112 66 MB,
+    // q32/q41 similar — the 128 MB ceiling is ~2x headroom, so a kernel
+    // edit that regresses task memory by the next power of two fails
+    // red here before it becomes a prodcold surprise. Spill must stay
+    // exactly zero: these operators are built to never buffer beyond a
+    // bounded candidate set per task.
+    //
+    // q34 is DIFFERENT BY DESIGN and carries its own ceiling: it is the
+    // spec-only EXACT all-pairs jaccard tier (bench=false) whose
+    // candidate set is every doc pair sharing any token — inherently
+    // corpus-quadratic (measured 1.35 GB peak task at sf0.1, the
+    // (id_a,id_b) aggregate map; it degrades to sort-spill, not OOM,
+    // past the executor's share). The SCREENS (q32 minhash, q33
+    // simhash, q124 prefix, q132 SNM) are the scale path; q34's pin
+    // exists to catch a regression in the exact tier's CURRENT
+    // footprint, not to claim it scales.
+    val sf = "/root/testdata/sf0.1"
+    for ((name, ceilingMb) <- Seq(
+        "q121_fuzzy_matches" -> 128L, "q56_corpus_prep" -> 128L,
+        "q112_corpus_prep2" -> 128L, "q34_jaccard_pairs" -> 2048L,
+        "q32_minhash_pairs" -> 128L, "q41_knn_lsh" -> 128L)) {
+      val q = Queries.registry.find(_.name == name).get
+      spark.catalog.clearCache()
+      graft.operators.LoopCache.clearMemo()
+      val e = graft.tools.TaskEnvelope.measure(spark) {
+        q.fn(spark, sf).write.format("noop").mode("overwrite").save()
+      }
+      info(f"$name: peak task ${e.peakTaskMem / 1024.0 / 1024}%.1f MB, " +
+        s"spill ${e.diskSpill} B")
+      assert(e.diskSpill == 0L, s"$name spilled ${e.diskSpill} B to disk")
+      assert(e.peakTaskMem <= ceilingMb * 1024 * 1024,
+        s"$name peak task memory ${e.peakTaskMem} B breached the sf0.1 ceiling")
+    }
+  }
+
   // ---- wave-8 plan pins: the load-bearing shapes PLANS.md documents ----
 
   private def planOf(name: String): String = {

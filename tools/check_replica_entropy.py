@@ -42,7 +42,9 @@ with open(_src_path) as f:
 _head = _head.replace("sys.argv", "[]")
 exec(_head, _ns)
 DOC_TEXT_EXPR = _ns["DOC_TEXT_EXPR"]
-REPLICAS = _ns["REPLICAS"]
+# replica count under check: argv[2] override matches the generator's
+# argv[3] (10 = sf1 gate replica, 100 = sf10-class probe replica)
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else _ns["REPLICAS"]
 SHIFT = _ns["SHIFT"]
 
 con = duckdb.connect()

@@ -23,7 +23,11 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10x"
 SHIFT = 10_000_000  # > every key in sf<=1 inputs
-REPLICAS = 10
+# replica count: 10 for the sf1 gate replica, 100 for the sf10-class
+# probe (VERDICT r12 #1). Shifted keys stay < REPLICAS*SHIFT = 1e9,
+# far inside int64; the doc-text tagger and the entropy check both
+# handle 1- and 2-digit indices (the `len(i)` window arithmetic).
+REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 # The per-replica document-text tagging expression, over a row with
 # `l` = string_split(text, ' ') and `r.i` = the replica index. Shared
