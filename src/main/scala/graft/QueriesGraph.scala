@@ -597,13 +597,15 @@ object QueriesGraph {
   // iterative rather than a single degree filter — is genuinely
   // exercised; mean-degree collapses to an empty core by round 3.
   // -------------------------------------------------------------------
-  def kcoreParts(spark: SparkSession, sfDir: String): DataFrame = {
-    val edges = Tables.copurchaseEdges(spark, sfDir)
+  def kcoreParts(spark: SparkSession, sfDir: String): DataFrame =
+    // adjacency twin (round 13): the edge-layout peel went supralinear
+    // at the sf10 probe once the alive set outgrew the broadcast
+    // estimate — see KCore.runAdj for the plan shape
     operators.KCore
-      .survivorsAtMeanFraction(edges, "src", "dst", num = 3, den = 4, rounds = 3)
+      .survivorsAtMeanFractionAdj(Tables.copurchaseAdjacency(spark, sfDir),
+        num = 3, den = 4, rounds = 3)
       .select(col("id").as("part_id"), col("degree").as("core_degree"))
       .orderBy(col("part_id"))
-  }
 
   val kcorePartsSql: String = {
     // MATERIALIZED: the q94/q122 sf1-timeout fix — each peeling round

@@ -43,6 +43,87 @@ object KCore {
     run(edges, srcCol, dstCol, rounds, deg0 => deg0.agg(expr(
       s"CAST(sum(degree) * $num DIV (count(1) * $den) AS BIGINT)").as("k")))
 
+  /** [[survivors]] over a STAGED symmetric adjacency (src, outdeg,
+    * sorted dsts): see [[runAdj]] for why the edge-layout twin stops
+    * scaling past ~1M nodes. */
+  def survivorsAdj(adj: DataFrame, k: Long, rounds: Int): DataFrame =
+    runAdj(adj, rounds,
+      d0 => d0.sparkSession.range(1).select(lit(k).cast("long").as("k")))
+
+  /** [[survivorsAtMeanFraction]] over the staged symmetric adjacency —
+    * identical integer threshold arithmetic (round-0 degrees are the
+    * staged outdeg column). */
+  def survivorsAtMeanFractionAdj(adj: DataFrame, num: Long, den: Long,
+      rounds: Int): DataFrame =
+    runAdj(adj, rounds, deg0 => deg0.agg(expr(
+      s"CAST(sum(degree) * $num DIV (count(1) * $den) AS BIGINT)").as("k")))
+
+  /** Adjacency-layout peeling — the round-13 sf10 probe found the
+    * edge-layout [[run]] going SUPRALINEAR at 100× the bench corpus
+    * (5.4 s at 2.4M edges → ~102 s at 239M, 19× for 10× data): its
+    * per-round dst-side alive semi-join relies on the alive set
+    * broadcasting, and once 2M node ids exceed the static broadcast
+    * estimate (AQE is off inside loops) the planner re-shuffles and
+    * re-sorts the FULL symmetric edge table per round. Here the rounds
+    * take the [[PageRank.fixedPointAdj]] shape instead: the adjacency is
+    * hash-partitioned + sorted once and never moves; per round the
+    * node-sized alive table joins it co-partitioned, the edge fanout
+    * happens inside a codegen'd explode feeding a partial aggregate
+    * (alive-neighbor counts), and the both-endpoints-alive rule is a
+    * co-partitioned node-sized semi-join — so a round's only exchange
+    * is node-sized, at the loop-tuned width, with NO broadcast anywhere.
+    *
+    * Correctness is the same induced-subgraph degree: on a SYMMETRIC
+    * adjacency, u's degree among alive nodes = the number of alive
+    * sources v whose neighbor lists contain u, intersected with u's own
+    * aliveness. Identical integers to [[run]] (KernelSpec pins the
+    * equality). */
+  private def runAdj(adj: DataFrame, rounds: Int,
+      threshold: DataFrame => DataFrame): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val a0 = adj.select(col("src").cast("long").as("src"),
+      col("outdeg").cast("long").as("outdeg"),
+      col("dsts").cast("array<long>").as("dsts"))
+    val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
+      a0.agg(coalesce(sum(col("outdeg")), lit(0L)))).getLong(0))
+    val aT = LoopCache.tunedInputs(w, a0).head
+    val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
+    def loop(step: (DataFrame, DataFrame) => DataFrame,
+        execute: Boolean): DataFrame = {
+      // round 0: every node with its full-graph degree — a projection of
+      // the staged layout, no aggregate at all (the adjacency already
+      // carries outdeg)
+      var alive = step(
+        a.select(col("src").as("id"), col("outdeg").as("degree")),
+        a.limit(0))
+      // same pinned-threshold protocol as [[run]]
+      val kdfF = threshold(alive)
+      if (execute) {
+        kdfF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        kdfF.head()
+      }
+      val kdf = broadcast(kdfF)
+      for (_ <- 1 to rounds) {
+        val contrib = a.join(alive.select(col("id")), col("src") === col("id"))
+          .select(explode(col("dsts")).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+        val next = contrib
+          .join(alive.select(col("id")), Seq("id"), "left_semi")
+          .crossJoin(kdf).filter(col("degree") >= col("k"))
+          .select(col("id"), col("degree"))
+        alive = step(next, alive)
+      }
+      if (execute) kdfF.unpersist(blocking = false)
+      alive
+    }
+    val probe = loop((next, _) => next, execute = false)
+    if (LoopCache.cached(probe)) return LoopCache.untuned(probe)
+    a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = loop(LoopCache.step, execute = true)
+    a.unpersist(blocking = false)
+    LoopCache.untuned(out)
+  }
+
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, threshold: DataFrame => DataFrame): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")

@@ -310,6 +310,24 @@ class KernelSpec extends AnyFunSuite {
     assert(viaAdj.except(viaEdges).isEmpty && viaEdges.except(viaAdj).isEmpty)
   }
 
+  test("adjacency k-core equals edge-layout k-core (fixed k + mean fraction)") {
+    import graft.operators.KCore
+    val e0 = adjGraphEdges
+    // symmetric, distinct — the co-purchase edge contract
+    val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val adj = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
+      .groupBy(col("src"), col("outdeg"))
+      .agg(sort_array(collect_list(col("dst"))).as("dsts"))
+    val viaEdges = KCore.survivors(e, "src", "dst", k = 3, rounds = 3)
+    val viaAdj = KCore.survivorsAdj(adj, k = 3, rounds = 3)
+    assert(viaAdj.except(viaEdges).isEmpty && viaEdges.except(viaAdj).isEmpty)
+    val mEdges = KCore.survivorsAtMeanFraction(e, "src", "dst",
+      num = 3, den = 4, rounds = 3)
+    val mAdj = KCore.survivorsAtMeanFractionAdj(adj, num = 3, den = 4, rounds = 3)
+    assert(mAdj.except(mEdges).isEmpty && mEdges.except(mAdj).isEmpty)
+  }
+
   test("np_mean replays numpy pairwise summation bit-exactly") {
     import graft.functions.NpMeanExpression
     // expectations computed by numpy 1.26 (float(np.mean(...))) on
