@@ -641,6 +641,49 @@ class ScaleSpec extends AnyFunSuite {
     spark.range(10).toDF("id").unpersist(blocking = true)
   }
 
+  test("k-core adjacency round: node-sized exchanges only, stationary adjacency") {
+    import graft.operators.LoopCache
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // mirror KCore.runAdj's round construction (round-13 fix: the
+    // edge-layout peel re-shuffled the full edge table per round once
+    // the alive set outgrew the broadcast estimate). Pin: a round's
+    // live exchanges are ALL node-sized (loop width, over id/src keys),
+    // and the adjacency operand reads its cache with no sort/exchange.
+    val adj = (1L to 2000L)
+      .map(i => (i, 2L, Array(i % 97L + 1L, i % 89L + 2L)))
+      .toDF("src", "outdeg", "dsts")
+    val w = 4
+    val a = LoopCache.tunedInputs(w, adj).head
+      .repartition(w, col("src")).sortWithinPartitions("src")
+      .persist()
+    a.count()
+    val alive = a.select(col("src").as("id"), col("outdeg").as("degree"))
+      .persist()
+    alive.count()
+    val kdf = broadcast(alive.agg(
+      expr("CAST(sum(degree) * 3 DIV (count(1) * 4) AS BIGINT)").as("k")))
+    val contrib = a.join(alive.select(col("id")), col("src") === col("id"))
+      .select(explode(col("dsts")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val next = contrib
+      .join(alive.select(col("id")), Seq("id"), "left_semi")
+      .crossJoin(kdf).filter(col("degree") >= col("k"))
+      .select(col("id"), col("degree"))
+    val sp = next.queryExecution.executedPlan
+    val live = sp.collect { case e: ShuffleExchangeExec => e }
+    // every live exchange is either the 1-row threshold scalar
+    // (SinglePartition, bounded by construction) or runs at the loop
+    // width — and none carries the dsts array payload: the adjacency
+    // never moves, only node-sized id/degree rows do
+    val keyed = live.filterNot(_.outputPartitioning.numPartitions == 1)
+    assert(keyed.nonEmpty && keyed.forall(_.outputPartitioning.numPartitions == w),
+      s"round exchanges must be loop-width node-sized:\n$sp")
+    assert(live.forall(e => !e.output.exists(_.name == "dsts")),
+      s"adjacency payload must never ride a round exchange:\n$sp")
+    a.unpersist(blocking = true)
+    alive.unpersist(blocking = true)
+  }
+
   test("loop-tuned PageRank round: one node-sized exchange, stationary adjacency") {
     import graft.operators.LoopCache
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

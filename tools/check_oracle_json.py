@@ -159,8 +159,19 @@ def main():
             print(f"OK   {name}: {len(got)} rows, {len(got.columns)} cols "
                   f"({row['sec']}s)")
 
+    # MERGE into an existing artifact instead of clobbering it: batch
+    # and --only runs update just their own entries (the sf1/sf10 gates
+    # are assembled from several runs; before this, a filtered re-check
+    # would silently drop every other query's record)
+    merged = report
+    try:
+        with open(json_out) as f:
+            merged = json.load(f)
+        merged.update(report)
+    except (FileNotFoundError, ValueError):
+        pass
     with open(json_out, "w") as f:
-        json.dump(report, f, indent=1, sort_keys=True)
+        json.dump(merged, f, indent=1, sort_keys=True)
     n = len(report)
     print(f"\n{n - fails}/{n} oracle queries match -> {json_out}")
     sys.exit(1 if fails else 0)

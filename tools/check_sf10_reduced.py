@@ -1,0 +1,187 @@
+#!/usr/bin/env python3
+"""Reduced-but-EXACT sf10 oracles for graph queries whose full DuckDB
+formulations exceed this box's disk (the 100x probe, VERDICT r12 #1:
+q110's PPR oracle spilled >39 GB of DuckDB temp and died; q111's LPA
+oracle is the same class). The replica construction makes a cheap
+oracle PROVABLY equal to the full one — this is not sampling:
+
+ - q110 (personalized PageRank, top-20): the seed set is
+   `ORDER BY id LIMIT 3` — the three smallest part keys live in
+   replica 0 (the unshifted copy); replicas are vertex-disjoint, so
+   personalized mass cannot reach any other replica; and the token
+   scale depends only on count(seeds) = 3. Therefore the FULL-corpus
+   oracle result equals the same SQL evaluated over the replica-0
+   restriction of lineitem (keys < SHIFT) — exact, at 1% of the work.
+
+ - q111 (LPA community table): replica graphs are isomorphic under the
+   key shift +i*SHIFT, and min-label propagation with
+   `ORDER BY c DESC, lab` tie-breaks commutes with an order-preserving
+   shift. The FULL oracle is the replica-0 result expanded REPLICAS
+   ways: (community+i*S, n_members, min_member+i*S, max_member+i*S).
+
+Both compare against Spark's FULL sf10 output parquet — nothing is
+restricted on the engine side.
+
+Usage: python3 tools/check_sf10_reduced.py SF10_DIR OUT_DIR [JSON_MERGE]
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+SHIFT = 10_000_000
+REPLICAS = 100
+
+
+def compare(con, name, got_sql, want_sql, note, json_merge):
+    t0 = time.time()
+    got = con.execute(got_sql).df()
+    want = con.execute(want_sql).df()
+    got = got[sorted(got.columns)]
+    want = want[sorted(want.columns)]
+    row = {"rows_match": len(got) == len(want),
+           "schema_match": list(got.columns) == list(want.columns),
+           "hash_match": False, "spark_rows": len(got),
+           "oracle_rows": len(want), "sec": None, "err": None,
+           "oracle": note}
+    if row["rows_match"] and row["schema_match"]:
+        mismatch = None
+        for c in got.columns:
+            for i, (x, y) in enumerate(zip(got[c].tolist(), want[c].tolist())):
+                if x != y and not (x != x and y != y):
+                    mismatch = f"col {c} row {i}: {x} != {y}"
+                    break
+            if mismatch:
+                break
+        row["hash_match"] = mismatch is None
+        row["err"] = mismatch
+    row["sec"] = round(time.time() - t0, 1)
+    print(f"[sf10-reduced] {'PASS' if row['hash_match'] else 'FAIL'} {name}: "
+          f"{row['spark_rows']} rows ({row['sec']}s)"
+          + ("" if row["hash_match"] else f" err={row['err']}"))
+    if json_merge:
+        rep = json.load(open(json_merge))
+        rep[name] = row
+        json.dump(rep, open(json_merge, "w"), indent=1, sort_keys=True)
+    return row["hash_match"]
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_merge = sys.argv[3] if len(sys.argv) > 3 else None
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+    ok = True
+
+    # ---- q110: replica-0 restriction (exact — see module docstring) ----
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet') "
+        f"WHERE l_orderkey < {SHIFT} AND l_partkey < {SHIFT}")
+    ok &= compare(
+        con, "q110_ppr_recommendations",
+        f"SELECT * FROM read_parquet('{out_dir}/q110_ppr_recommendations/*.parquet')",
+        oracle["q110_ppr_recommendations"],
+        "replica-0 restriction (provably equal to the full oracle: seeds "
+        "are the 3 globally-smallest part keys, all in the unshifted "
+        "replica; personalized mass cannot leave its component; token "
+        "scale depends only on the seed count). Full formulation "
+        "exceeded this box's disk (>39 GB DuckDB spill).",
+        json_merge)
+    con.close()
+
+    # ---- q111: replica-0 result, shift-expanded (exact) ----------------
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet') "
+        f"WHERE l_orderkey < {SHIFT} AND l_partkey < {SHIFT}")
+    con.execute(f"CREATE TABLE r0 AS {oracle['q111_lpa_communities']}")
+    ok &= compare(
+        con, "q111_lpa_communities",
+        f"SELECT * FROM read_parquet('{out_dir}/q111_lpa_communities/*.parquet')",
+        f"""SELECT community + r.i * {SHIFT} AS community, n_members,
+                   min_member + r.i * {SHIFT} AS min_member,
+                   max_member + r.i * {SHIFT} AS max_member
+            FROM r0, (SELECT unnest(range({REPLICAS})) AS i) r
+            ORDER BY community""",
+        "replica-0 LPA expanded by the key-shift isomorphism (min-label "
+        "propagation and its c-DESC,lab tie-breaks commute with the "
+        "order-preserving shift; replica graphs are isomorphic disjoint "
+        "copies). Full formulation exceeded this box's disk.",
+        json_merge)
+    con.close()
+
+    # ---- q123: replica-0 result, shift-expanded (exact) ----------------
+    # seeds are `part WHERE p_size = 50` — p_size is copied verbatim per
+    # replica, so the seed set (and with it every relaxation) is the
+    # replica-0 seed set shifted; edge weights are within-replica pair
+    # counts, identical across isomorphic replicas. Same expansion
+    # argument as q111.
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet') "
+        f"WHERE l_orderkey < {SHIFT} AND l_partkey < {SHIFT}")
+    con.execute(
+        f"CREATE VIEW part AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/part.parquet') WHERE p_partkey < {SHIFT}")
+    con.execute(f"CREATE TABLE r0 AS {oracle['q123_cheapest_routes']}")
+    ok &= compare(
+        con, "q123_cheapest_routes",
+        f"SELECT * FROM read_parquet('{out_dir}/q123_cheapest_routes/*.parquet')",
+        f"""SELECT part_id + r.i * {SHIFT} AS part_id, cost
+            FROM r0, (SELECT unnest(range({REPLICAS})) AS i) r
+            ORDER BY part_id""",
+        "replica-0 SSSP expanded by the key-shift isomorphism (seeds "
+        "p_size=50 are replica-equivariant; weights are within-replica "
+        "pair counts). Full formulation exceeded this box's disk.",
+        json_merge)
+    con.close()
+
+    # ---- q84: replica-0 result + sign-flip-isometry expansion (exact) --
+    # The replica generator decorrelates embeddings with per-replica
+    # deterministic SIGN FLIPS — an isometry under which every
+    # within-replica pairwise cosine is bit-exact ((-x)(-y) = xy), while
+    # cross-replica cosines stay far below the 0.99 screen. So replica
+    # i's clusters are replica 0's clusters shifted — EXCEPT the 20
+    # planted copies (vec_id+100000 for vec_id<20), which live only in
+    # replica 0. Full oracle = replica-0-with-plants ∪ shift-expanded
+    # replica-0-sans-plants (i = 1..REPLICAS-1). The full brute-force
+    # formulation (1.25e11 cosines) times out at any sane budget.
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') WHERE vec_id < {SHIFT}")
+    con.execute(f"CREATE TABLE r0_with AS {oracle['q84_semantic_dedup']}")
+    sans_sql = oracle["q84_semantic_dedup"].replace(
+        "  UNION ALL\n  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) "
+        "FROM embeddings\n  WHERE vec_id < 20),",
+        "),")
+    assert sans_sql != oracle["q84_semantic_dedup"], \
+        "q84 plant block not found — oracle text changed, update this tool"
+    con.execute(f"CREATE TABLE r0_sans AS {sans_sql}")
+    ok &= compare(
+        con, "q84_semantic_dedup",
+        f"SELECT * FROM read_parquet('{out_dir}/q84_semantic_dedup/*.parquet')",
+        f"""SELECT * FROM r0_with
+            UNION ALL
+            SELECT representative + r.i * {SHIFT} AS representative,
+                   cluster_size, max_member + r.i * {SHIFT} AS max_member
+            FROM r0_sans, (SELECT unnest(range(1, {REPLICAS})) AS i) r
+            ORDER BY representative""",
+        "replica-0 clusters + sign-flip-isometry shift expansion "
+        "(within-replica cosines bit-preserved, cross-replica under "
+        "every screen threshold; plants live only in replica 0). Full "
+        "brute-force formulation (1.25e11 cosines) exceeds any sane "
+        "timeout.",
+        json_merge)
+    con.close()
+
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
