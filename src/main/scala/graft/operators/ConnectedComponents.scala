@@ -85,15 +85,32 @@ object ConnectedComponents {
       df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
-    // start: every node labeled with the min of itself and its neighbors.
-    // Checkpoints are LAZY: the labelSum probe right after is the action
-    // that materializes them — one job per iteration total (an eager
-    // checkpoint would run its own job and the probe a second one)
-    var labels = edges.groupBy(col("a").as("node"))
-      .agg(min(col("b")).as("nmin"))
-      .select(col("node"), least(col("node"), col("nmin")).as("comp"))
-      .localCheckpoint(eager = false)
-    var prevSum = labelSum(labels)
+    // Pin (lazily) + re-root each round: the labelSum probe right after
+    // the persist mark is the action that materializes it — one job per
+    // iteration — and SqlBridge.reRoot truncates the SQL-plan nesting
+    // exactly like the localCheckpoint this replaced, WITHOUT cutting
+    // RDD lineage. localCheckpoint trades lineage for speed: an executor
+    // losing its blocks makes every later read FAIL (round 13,
+    // ResilienceSpec) — the one operator in the iterative family whose
+    // caches were correctness, not cost model. reRoot'd rounds recompute
+    // evicted blocks through the original plan like every other loop.
+    // The superseded round is released once its successor is forced
+    // (the LoopCache.step discipline, inlined to keep the probe as the
+    // single forcing job).
+    def pinRooted(df: DataFrame, prev: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(df) // forces + materializes the pin
+      prev.unpersist(blocking = false)
+      (org.apache.spark.sql.graftbridge.SqlBridge.reRoot(df), s)
+    }
+    var pinnedPrev = edges.limit(0) // never persisted: round-0 no-op release
+    var (labels, prevSum) = {
+      val init = edges.groupBy(col("a").as("node"))
+        .agg(min(col("b")).as("nmin"))
+        .select(col("node"), least(col("node"), col("nmin")).as("comp"))
+      pinnedPrev = init
+      pinRooted(init, edges.limit(0))
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -103,11 +120,11 @@ object ConnectedComponents {
         .select(col("a").as("node"), col("comp"))
       val next = labels.union(neighborLabels)
         .groupBy(col("node")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint(eager = false)
-      val newSum = labelSum(next)
+      val (rooted, newSum) = pinRooted(next, pinnedPrev)
+      pinnedPrev = next
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
-      labels = next
+      labels = rooted
       iter += 1
     }
     edges.unpersist(false)

@@ -100,6 +100,24 @@ class ResilienceSpec extends AnyFunSuite {
       "SSSP's re-rooted rounds under block eviction diverged from the clean run")
   }
 
+  test("failure injection: mid-loop block loss leaves connected components exact") {
+    // forces the DISTRIBUTED min-label path (smallGraphEdges=1), which
+    // round 13 moved from localCheckpoint (lineage CUT — a lost block
+    // failed every later read) to pin+reRoot (lineage kept): block loss
+    // must now recompute, not fail
+    val e = graphEdges
+    coldStart()
+    val expected = snapshot(ConnectedComponents.components(
+      e, "src", "dst", smallGraphEdges = 1L))
+    coldStart()
+    val got = underBlockLoss {
+      snapshot(ConnectedComponents.components(
+        e, "src", "dst", smallGraphEdges = 1L))
+    }
+    assert(got == expected,
+      "distributed CC under block eviction diverged (or failed) vs the clean run")
+  }
+
   test("failure injection: clearCache() after HITS leaves the memoized frame exact") {
     val e = graphEdges
     val srcAdj = e.groupBy(col("src").as("id"))
