@@ -86,8 +86,14 @@ object QueriesKpi {
   private val stagedKpi =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def kpiStaged(spark: SparkSession, sfDir: String): DataFrame =
+    // lazy pin + reRoot, not localCheckpoint: the memoized frame lives
+    // for the session, and a cut-lineage checkpoint would fail every
+    // later stage-[4] query if an executor dropped the blocks (r13);
+    // the pinned plan recomputes instead
     stagedKpi.computeIfAbsent((spark, sfDir),
-      _ => kpiDaily(spark, sfDir).localCheckpoint(eager = false))
+      _ => org.apache.spark.sql.graftbridge.SqlBridge.reRoot(
+        kpiDaily(spark, sfDir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   val kpiDailySql: String =
     s"$kpiCte SELECT * FROM kpi ORDER BY date_utc, endpoint_base"

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * fixed point. Each iteration is two hash-shuffles (join on node, min-agg
   * on label); iterations needed = graph diameter in label-hops, which for
   * dedup graphs (dense near-clique clusters) is small. Convergence is
-  * checked with an aggregate, and lineage is truncated per iteration via
-  * localCheckpoint so 100-iteration worst cases don't build mile-long
-  * plans. (The alternating large-star/small-star refinement halves rounds
+  * checked with an aggregate, and each round's SQL plan is re-rooted on
+  * its pinned RDD (SqlBridge.reRoot — RDD lineage KEPT, so evicted
+  * blocks recompute instead of failing) so 100-iteration worst cases
+  * don't build mile-long plans. (The alternating large-star/small-star refinement halves rounds
   * on pathological chains; dedup clusters don't need it.)
   */
 object ConnectedComponents {
@@ -78,7 +79,7 @@ object ConnectedComponents {
     }
     // convergence probe: per-node labels only ever DECREASE under min-label
     // propagation, so the label vector changed iff its exact sum changed —
-    // one decimal-exact agg over already-checkpointed data replaces a
+    // one decimal-exact agg over already-pinned data replaces a
     // join+filter+count job per iteration (decimal(38,0): no int64 overflow
     // even at 10^12 nodes x 10^18 max id, no float rounding)
     def labelSum(df: DataFrame): java.math.BigDecimal =

@@ -34,15 +34,17 @@ object Resample {
     // ONE base-table scan: span and keys both derive from the hourly
     // grain table (hour truncation is monotone, so min/max of bucket
     // starts = truncated min/max of raw times; the key set is the grain
-    // table's key set). The lazy localCheckpoint materializes the tiny
+    // table's key set). The lazy pin + reRoot materializes the tiny
     // grain table once for its three consumers instead of re-scanning
-    // the events three times.
-    val hourly = df
+    // the events three times — with RDD lineage KEPT (r13: the
+    // localCheckpoint this replaced cut lineage, so a lost block failed
+    // the query instead of recomputing).
+    val hourly = org.apache.spark.sql.graftbridge.SqlBridge.reRoot(df
       .groupBy(date_trunc("hour", col(tsCol)).as("h"), col(keyCol))
       .agg(count(lit(1)).as("n_events"),
         expr(s"CAST(sum(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE)")
           .as("sum_value"))
-      .localCheckpoint(eager = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val span = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val keys = hourly.select(col(keyCol)).distinct()
     val grid = keys.crossJoin(broadcast(span))
