@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to stdout UNPREFIXED. The default
+// LoggedOutput strategy prepends `[info] ` to every app line, which is
+// what broke the driver's JSON-tail parse of graft.Bench's final
+// machine-readable line three rounds running (VERDICT r13 #2): the line
+// was present but `[info] {"metric":...}` is not valid JSON. With
+// StdoutOutput the bench's last printed line is bare JSON; only sbt's
+// own `[success]` trailer follows it.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -118,6 +118,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Every machine-parseable line below is built with the f-interpolator,
+    // which formats %.3f through the JVM DEFAULT locale — under a
+    // comma-decimal locale (de_DE…) that emits `57,284` and the JSON
+    // contract breaks (ADVICE r13). The bench is a standalone main, so
+    // pin the default locale once instead of threading Locale.ROOT
+    // through every format site.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -20,6 +20,10 @@ object CliUtil {
     }.toMap
 
   def session(name: String): SparkSession = {
+    // The reference's Python `f"{x:.2f}"` is locale-independent; the Scala
+    // f-interpolator in Report/Charts is not — pin the default locale so
+    // the report CLIs render dot-decimal under any host locale.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     SparkSession.builder()
       .master(s"local[$cpus]")

@@ -122,14 +122,14 @@ object Staging {
     stagedOrDerive(spark, name, inputs,
       sys.env.get("SPARK_GRAFT_STAGE_REFRESH").contains("1"))(derive)
 
-  /** [[stagedOrDerive]] with the refresh decision as a parameter — the
-    * env-var entry point above is the production path; the explicit
-    * `force` overload lets the concurrency specs drive the refresh
-    * branch deterministically. */
   /** Resolved on-disk location of a stage (specs and tooling). */
   private[graft] def stageDirOf(name: String, inputs: Seq[String]): Path =
     stageRoot.resolve(s"$name-${fingerprint(inputs)}")
 
+  /** [[stagedOrDerive]] with the refresh decision as a parameter — the
+    * env-var entry point above is the production path; the explicit
+    * `force` overload lets the concurrency specs drive the refresh
+    * branch deterministically. */
   private[graft] def stagedOrDerive(spark: SparkSession, name: String,
       inputs: Seq[String], force: Boolean)(derive: => DataFrame): DataFrame = {
     val dir = stageDirOf(name, inputs)

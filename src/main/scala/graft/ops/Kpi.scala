@@ -99,15 +99,41 @@ object Kpi {
     // tier buffers the group's values IN SCAN ORDER (the reference's
     // per-group elapsed lists) and both final aggregates replay numpy on
     // that buffer after the agg: p90 sorts then `_lerp`-interpolates,
-    // avg replays np.mean's pairwise summation
+    // avg replays np.mean's pairwise summation.
+    //
+    // SCAN ORDER is enforced, not assumed (ADVICE r13): collect_list
+    // concatenates partial buffers in shuffle-FETCH order, which is
+    // nondeterministic once the input splits — and np.mean's pairwise
+    // sum is order-dependent at the ulp, exactly what decides py_round
+    // on a 2-dp-midpoint cent. Each row therefore carries a stable
+    // file-order key `(input_file_name, input_file_block_start,
+    // monotonically_increasing_id)`: within one scan partition mono-id
+    // ascends in scan order, across partitions (file, block_start)
+    // reconstructs file order regardless of Spark's size-descending
+    // split packing, and for non-file inputs (specs) name=""/start=-1
+    // degrade the key to mono-id = original partition order. Sorting
+    // the buffer by that key replays the reference's sequential-reader
+    // order deterministically. Cost: faithful tier only (the
+    // crossEngineExact and approx tiers have no buffer), one struct
+    // per buffered value plus an in-memory per-group sort the p90
+    // already pays anyway.
+    val faithful = exactP90 && !crossEngineExact
+    // flat struct, key fields FIRST: sort_array orders structs
+    // lexicographically by field position, so (f, b, i, v) sorts by the
+    // scan key with the value along for the ride
+    val scanKv = struct(
+      input_file_name().as("f"), input_file_block_start().as("b"),
+      monotonically_increasing_id().as("i"), col("elapsed_ms").as("v"))
+    val valueOf: Column => Column = x => x.getField("v")
     val (p90Agg, p90Post): (Column, Column => Column) =
       if (!exactP90)
         (percentile_approx(col("elapsed_ms"), lit(0.9), lit(10000)), identity)
       else if (crossEngineExact)
         (percentile(col("elapsed_ms"), lit(0.9)), identity)
       else
-        (collect_list(col("elapsed_ms")),
-          c => graft.functions.NpPercentile.ofSorted(sort_array(c), 0.9))
+        (collect_list(col("_scan_kv")),
+          c => graft.functions.NpPercentile.ofSorted(
+            sort_array(transform(c, valueOf)), 0.9))
     // Mean tiers. crossEngineExact: exact DECIMAL(18,2) sum (elapsed is
     // 2-dp by contract) divided once in double — the correctly-rounded
     // true mean, which DuckDB replays for the hash-portable oracle gate.
@@ -122,13 +148,15 @@ object Kpi {
     // partition-order nondeterminism (round-5 parity catch, 359.705…).
     // The faithful tier's avg aggregates the SAME collect_list expression
     // as the p90 — Catalyst dedups identical aggregate expressions, so
-    // there is ONE physical buffer per group feeding both replays. The
+    // there is ONE physical buffer per group feeding both replays: the
+    // p90 sorts it by VALUE, the avg by the scan-order key. The
     // approx tier (the 100 TB cardinality switch) has no buffer and is
     // not parity-gated: it keeps the exact-decimal mean.
     val (avgAgg, avgPost): (Column, Column => Column) =
-      if (!crossEngineExact && exactP90)
-        (collect_list(col("elapsed_ms")),
-          c => graft.functions.NpMeanExpression.npMean(c))
+      if (faithful)
+        (collect_list(col("_scan_kv")),
+          c => graft.functions.NpMeanExpression.npMean(
+            transform(sort_array(c), valueOf)))
       else
         (sum(col("elapsed_ms").cast("decimal(18,2)")).cast("double") /
           count(lit(1)), identity)
@@ -138,7 +166,12 @@ object Kpi {
     val round2: Column => Column =
       if (crossEngineExact) identity
       else (c => graft.functions.PyRoundExpression.pyRound(c, 2))
-    normalized
+    // mono-id is nondeterministic-flagged, so the key is materialized in
+    // a Project BEFORE the aggregate (Catalyst rejects it inside agg
+    // arguments); the extra column exists only in the faithful tier
+    val input =
+      if (faithful) normalized.withColumn("_scan_kv", scanKv) else normalized
+    input
       .groupBy(col("date_utc"), col("endpoint_base"))
       .agg(
         count(lit(1)).as("requests_total"),

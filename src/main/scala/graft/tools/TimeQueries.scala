@@ -8,6 +8,7 @@ import graft.Queries
   * query once, then reports the min of two timed noop-sink runs. */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON %.3f must be dot-decimal (ADVICE r13)
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else Queries.benchNames
     val b0 = SparkSession.builder()

@@ -170,6 +170,16 @@ def main():
         merged.update(report)
     except (FileNotFoundError, ValueError):
         pass
+    # ...but on a FULL (unfiltered) run, prune merged keys that are no
+    # longer in the live oracle registry: a renamed/removed query must
+    # not keep a stale PASS record forever (ADVICE r13). `_meta`-style
+    # annotation keys survive the prune.
+    if only is None:
+        stale = [k for k in merged
+                 if k not in oracle and not k.startswith("_")]
+        for k in stale:
+            del merged[k]
+            print(f"PRUNE {k}: no longer in the oracle registry")
     with open(json_out, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
     n = len(report)
