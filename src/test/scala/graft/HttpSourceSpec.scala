@@ -22,6 +22,9 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val rateLimitedTimes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
   private val inflightNow = new AtomicInteger(0)
   private val inflightMax = new AtomicInteger(0)
+  private val retrySetHits = new AtomicInteger(0)
+  private val retryFailHits = new AtomicInteger(0)
+  private val retryCookieSeen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private def reply(ex: HttpExchange, code: Int, body: String,
       headers: Map[String, String] = Map.empty): Unit = {
@@ -119,6 +122,27 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
         .split("&").collectFirst { case kv if kv.startsWith("url=") =>
           java.net.URLDecoder.decode(kv.drop(4), "UTF-8") }.getOrElse("/get")
       reply(ex, 302, "", Map("Location" -> s"$base$target?from=redirect"))
+    })
+    // task-retry idempotency endpoints (VERDICT r13 #5): a 3-url cookie
+    // sequence whose LAST url 500s on its first server hit — with
+    // maxRetries=0 that kills task attempt 1 AFTER the first two urls
+    // were already fetched, and Spark's at-least-once contract re-runs
+    // the whole slice as task attempt 2
+    server.createContext("/retry/cookies/set", (ex: HttpExchange) => {
+      retrySetHits.incrementAndGet()
+      reply(ex, 200, """{"cookies": {}}""",
+        Map("Set-Cookie" -> "rsession=fresca; Path=/"))
+    })
+    server.createContext("/retry/cookies/get", (ex: HttpExchange) => {
+      retryCookieSeen.add(
+        Option(ex.getRequestHeaders.getFirst("Cookie")).getOrElse("<none>"))
+      val v = if (Option(ex.getRequestHeaders.getFirst("Cookie"))
+        .exists(_.contains("rsession=fresca"))) "fresca" else "MISSING"
+      reply(ex, 200, s"""{"cookies": {"rsession": "$v"}}""")
+    })
+    server.createContext("/retry/fail-first", (ex: HttpExchange) => {
+      if (retryFailHits.incrementAndGet() == 1) reply(ex, 500, "")
+      else reply(ex, 200, """{"ok": true}""")
     })
     // a real pool: the default (null) executor serializes every handler
     // on the dispatcher thread, which would make concurrency invisible
@@ -390,5 +414,38 @@ class HttpSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(get_json_object(col("body"), "$.cookies.session").as("s"))
       .collect().map(_.getString(0)).toSeq
     assert(sessions == Seq("activa", "activa"), sessions.toString)
+  }
+
+  test("task retry: session slice re-runs from scratch, no duplicate rows (VERDICT r13 #5)") {
+    // Spark's task contract is at-least-once: a PartitionReader can be
+    // killed mid-sequence and the whole slice re-executed. The connector's
+    // claim (HttpDataSource scaladoc: "a Spark task retry re-runs the
+    // whole URL slice idempotently") is exercised here for real — the
+    // shared session runs local[4,2], so ONE task re-attempt is available.
+    retrySetHits.set(0); retryFailHits.set(0); retryCookieSeen.clear()
+    val urls = Seq(s"$base/retry/cookies/set", s"$base/retry/cookies/get",
+      s"$base/retry/fail-first")
+    // maxRetries=0: the 500 is NOT absorbed by connector-level retries,
+    // it fails the task itself (raise_for_status semantics) — the retry
+    // under test is Spark's, not the client's
+    val rows = graft.sources.HttpIngest.read(spark, urls,
+      Map("cookieSession" -> "true", "maxRetries" -> "0", "backoffMs" -> "1"))
+      .collect()
+    // no duplicates: attempt 1's two already-emitted rows are discarded
+    // with the failed task; exactly one row per url, in slice order
+    assert(rows.map(_.getAs[String]("url")).toSeq == urls, rows.mkString("; "))
+    assert(rows.forall(_.getAs[Int]("attempts") == 1))
+    // the stub saw the expected total attempt pattern: every url hit
+    // once per task attempt (2 + 2 + 2), the failer 500ing only the first
+    assert(retrySetHits.get() == 2, s"set hits ${retrySetHits.get()}")
+    assert(retryFailHits.get() == 2, s"failer hits ${retryFailHits.get()}")
+    assert(rows.last.getAs[Int]("status_code") == 200)
+    // session restarted CLEANLY on attempt 2: a fresh CookieManager per
+    // reader means the cookie get saw the cookie its OWN attempt set —
+    // on both attempts
+    val seen = retryCookieSeen.toArray(Array.empty[String]).toSeq
+    assert(seen.length == 2 && seen.forall(_.contains("rsession=fresca")),
+      seen.toString)
+    assert(rows(1).getAs[String]("body").contains("\"rsession\": \"fresca\""))
   }
 }

@@ -7,8 +7,12 @@ import graft.ops.{Kpi, Normalize}
 
 object SparkTestSession {
   lazy val spark: SparkSession = {
+    // local[4,2]: 2 task attempts, not 1 — the HTTP task-retry
+    // idempotency spec (HttpSourceSpec) needs Spark's real at-least-once
+    // task re-execution path. Tests that expect job failure still fail
+    // (after one extra attempt); nothing else observes the difference.
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master("local[4,2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -216,4 +216,122 @@ class StreamingOpsSpec extends AnyFunSuite {
         streamed.values.map(_.toLong).sum)
     } finally q.stop()
   }
+
+  // ---- checkpoint recovery (VERDICT r13 #4): the replay oracles prove
+  // streaming ≡ batch within one process; these prove EXACTLY-ONCE
+  // ACROSS A RESTART — a stateful query killed after ≥2 committed
+  // batches WITH OFFSETS STILL PENDING, restarted from its real
+  // checkpoint dir (state store + source offsets + file-sink metadata
+  // log recovered), must land the batch-oracle row set in the sink with
+  // no duplicates and no holes.
+
+  private def commitsIn(ckpt: String): Long = {
+    val d = new java.io.File(ckpt, "commits")
+    if (!d.isDirectory) 0L
+    else d.listFiles().count(f => f.getName.forall(_.isDigit)).toLong
+  }
+
+  test("checkpoint recovery: sessionization is exactly-once across a kill+restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_sess").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out_sess").toString
+    def start() = StreamingOps.sessionStream(
+        events, "user_id", "ts", gap = "30 minutes", watermark = "1 minute")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    val live = Seq( // everything except the watermark-flush sentinel
+      (1L, ts("2026-08-10 09:00:00")), (1L, ts("2026-08-10 09:10:00")),
+      (2L, ts("2026-08-10 09:30:00")), (1L, ts("2026-08-10 11:00:00")),
+      (3L, ts("2026-08-10 11:05:00")), (2L, ts("2026-08-10 12:00:00")),
+      (4L, ts("2026-08-10 12:30:00")))
+    val q1 = start()
+    try {
+      mem.addData(live(0), live(1), live(2)); q1.processAllAvailable()
+      mem.addData(live(3), live(4)); q1.processAllAvailable()
+      assert(commitsIn(ckpt) >= 2, s"need >=2 committed batches, got ${commitsIn(ckpt)}")
+      // enqueue data the first incarnation NEVER sees processed, then kill:
+      // recovery must pick these up from the checkpointed source offsets
+      mem.addData(live(5), live(6))
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      mem.addData((99L, ts("2026-08-10 23:00:00"))) // advance watermark, close all
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // spark.read on a streaming file sink honours _spark_metadata: only
+    // COMMITTED files count, so a re-executed batch cannot double-land
+    val got = spark.read.parquet(out).filter($"user_id" < 99L)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+    // batch oracle: session_window over the same rows in a batch agg
+    val oracle = live.toDF("user_id", "ts")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"),
+        $"session_window.end".as("session_end"), $"n_events")
+    val gotRows = got.collect().map(_.toString).sorted.toSeq
+    val wantRows = oracle.collect().map(_.toString).sorted.toSeq
+    assert(gotRows == wantRows,
+      s"streamed sessions across restart != batch oracle\n got=$gotRows\nwant=$wantRows")
+    assert(gotRows.distinct.size == gotRows.size, "duplicate sessions in sink")
+    // the post-kill data really was processed by the SECOND incarnation
+    assert(gotRows.exists(_.contains("[4,")), "pending offsets lost in recovery")
+  }
+
+  test("checkpoint recovery: dual-watermark interval join is exactly-once across a kill+restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, Timestamp, String)]
+    val memR = MemoryStream[(Long, Timestamp, String)]
+    val left = memL.toDF().toDF("key", "ts", "tag")
+    val right = memR.toDF().toDF("key", "ts", "tag")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ij").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out_ij").toString
+    def start() = StreamingOps.intervalJoinStream(
+        left, right, "key", "ts",
+        before = "5 minutes", after = "5 minutes", watermark = "10 minutes")
+      .select(col("l_tag"), col("r_tag"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+
+    val lRows = Seq(
+      (1L, ts("2026-08-10 09:00:00"), "L1"), (2L, ts("2026-08-10 09:00:00"), "L2"),
+      (3L, ts("2026-08-10 10:00:00"), "L3"))
+    val rRows = Seq(
+      (1L, ts("2026-08-10 09:03:00"), "R1in"), (1L, ts("2026-08-10 09:30:00"), "R1out"),
+      (2L, ts("2026-08-10 09:04:00"), "R2in"), (3L, ts("2026-08-10 10:02:00"), "R3in"))
+    val q1 = start()
+    try {
+      memL.addData(lRows(0), lRows(1))
+      memR.addData(rRows(0), rRows(1)); q1.processAllAvailable()
+      memR.addData(rRows(2)); q1.processAllAvailable()
+      assert(commitsIn(ckpt) >= 2, s"need >=2 committed batches, got ${commitsIn(ckpt)}")
+      // the match that spans the kill: L3 buffered state must survive the
+      // restart for R3in (fed to the SECOND incarnation) to join it —
+      // this exercises state-store recovery, not just offset recovery
+      memL.addData(lRows(2))
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      memR.addData(rRows(3)); q2.processAllAvailable()
+      memL.addData((99L, ts("2026-08-10 23:00:00"), "flushL"))
+      memR.addData((99L, ts("2026-08-10 23:30:00"), "flushR")) // 30m apart: no match
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(out).as[(String, String)].collect().toSeq
+    // batch oracle: the same interval condition as a plain batch join
+    val want = (for {
+      (lk, lt, ltag) <- lRows; (rk, rt, rtag) <- rRows
+      if lk == rk && math.abs(rt.getTime - lt.getTime) <= 5 * 60 * 1000
+    } yield (ltag, rtag)).toSet
+    assert(got.toSet == want, s"got=${got.sorted} want=${want.toSeq.sorted}")
+    assert(got.distinct.size == got.size, "duplicate join rows in sink")
+    assert(got.toSet.contains(("L3", "R3in")),
+      "stream-stream buffered state lost across restart")
+  }
 }
