@@ -743,4 +743,40 @@ class ScaleSpec extends AnyFunSuite {
       s"adjacency side must read the cache with no sort/exchange:\n${side.get}")
     a.unpersist(blocking = true)
   }
+
+  test("LSH mega-bucket cap: R-way dup groups below the cap yield full pair " +
+    "sets; above it they are dropped — and exactDedup-first recovers them") {
+    // The q44 growth pin (VERDICT r13 #7), semantics half. The measured
+    // half is graft.tools.BucketCensus + SCALE.md round 14: on the
+    // UNIFORM replica corpus kept-candidate pairs grow LINEARLY per
+    // decade (3.6k→36k→365k at sf0.1→sf1→sf10, max bucket < 2^3), so
+    // the next decade is predicted linear. On the SKEWED corpus 100-way
+    // duplicate groups load buckets to 2^5–2^7 — below the 200 cap, so
+    // their quadratic-in-group pair volume is kept (15M pairs, 41×
+    // uniform). The cap's contract has one honest boundary, pinned
+    // here: an EXACT-duplicate group larger than the cap shares the
+    // same bucket in EVERY band (identical signatures), so "found via
+    // other, more selective bands" cannot apply and the group is lost
+    // to LSH — which is why the pipeline capstones (q56/q112) run
+    // exactDedup BEFORE the LSH pass.
+    import graft.operators.Dedup
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def corpus(groupSize: Int) =
+      (0 until groupSize).map(i => (i.toLong, text))
+        .toDF("doc_id", "text")
+    val sigs30 = Dedup.minHashSignatures(corpus(30), "doc_id", "text")
+    // group below the cap: every unordered pair surfaces exactly once
+    val below = Dedup.lshCandidatePairs(sigs30, "doc_id",
+      maxBucketSize = 200)
+    assert(below.count() == 30L * 29 / 2)
+    // same group above the cap: every band's bucket is the same 30 ids,
+    // so ALL pairs vanish — the documented exact-dup boundary
+    val above = Dedup.lshCandidatePairs(sigs30, "doc_id",
+      maxBucketSize = 20)
+    assert(above.count() == 0)
+    // the capstone ordering closes it: exactDedup first leaves one
+    // survivor per text, nothing for LSH to lose
+    val survivors = Dedup.exactDedup(corpus(30), "doc_id", "text")
+    assert(survivors.count() == 1)
+  }
 }
