@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import org.apache.spark.sql.graftbridge.SqlBridge
 
 /** Bounded-round distributed BFS — hop distances from a seed set, the
   * reachability/distance member of the iterative-graph family
@@ -14,7 +17,24 @@ import org.apache.spark.sql.functions._
   * REACHED nodes only, so early rounds shuffle frontier-sized data, and
   * an unreached node simply never appears (no dense node table). Rounds
   * are fixed (k-hop neighborhood semantics), not run-to-convergence:
-  * the caller picks the radius, the cost model stays predictable. */
+  * the caller picks the radius, the cost model stays predictable.
+  *
+  * DEEP-ROUNDS SAFE (round 14): BFS and [[ShortestPath]] are the two
+  * loop operators whose round count legitimately scales with GRAPH
+  * DIAMETER (a caller probing a bridge-chained or road-network-shaped
+  * graph needs rounds ≈ diameter), so like SSSP each round is pinned
+  * AND re-rooted ([[SqlBridge.reRoot]]): the SQL plan never nests
+  * across rounds while the RDD lineage stays intact (eviction
+  * recomputes — the ResilienceSpec contract). The previous
+  * plan-identity warm probe kept full plan nesting and its
+  * per-round planning cost grew superlinearly past ~10 rounds
+  * (measured on the skewed replica corpus: 1.9 s/round at 8 rounds,
+  * 14.5 s/round at 12, unusable at 20 — SCALE.md round 14); warm
+  * re-invocations now return the memoized final ([[LoopCache.memo]],
+  * the HITS/SSSP/ConnectedComponents pattern): zero jobs, zero new
+  * cache entries. The fixed-small-rounds operators (PageRank 5, LPA,
+  * k-core) keep the plan-identity probe — their depth is bounded by
+  * contract, where it is the cheaper warm path. */
 object Bfs {
 
   /** Hop levels from `seeds` within `rounds` hops over DIRECTED edges
@@ -27,35 +47,32 @@ object Bfs {
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .repartition(col("src"))
-    def loop(step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-      var lv = seeds.select(col(seedCol).cast("long").as("id")).distinct()
-        .select(col("id"), lit(0L).as("level"))
+    val s0 = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+      .select(col("id"), lit(0L).as("level"))
+    LoopCache.memo(
+      Seq("bfs", LoopCache.planKey(e), LoopCache.planKey(s0), rounds)) {
+      e.persist(StorageLevel.MEMORY_AND_DISK)
+      var lv = s0
+      var pinnedPrev = s0 // seed table: step's release is a no-op
       for (_ <- 1 to rounds) {
         val next = e.join(lv, col("src") === col("id"))
           .select(col("dst").as("id"), (col("level") + 1L).as("level"))
-        lv = step(
+        // PIN each round, RELEASE the previous (LoopCache.step): the
+        // level table is referenced twice per round (kept side of the
+        // union + the next frontier join), so an uncached formulation
+        // doubles the plan tree every round — 2^rounds re-executions
+        // (measured: 48 s for 3 rounds at sf0.1, 2 s cached). reRoot
+        // bounds the SQL-plan depth; lineage is kept.
+        val pinned = LoopCache.step(
           lv.unionByName(next)
             .groupBy(col("id")).agg(min(col("level")).as("level")),
-          lv)
+          pinnedPrev)
+        lv = SqlBridge.reRoot(pinned)
+        pinnedPrev = pinned
       }
+      e.unpersist(blocking = false) // final lv is materialized; edges done
       lv
     }
-    // cache probe: a prior invocation pinned this exact final plan —
-    // reuse it instead of re-driving the rounds (the plan-only loop is
-    // cheap to build; nothing executes on a probe hit)
-    val probe = loop((next, _) => next)
-    if (LoopCache.cached(probe)) return probe
-    // PIN each round, RELEASE the previous (LoopCache.step): the level
-    // table is referenced twice per round (kept side of the union + the
-    // next frontier join), so an uncached formulation doubles the plan
-    // tree every round — 2^rounds re-executions (measured: 48 s for 3
-    // rounds at sf0.1, 2 s cached) — while keeping every superseded
-    // round pinned leaks N tables per invocation. One (id, level) row
-    // per REACHED node.
-    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = loop(LoopCache.step)
-    e.unpersist(blocking = false) // final lv is materialized; edges done
-    out
   }
 
   /** [[levels]] over a STAGED adjacency layout (id, sorted nbrs array):
@@ -74,28 +91,28 @@ object Bfs {
       .getLong(0))
     val Seq(aT, seedsT) = LoopCache.tunedInputs(w, a0, seeds)
     val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
-    def loop(step: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-      var lv = seedsT.select(col(seedCol).cast("long").as("id")).distinct()
-        .select(col("id"), lit(0L).as("level"))
-      for (_ <- 1 to rounds) {
-        val next = a.join(lv, col("src") === col("id"))
-          .select((col("level") + 1L).as("level"),
-            explode(col("nbrs")).as("id"))
-          .select(col("id"), col("level"))
-        lv = step(
-          lv.unionByName(next)
-            .groupBy(col("id")).agg(min(col("level")).as("level")),
-          lv)
-      }
-      lv
-    }
-    val probe = loop((next, _) => next)
-    if (LoopCache.cached(probe)) return LoopCache.untuned(probe)
-    a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = loop(LoopCache.step)
-    a.unpersist(blocking = false)
-    // hand back a parent-session frame: the tuned width/AQE-off conf is
-    // for the rounds only, not the caller's downstream plan
-    LoopCache.untuned(out)
+    val s0 = seedsT.select(col(seedCol).cast("long").as("id")).distinct()
+      .select(col("id"), lit(0L).as("level"))
+    LoopCache.untuned(
+      LoopCache.memo(
+        Seq("bfs-adj", LoopCache.planKey(a), LoopCache.planKey(s0), rounds)) {
+        a.persist(StorageLevel.MEMORY_AND_DISK)
+        var lv = s0
+        var pinnedPrev = s0
+        for (_ <- 1 to rounds) {
+          val next = a.join(lv, col("src") === col("id"))
+            .select((col("level") + 1L).as("level"),
+              explode(col("nbrs")).as("id"))
+            .select(col("id"), col("level"))
+          val pinned = LoopCache.step(
+            lv.unionByName(next)
+              .groupBy(col("id")).agg(min(col("level")).as("level")),
+            pinnedPrev)
+          lv = SqlBridge.reRoot(pinned)
+          pinnedPrev = pinned
+        }
+        a.unpersist(blocking = false)
+        lv
+      })
   }
 }
