@@ -78,8 +78,18 @@ object BenchStream {
       * into the checkpoint at first start — 32 one-row-per-20 state
       * partitions is pure commit overhead on a low-volume stream, and
       * sizing it to the stream is the real production knob). */
+    // SPARK_GRAFT_STREAM_TIERS=name,name runs only the named tiers —
+    // the adversarial-corpus probes need it: on a corpus with a
+    // 20%-hot entity key the interval-join tier's OUTPUT is quadratic
+    // in the key's rate (66.1M pairs at skew100x — SCALE.md round 14)
+    // and would wall the whole artifact behind one pathological tier.
+    val tierFilter = sys.env.get("SPARK_GRAFT_STREAM_TIERS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     def runTier(name: String, mft: Int = 4, statePartitions: Int = 0)(
         pipe: DataFrame => DataFrame)(dir: String): TierResult = {
+      if (tierFilter.exists(!_.contains(name)))
+        return TierResult(name, 0, -1.0, 0, 0, 0) // skipped: filtered out
       val ckpt = java.nio.file.Files.createTempDirectory(s"graft-bs-$name")
       val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
       if (statePartitions > 0)
@@ -178,9 +188,10 @@ object BenchStream {
     // attribution sweep re-runs one tier at other granularities and must
     // not inflate the round-over-round comparable
     val canonical = Set("sessions", "funnel", "dedup")
-    val total = results.filter(r => canonical(r.name)).map(_.sec).sum
+    val ran = results.filter(_.sec >= 0) // drop tier-filtered skips
+    val total = ran.filter(r => canonical(r.name)).map(_.sec).sum
     val line = f"""{"metric":"stream_total","value":$total%.3f,""" +
-      f""""unit":"sec","sf":"$sfDir","tiers":{${results.map(j).mkString(",")}}}"""
+      f""""unit":"sec","sf":"$sfDir","tiers":{${ran.map(j).mkString(",")}}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM",
       java.nio.file.Paths.get("BENCH_STREAM.json").toAbsolutePath.toString)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
