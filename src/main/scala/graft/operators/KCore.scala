@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SqlBridge
 
 /** k-core decomposition by parallel peeling: repeatedly drop nodes whose
   * degree in the surviving induced subgraph falls below the threshold.
@@ -47,7 +48,7 @@ object KCore {
     * sorted dsts): see [[runAdj]] for why the edge-layout twin stops
     * scaling past ~1M nodes. */
   def survivorsAdj(adj: DataFrame, k: Long, rounds: Int): DataFrame =
-    runAdj(adj, rounds,
+    runAdj(adj, rounds, Seq("k", k),
       d0 => d0.sparkSession.range(1).select(lit(k).cast("long").as("k")))
 
   /** [[survivorsAtMeanFraction]] over the staged symmetric adjacency —
@@ -55,7 +56,7 @@ object KCore {
     * staged outdeg column). */
   def survivorsAtMeanFractionAdj(adj: DataFrame, num: Long, den: Long,
       rounds: Int): DataFrame =
-    runAdj(adj, rounds, deg0 => deg0.agg(expr(
+    runAdj(adj, rounds, Seq("frac", num, den), deg0 => deg0.agg(expr(
       s"CAST(sum(degree) * $num DIV (count(1) * $den) AS BIGINT)").as("k")))
 
   /** Adjacency-layout peeling — the round-13 sf10 probe found the
@@ -78,7 +79,7 @@ object KCore {
     * sources v whose neighbor lists contain u, intersected with u's own
     * aliveness. Identical integers to [[run]] (KernelSpec pins the
     * equality). */
-  private def runAdj(adj: DataFrame, rounds: Int,
+  private def runAdj(adj: DataFrame, rounds: Int, keyTag: Seq[Any],
       threshold: DataFrame => DataFrame): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     val a0 = adj.select(col("src").cast("long").as("src"),
@@ -88,20 +89,30 @@ object KCore {
       a0.agg(coalesce(sum(col("outdeg")), lit(0L)))).getLong(0))
     val aT = LoopCache.tunedInputs(w, a0).head
     val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
-    def loop(step: (DataFrame, DataFrame) => DataFrame,
-        execute: Boolean): DataFrame = {
+    // DEEP-ROUNDS SAFE (round 14, the Bfs/ShortestPath pattern): each
+    // round is pinned AND re-rooted, so the SQL plan never nests across
+    // rounds — the previous plan-identity warm probe kept full nesting
+    // and its planning cost blew up superlinearly past ~10 rounds
+    // (KCoreDepthProbe: rounds=20 pinned a driver core for 30+ min of
+    // pure Catalyst work). A deep peel is a legitimate ask (a
+    // high-layering graph peels one layer per round), so the threshold
+    // parameters ride the memo key (`keyTag`) in place of plan identity;
+    // warm re-invocations return the memoized final. RDD lineage is kept
+    // (reRoot, not localCheckpoint) — eviction recomputes.
+    LoopCache.untuned(LoopCache.memo(
+      Seq("kcore-adj", LoopCache.planKey(a), rounds) ++ keyTag) {
+      a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // round 0: every node with its full-graph degree — a projection of
       // the staged layout, no aggregate at all (the adjacency already
       // carries outdeg)
-      var alive = step(
+      var alivePinned = LoopCache.step(
         a.select(col("src").as("id"), col("outdeg").as("degree")),
         a.limit(0))
+      var alive = SqlBridge.reRoot(alivePinned)
       // same pinned-threshold protocol as [[run]]
       val kdfF = threshold(alive)
-      if (execute) {
-        kdfF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        kdfF.head()
-      }
+      kdfF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kdfF.head()
       val kdf = broadcast(kdfF)
       for (_ <- 1 to rounds) {
         val contrib = a.join(alive.select(col("id")), col("src") === col("id"))
@@ -111,17 +122,13 @@ object KCore {
           .join(alive.select(col("id")), Seq("id"), "left_semi")
           .crossJoin(kdf).filter(col("degree") >= col("k"))
           .select(col("id"), col("degree"))
-        alive = step(next, alive)
+        alivePinned = LoopCache.step(next, alivePinned)
+        alive = SqlBridge.reRoot(alivePinned)
       }
-      if (execute) kdfF.unpersist(blocking = false)
+      kdfF.unpersist(blocking = false)
+      a.unpersist(blocking = false)
       alive
-    }
-    val probe = loop((next, _) => next, execute = false)
-    if (LoopCache.cached(probe)) return LoopCache.untuned(probe)
-    a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = loop(LoopCache.step, execute = true)
-    a.unpersist(blocking = false)
-    LoopCache.untuned(out)
+    })
   }
 
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
