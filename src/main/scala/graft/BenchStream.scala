@@ -157,6 +157,23 @@ object BenchStream {
           s.filter(col("event_type") === "click"),
           "user_id", "ts")
       }(eventsDir),
+      // hot-entity-GUARDED interval join (VERDICT r14 #2): the denylist
+      // is batch-computed from the staged history (StreamingOps.hotEntities)
+      // and broadcast-anti-joined inside the operator. On the adversarial
+      // corpus this tier COMPLETES where the unguarded join is
+      // output-quadratic in the mega-user's rate; on a uniform corpus no
+      // entity trips the cap and the tier measures the guard's overhead
+      // (one broadcast probe per side). SPARK_GRAFT_HOT_RATE sets the
+      // events-per-entity cap (default 100000 — only planted hot keys).
+      runTier("interval_join_guarded") { s =>
+        val cap = sys.env.getOrElse("SPARK_GRAFT_HOT_RATE", "100000").toLong
+        val deny = streaming.StreamingOps.hotEntities(
+          spark.read.parquet(eventsDir), "user_id", cap)
+        streaming.StreamingOps.intervalJoinStream(
+          s.filter(col("event_type") === "view"),
+          s.filter(col("event_type") === "click"),
+          "user_id", "ts", denylist = Some(deny))
+      }(eventsDir),
       // ---- dedup THROUGHPUT ATTRIBUTION sweep: the tier's low rows/s
       // is per-micro-batch fixed cost (state-store commit + a 32-way
       // keyed exchange + checkpoint fsync), not digest work — the
@@ -190,8 +207,20 @@ object BenchStream {
     val canonical = Set("sessions", "funnel", "dedup")
     val ran = results.filter(_.sec >= 0) // drop tier-filtered skips
     val total = ran.filter(r => canonical(r.name)).map(_.sec).sum
-    val line = f"""{"metric":"stream_total","value":$total%.3f,""" +
-      f""""unit":"sec","sf":"$sfDir","tiers":{${ran.map(j).mkString(",")}}}"""
+    // A FILTERED run must be distinguishable from the round-over-round
+    // comparable (ADVICE r14): the active filter is recorded in the
+    // artifact, and stream_total is NULLED when any canonical tier was
+    // skipped — a partial sum under the comparable's metric name would
+    // silently read as a full run.
+    val skippedCanonical = (canonical -- ran.map(_.name).toSet).toSeq.sorted
+    val totalJson =
+      if (skippedCanonical.nonEmpty) "null" else f"$total%.3f"
+    val filterJson = tierFilter.map(f =>
+      s""""tiers_filtered":[${f.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""")
+      .getOrElse("")
+    val line = s"""{"metric":"stream_total","value":$totalJson,""" +
+      s"""$filterJson""" +
+      s""""unit":"sec","sf":"$sfDir","tiers":{${ran.map(j).mkString(",")}}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM",
       java.nio.file.Paths.get("BENCH_STREAM.json").toAbsolutePath.toString)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -14,12 +14,38 @@ object Verify {
       else None
     def keep(name: String) = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Multi-process smoke (VERDICT r14 #1): SPARK_GRAFT_MASTER=
+    // local-cluster[2,16,16384] runs the SAME oracle pipeline with real
+    // executor JVMs — custom Catalyst expressions, broadcasts, LoopCache
+    // pins and DSv2 readers all cross a genuine serialization boundary.
+    // Requires SPARK_HOME (executor launch) and SPARK_GRAFT_JARS (the
+    // packaged graft jar, fetched by executors at task deserialization).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
+    if (master.startsWith("local-cluster")) {
+      // Executor JVMs are launched by the in-process Worker; they need the
+      // same JDK17 module opens the driver gets from build.sbt/run_main.sh,
+      // and a memory setting that fits inside the worker's slice.
+      val addOpens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar",
+      ).map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+      builder
+        .config("spark.executor.extraJavaOptions", addOpens)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "12g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter { case (n, _) => keep(n) }.foreach { case (name, fn) =>

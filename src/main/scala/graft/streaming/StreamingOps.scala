@@ -37,21 +37,65 @@ object StreamingOps {
     * is droppable because the range + watermarks make it provable.)
     *
     * Output columns: key, left `ts`/payload prefixed `l_`, right
-    * `ts`/payload prefixed `r_`. */
+    * `ts`/payload prefixed `r_`.
+    *
+    * HOT-ENTITY GUARD (`denylist`): the join's OUTPUT is quadratic in a
+    * single key's event rate — a key emitting f events per interval
+    * produces ~f² pairs, and no engine knob makes a quadratic output
+    * linear (measured: a 20%-hot user on a 10M-event corpus = 66.1M
+    * pairs for that one key, ~3×10¹¹ state probes in one partition —
+    * SCALE.md round 14). The production mitigation is pipeline-level:
+    * pass a BATCH-computed table of hot keys (see [[hotEntities]]) and
+    * both sides are broadcast-anti-joined against it BEFORE the join, so
+    * the stateful operator never buffers the pathological key. Excluded
+    * entities are NOT silently dropped — route them to a side sink with
+    * [[deniedEvents]] (two queries over the same sources is the standard
+    * Structured Streaming side-output shape). */
   def intervalJoinStream(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
       before: String = "10 minutes", after: String = "10 minutes",
-      watermark: String = "1 hour"): DataFrame = {
-    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      watermark: String = "1 hour",
+      denylist: Option[DataFrame] = None): DataFrame = {
+    val (lIn, rIn) = denylist match {
+      case Some(d) =>
+        // static side broadcast: the guard must not add a shuffle to the
+        // stream — a denylist is tiny by construction (keys over a rate
+        // cap), and a stream-static broadcast anti-join keeps zero state
+        val keys = broadcast(d.select(col(keyCol)))
+        (left.join(keys, Seq(keyCol), "left_anti"),
+          right.join(keys, Seq(keyCol), "left_anti"))
+      case None => (left, right)
+    }
+    val l = lIn.columns.foldLeft(lIn)((d, c) => d.withColumnRenamed(c, s"l_$c"))
       .withWatermark(s"l_$tsCol", watermark)
-    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+    val r = rIn.columns.foldLeft(rIn)((d, c) => d.withColumnRenamed(c, s"r_$c"))
       .withWatermark(s"r_$tsCol", watermark)
     l.join(r,
       col(s"l_$keyCol") === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $before") &&
         col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $after"))
   }
+
+  /** Batch-side hot-entity scan for [[intervalJoinStream]]'s guard: keys
+    * whose historical event count exceeds `maxRate`. Computed OFF the
+    * stream (one batch groupBy over the history table — rates move
+    * slowly; recompute on whatever cadence bot lists refresh) and
+    * broadcast into the stream, so the guard costs the stream nothing.
+    * Returns (keyCol, n_events). */
+  def hotEntities(history: DataFrame, keyCol: String,
+      maxRate: Long): DataFrame =
+    history.groupBy(col(keyCol)).agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") > maxRate)
+
+  /** The guard's side output: the events [[intervalJoinStream]] excluded,
+    * as their own stream (stream-static broadcast SEMI join — stateless).
+    * Start this as a second query writing to a quarantine sink so
+    * denylisted traffic is auditable rather than silently dropped. */
+  def deniedEvents(stream: DataFrame, keyCol: String,
+      denylist: DataFrame): DataFrame =
+    stream.join(broadcast(denylist.select(col(keyCol))),
+      Seq(keyCol), "left_semi")
 
   /** Streaming near-duplicate screening against a STATIC historical
     * corpus: each arriving document is MinHash-signed in-stream (the

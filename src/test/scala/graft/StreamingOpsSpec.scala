@@ -334,4 +334,75 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.toSet.contains(("L3", "R3in")),
       "stream-stream buffered state lost across restart")
   }
+
+  test("hot-entity guard: denylisted key excluded, clean keys hash-match the " +
+      "unguarded join, side output captures the exclusions") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch history: key 1 is the planted mega-entity (50 events vs cap 10)
+    val history = (Seq.tabulate(50)(i =>
+      (1L, ts("2026-08-09 12:00:00"), s"h$i")) :+
+      (2L, ts("2026-08-09 12:00:00"), "h")).toDF("key", "ts", "tag")
+    val deny = StreamingOps.hotEntities(history, "key", maxRate = 10)
+    assert(deny.select("key").as[Long].collect().toSet == Set(1L))
+
+    val lRows = Seq(
+      (1L, ts("2026-08-10 09:00:00"), "L1-hot"),
+      (2L, ts("2026-08-10 09:00:00"), "L2"),
+      (3L, ts("2026-08-10 09:01:00"), "L3"))
+    val rRows = Seq(
+      (1L, ts("2026-08-10 09:02:00"), "R1-hot"),
+      (2L, ts("2026-08-10 09:03:00"), "R2in"),
+      (3L, ts("2026-08-10 09:04:00"), "R3in"))
+    val flushL = (99L, ts("2026-08-10 23:00:00"), "flushL")
+    val flushR = (99L, ts("2026-08-10 23:30:00"), "flushR")
+
+    def run(denylist: Option[org.apache.spark.sql.DataFrame],
+        name: String): Set[(String, String)] = {
+      val memL = MemoryStream[(Long, Timestamp, String)]
+      val memR = MemoryStream[(Long, Timestamp, String)]
+      val q = StreamingOps.intervalJoinStream(
+          memL.toDF().toDF("key", "ts", "tag"),
+          memR.toDF().toDF("key", "ts", "tag"),
+          "key", "ts", before = "5 minutes", after = "5 minutes",
+          watermark = "10 minutes", denylist = denylist)
+        .select($"l_tag", $"r_tag")
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try {
+        memL.addData(lRows: _*); memR.addData(rRows: _*)
+        q.processAllAvailable()
+        memL.addData(flushL); memR.addData(flushR)
+        q.processAllAvailable()
+        spark.table(name).as[(String, String)].collect().toSet
+      } finally q.stop()
+    }
+
+    val guarded = run(Some(deny), "ij_guarded")
+    val unguarded = run(None, "ij_plain")
+    // the mega-entity's pairs never reach the stateful join...
+    assert(!guarded.exists { case (l, r) => l.contains("hot") || r.contains("hot") },
+      s"denylisted key leaked into the guarded join: $guarded")
+    // ...and every clean key's output is IDENTICAL to the unguarded run
+    val cleanUnguarded = unguarded.filterNot {
+      case (l, r) => l.contains("hot") || r.contains("hot")
+    }
+    assert(guarded == cleanUnguarded,
+      s"guard perturbed clean keys: guarded=$guarded clean=$cleanUnguarded")
+    assert(unguarded.contains(("L1-hot", "R1-hot")),
+      "fixture broken: unguarded run should match the hot key")
+
+    // side output: the excluded events are auditable, not silently dropped
+    val memS = MemoryStream[(Long, Timestamp, String)]
+    val sq = StreamingOps.deniedEvents(
+        memS.toDF().toDF("key", "ts", "tag"), "key", deny)
+      .select($"tag")
+      .writeStream.outputMode("append").format("memory").queryName("ij_denied")
+      .start()
+    try {
+      memS.addData(lRows: _*); memS.addData(rRows: _*)
+      sq.processAllAvailable()
+      assert(spark.table("ij_denied").as[String].collect().toSet ==
+        Set("L1-hot", "R1-hot"))
+    } finally sq.stop()
+  }
 }
