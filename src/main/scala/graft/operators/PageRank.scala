@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftbridge.SqlBridge
+
 /** Fixed-point (integer) PageRank — link-graph centrality with BIGINT
   * "rank tokens" instead of float probabilities.
   *
@@ -139,43 +141,59 @@ object PageRank {
   def fixedPoint(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 5, initTokens: Long = AutoTokens,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    val withDeg = prepare(edges, srcCol, dstCol, iterations, dampNum, dampDen)
-    // the node count feeds the token scale, i.e. PLAN construction — a
-    // pinned 1-row aggregate (LoopCache.pinnedRow) so only the first
-    // invocation pays the pass (which doubles as the edge-cache
-    // materialization); warm re-invocations read the cached row and then
-    // reuse the pinned final via finish's probe
-    val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
-      LoopCache.pinnedRow(
-        withDeg.select(col("src")).union(withDeg.select(col("dst")))
-          .distinct().agg(count(lit(1)))).getLong(0))
-    // The rank table stays SPARSE: it only carries nodes with in-edges.
-    // A node absent from it has a known rank — `initTokens` before the
-    // first round, exactly `teleport` afterwards (no in-edges ⟹ nothing
-    // but the teleport share) — so a coalesce default replaces the dense
-    // per-iteration node join, halving the stages per round: one edge⋈rank
-    // join + one token sum, nothing else.
-    var ranks: Option[DataFrame] = None
-    var default = initTok
-    for (_ <- 1 to iterations) {
-      val withRank = ranks match {
-        case None => withDeg.withColumn("r", lit(initTok)) // round 1: uniform
-        case Some(rk) => withDeg.join(rk, col("src") === col("id"), "left")
-          .withColumn("r", coalesce(col("r"), lit(default)))
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen,
+      s"damping $dampNum/$dampDen must lie in [0, 1]")
+    // DEEP-ROUNDS SAFE (round 15): iterations is caller-supplied, so like
+    // BFS/k-core each round is pinned AND re-rooted — the SQL plan never
+    // nests across rounds, killing the superlinear Catalyst planning cost
+    // the KCoreDepthProbe measured past ~10 rounds in this plan shape.
+    // Warm re-invocations return the memoized final (zero jobs); all
+    // persists live INSIDE the memo build so a hit re-pins nothing.
+    LoopCache.memo(Seq("pagerank", LoopCache.planKey(edges), srcCol, dstCol,
+        iterations, initTokens, dampNum, dampDen)) {
+      val withDeg = prepare(edges, srcCol, dstCol, iterations, dampNum, dampDen)
+      // the node count feeds the token scale, i.e. PLAN construction — a
+      // pinned 1-row aggregate (LoopCache.pinnedRow) so only the first
+      // invocation pays the pass (which doubles as the edge-cache
+      // materialization)
+      val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
+        LoopCache.pinnedRow(
+          withDeg.select(col("src")).union(withDeg.select(col("dst")))
+            .distinct().agg(count(lit(1)))).getLong(0))
+      // The rank table stays SPARSE: it only carries nodes with in-edges.
+      // A node absent from it has a known rank — `initTokens` before the
+      // first round, exactly `teleport` afterwards (no in-edges ⟹ nothing
+      // but the teleport share) — so a coalesce default replaces the dense
+      // per-iteration node join, halving the stages per round: one edge⋈rank
+      // join + one token sum, nothing else.
+      var ranks: Option[DataFrame] = None
+      var pinnedPrev = edges.sparkSession.emptyDataFrame // round 0: no-op release
+      var default = initTok
+      for (_ <- 1 to iterations) {
+        val withRank = ranks match {
+          case None => withDeg.withColumn("r", lit(initTok)) // round 1: uniform
+          case Some(rk) => withDeg.join(rk, col("src") === col("id"), "left")
+            .withColumn("r", coalesce(col("r"), lit(default)))
+        }
+        val contrib = contribution(withRank, dampNum, dampDen)
+        val pinned = LoopCache.step(
+          contrib.select(col("dst").as("id"),
+            (lit(teleport) + col("contrib")).as("r")),
+          pinnedPrev)
+        ranks = Some(SqlBridge.reRoot(pinned))
+        pinnedPrev = pinned
+        default = teleport
       }
-      val contrib = contribution(withRank, dampNum, dampDen)
-      ranks = Some(contrib.select(col("dst").as("id"),
-        (lit(teleport) + col("contrib")).as("r")))
-      default = teleport
+      // densify once at the end: sources ∪ targets, teleport-only fill —
+      // then pin the result and release the edge + last-round anchors
+      val nodes = withDeg.select(col("src").as("id"))
+        .union(withDeg.select(col("dst").as("id"))).distinct()
+      LoopCache.finish(
+        nodes.join(ranks.get, Seq("id"), "left")
+          .select(col("id"), coalesce(col("r"), lit(teleport)).as("rank_tokens")),
+        withDeg, pinnedPrev)
     }
-    // densify once at the end: sources ∪ targets, teleport-only fill —
-    // then pin the result and release the edge anchor (LoopCache)
-    val nodes = withDeg.select(col("src").as("id"))
-      .union(withDeg.select(col("dst").as("id"))).distinct()
-    LoopCache.finish(
-      nodes.join(ranks.get, Seq("id"), "left")
-        .select(col("id"), coalesce(col("r"), lit(teleport)).as("rank_tokens")),
-      withDeg)
   }
 
   /** [[fixedPoint]] over a staged ADJACENCY layout (src, outdeg, dsts) +
