@@ -107,6 +107,21 @@ object Bench {
     } catch { case _: Throwable => () }
   private val MaxChunkRetries = 2
 
+  /** Floor-normalized total (VERDICT r14 #5 / r15 #4): the sentinel is
+    * constant work, so `idle_ref / run_floor` is the host's slowdown
+    * factor for this run, and `total × idle_ref / run_floor` is the
+    * total this run would have read on the idle calibrated host — the
+    * self-interpreting number for round-over-round comparison on
+    * contended days. Null when no idle reference resolved (the relative
+    * detectors still flag contention; only the normalization needs the
+    * absolute floor). */
+  private def floorNormJson(total: Double, runFloor: Double): String =
+    SentinelAbsRef match {
+      case Some(ref) if runFloor > 0 =>
+        f""""total_floor_normalized":${total * ref / runFloor}%.3f"""
+      case _ => """"total_floor_normalized":null"""
+    }
+
   /** Constant-work probe: seconds for an agg over SentinelRows generated
     * rows. No file IO, no shuffle, nothing cacheable — its time moves
     * only with host CPU availability. */
@@ -257,7 +272,7 @@ object Bench {
       val qj = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
       val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
-      val line = f"""{"metric":"total_prodcold","value":$total%.3f,"unit":"sec",$warmupJson,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,"sentinels":$sj,"contended":$contended,"staged":${graft.operators.Staging.provenanceJson},"queries":$qj}"""
+      val line = f"""{"metric":"total_prodcold","value":$total%.3f,"unit":"sec",$warmupJson,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"sentinels":$sj,"contended":$contended,"staged":${graft.operators.Staging.provenanceJson},"queries":$qj}"""
       println(line)
       // the prodcold artifact lands in its own file too, so the official
       // record never depends on shell redirection of the sbt log
@@ -344,7 +359,7 @@ object Bench {
     // totals, the audit verdict, and the 20 heaviest warm queries —
     // under ~1.5 KB, so it parses from the tail.
     val staged = graft.operators.Staging.provenanceJson
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"partial":$partial,"attempt_failures":$failCountsJ,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,"sentinels":$sj,"contended":$contended,"staged":$staged,"queries":${qjson(results)}}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"partial":$partial,"attempt_failures":$failCountsJ,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"sentinels":$sj,"contended":$contended,"staged":$staged,"queries":${qjson(results)}}"""
     // Detail file lands next to the checkout being benched: env override
     // first, else the working directory (NOT a hardcoded absolute path —
     // a bench run from another checkout must not write into this one).
@@ -357,7 +372,7 @@ object Bench {
     // explicitly marked: renamed key + truncation flag. Naive
     // round-over-round tail comparers must use the detail file.
     val topWarm = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-    val shortLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"total_cold":${totalOf(passA)}%.3f,"n_queries":${results.size},"failed":$failed,"partial":$partial,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,"contended":$contended,"staged":$staged,"detail":"$detailPath","queries_truncated":true,"queries_top20":${qjson(topWarm)}}"""
+    val shortLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"total_cold":${totalOf(passA)}%.3f,"n_queries":${results.size},"failed":$failed,"partial":$partial,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"contended":$contended,"staged":$staged,"detail":"$detailPath","queries_truncated":true,"queries_top20":${qjson(topWarm)}}"""
     println(shortLine)
     // The round-total also lands in its OWN clean file (VERDICT r11 #3):
     // BENCH_r{8..11}.json all read "parsed": null because the total line

@@ -26,7 +26,7 @@ object BenchStream {
 
   private case class TierResult(
       name: String, rows: Long, sec: Double, batches: Int,
-      stateRows: Long, stateBytes: Long) {
+      stateRows: Long, stateBytes: Long, timedOut: Boolean = false) {
     def rps: Double = if (sec > 0) rows / sec else 0.0
   }
 
@@ -39,6 +39,10 @@ object BenchStream {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // rows/batches/state are summed from recentProgress, which keeps
+      // only the last N entries (default 100) — raise it so a small-mft
+      // or large-staging run can't silently undercount (ADVICE r15)
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -86,6 +90,17 @@ object BenchStream {
     val tierFilter = sys.env.get("SPARK_GRAFT_STREAM_TIERS")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
+    // Per-tier wall-clock ceiling (seconds; 0 = unlimited). This is what
+    // lets the adversarial-corpus artifact INCLUDE the unguarded
+    // interval-join tier for contrast: its output is quadratic in the
+    // hot key's rate (SCALE.md r14 — killed by hand at 30+ min), so the
+    // run stops it at the ceiling and records timed_out:true with the
+    // elapsed time instead of walling the whole artifact. A timed-out
+    // tier is an explicit measurement ("did not complete in N s"), not a
+    // hidden cap — the flag and the partial row count land in the JSON.
+    val tierTimeoutSec = sys.env.getOrElse(
+      "SPARK_GRAFT_STREAM_TIER_TIMEOUT", "0").toLong
+
     def runTier(name: String, mft: Int = 4, statePartitions: Int = 0)(
         pipe: DataFrame => DataFrame)(dir: String): TierResult = {
       if (tierFilter.exists(!_.contains(name)))
@@ -97,6 +112,7 @@ object BenchStream {
       val t0 = System.nanoTime()
       // finally-restore: a tier that throws must not leave the session's
       // shuffle/state partitioning overridden for every later tier
+      var timedOut = false
       val q =
         try {
           val started = pipe(source(dir, mft)).writeStream
@@ -105,7 +121,10 @@ object BenchStream {
             .option("checkpointLocation", ckpt.toString)
             .trigger(Trigger.AvailableNow())
             .start()
-          started.awaitTermination()
+          if (tierTimeoutSec > 0) {
+            timedOut = !started.awaitTermination(tierTimeoutSec * 1000L)
+            if (timedOut) started.stop()
+          } else started.awaitTermination()
           started
         } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -122,11 +141,13 @@ object BenchStream {
           p.stateOperators.map(_.memoryUsedBytes).sum))
       val r = TierResult(name, rows, sec, batches,
         if (stateSnapshots.isEmpty) 0L else stateSnapshots.map(_._1).max,
-        if (stateSnapshots.isEmpty) 0L else stateSnapshots.map(_._2).max)
+        if (stateSnapshots.isEmpty) 0L else stateSnapshots.map(_._2).max,
+        timedOut)
       System.err.println(
         f"[bench-stream] $name: ${r.rows} rows in ${r.sec}%.2f s " +
           f"(${r.rps}%.0f rows/s, ${r.batches} batches, " +
-          f"state ${r.stateRows} rows / ${r.stateBytes} B)")
+          f"state ${r.stateRows} rows / ${r.stateBytes} B" +
+          (if (r.timedOut) ", TIMED OUT" else "") + ")")
       r
     }
 
@@ -200,7 +221,8 @@ object BenchStream {
     def j(r: TierResult): String =
       f""""${r.name}":{"rows":${r.rows},"sec":${r.sec}%.3f,""" +
         f""""rows_per_sec":${r.rps}%.0f,"batches":${r.batches},""" +
-        f""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
+        f""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes},""" +
+        f""""timed_out":${r.timedOut}}"""
     // headline total covers the three canonical tiers only — the dedup
     // attribution sweep re-runs one tier at other granularities and must
     // not inflate the round-over-round comparable
@@ -213,8 +235,12 @@ object BenchStream {
     // skipped — a partial sum under the comparable's metric name would
     // silently read as a full run.
     val skippedCanonical = (canonical -- ran.map(_.name).toSet).toSeq.sorted
+    // a canonical tier that hit the wall-clock ceiling has no honest
+    // duration either — null the comparable rather than sum a partial
+    val canonicalTimedOut = ran.exists(r => canonical(r.name) && r.timedOut)
     val totalJson =
-      if (skippedCanonical.nonEmpty) "null" else f"$total%.3f"
+      if (skippedCanonical.nonEmpty || canonicalTimedOut) "null"
+      else f"$total%.3f"
     val filterJson = tierFilter.map(f =>
       s""""tiers_filtered":[${f.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""")
       .getOrElse("")

@@ -28,6 +28,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     if (master.startsWith("local-cluster")) {
+      // Fail fast (ADVICE r15): without the packaged jar, every task
+      // deserializes to ClassNotFoundException on the executors and the
+      // per-query catch turns one config mistake into 150 confusing
+      // 'failed' lines.
+      require(sys.env.contains("SPARK_GRAFT_JARS"),
+        "SPARK_GRAFT_MASTER=local-cluster[...] needs SPARK_GRAFT_JARS=" +
+          "<path to the packaged graft jar> (sbt package) so executor " +
+          "JVMs can deserialize graft classes")
       // Executor JVMs are launched by the in-process Worker; they need the
       // same JDK17 module opens the driver gets from build.sbt/run_main.sh,
       // and a memory setting that fits inside the worker's slice.

@@ -19,11 +19,17 @@ object CliUtil {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
 
+  /** Pin the JVM default locale to ROOT. The reference's Python
+    * `f"{x:.2f}"` is locale-independent; the Scala f-interpolator in
+    * Report/Charts is not — without the pin the report CLIs render
+    * comma-decimal under a de_DE-style host locale. A PROCESS-WIDE
+    * mutation, so it is called only from the CLI `main`s (which own
+    * their process), never from [[session]] — a library/test caller
+    * building a session must not have its process locale silently
+    * changed (ADVICE r14). */
+  def pinLocale(): Unit = java.util.Locale.setDefault(java.util.Locale.ROOT)
+
   def session(name: String): SparkSession = {
-    // The reference's Python `f"{x:.2f}"` is locale-independent; the Scala
-    // f-interpolator in Report/Charts is not — pin the default locale so
-    // the report CLIs render dot-decimal under any host locale.
-    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     SparkSession.builder()
       .master(s"local[$cpus]")
@@ -102,6 +108,7 @@ object ClienteHttp {
   }
 
   def main(args: Array[String]): Unit = {
+    CliUtil.pinLocale()
     val a = CliUtil.parseArgs(args)
     val spark = CliUtil.session("cliente_http")
     try run(spark,
@@ -114,6 +121,7 @@ object ClienteHttp {
 /** Stage [2]: seeded synthetic bitácora → JSONL. */
 object GenerarDatos {
   def main(args: Array[String]): Unit = {
+    CliUtil.pinLocale()
     val a = CliUtil.parseArgs(args)
     val spark = CliUtil.session("generar_datos")
     try SyntheticBitacora.writeJsonl(
@@ -130,6 +138,7 @@ object GenerarDatos {
 /** Stage [3]: JSONL bitácora → sorted KPI CSV. */
 object CalcularKpi {
   def main(args: Array[String]): Unit = {
+    CliUtil.pinLocale()
     val a = CliUtil.parseArgs(args)
     val spark = CliUtil.session("calcular_kpi")
     try {
@@ -144,6 +153,7 @@ object CalcularKpi {
   * (the reference's full artifact set, generar_reporte.py:263-292). */
 object GenerarReporte {
   def main(args: Array[String]): Unit = {
+    CliUtil.pinLocale()
     val a = CliUtil.parseArgs(args)
     val spark = CliUtil.session("generar_reporte")
     try {

@@ -32,9 +32,12 @@ import org.apache.spark.sql.graftbridge.SqlBridge
   * 14.5 s/round at 12, unusable at 20 — SCALE.md round 14); warm
   * re-invocations now return the memoized final ([[LoopCache.memo]],
   * the HITS/SSSP/ConnectedComponents pattern): zero jobs, zero new
-  * cache entries. The fixed-small-rounds operators (PageRank 5, LPA,
-  * k-core) keep the plan-identity probe — their depth is bounded by
-  * contract, where it is the cheaper warm path. */
+  * cache entries. As of round 16 EVERY caller-budgeted loop operator
+  * uses this pattern — the k-core adjacency peel migrated in r14,
+  * `PageRank.fixedPoint` in r15, and the remaining PageRank variants
+  * (fixedPointAdj / personalized / personalizedAdj) plus both
+  * LabelPropagation layouts in r16 — so no round budget a user can
+  * pass reaches the nested-plan planning cliff. */
 object Bfs {
 
   /** Hop levels from `seeds` within `rounds` hops over DIRECTED edges

@@ -31,7 +31,7 @@ object KCore {
     * convention ([[graft.Tables]]). */
   def survivors(edges: DataFrame, srcCol: String, dstCol: String,
       k: Long, rounds: Int): DataFrame =
-    run(edges, srcCol, dstCol, rounds,
+    run(edges, srcCol, dstCol, rounds, Seq("k", k),
       deg0 => deg0.sparkSession.range(1).select(lit(k).cast("long").as("k")))
 
   /** Survivors at the scale-adaptive threshold k = num·(mean degree)/den
@@ -41,8 +41,9 @@ object KCore {
     * build. */
   def survivorsAtMeanFraction(edges: DataFrame, srcCol: String,
       dstCol: String, num: Long, den: Long, rounds: Int): DataFrame =
-    run(edges, srcCol, dstCol, rounds, deg0 => deg0.agg(expr(
-      s"CAST(sum(degree) * $num DIV (count(1) * $den) AS BIGINT)").as("k")))
+    run(edges, srcCol, dstCol, rounds, Seq("frac", num, den),
+      deg0 => deg0.agg(expr(
+        s"CAST(sum(degree) * $num DIV (count(1) * $den) AS BIGINT)").as("k")))
 
   /** [[survivors]] over a STAGED symmetric adjacency (src, outdeg,
     * sorted dsts): see [[runAdj]] for why the edge-layout twin stops
@@ -132,7 +133,8 @@ object KCore {
   }
 
   private def run(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int, threshold: DataFrame => DataFrame): DataFrame = {
+      rounds: Int, keyTag: Seq[Any],
+      threshold: DataFrame => DataFrame): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
     // src-partitioned once: the survivor sets broadcast (node-sized), so
     // broadcast semi-joins preserve the partitioning and every round's
@@ -146,27 +148,30 @@ object KCore {
       LoopCache.pinnedRow(e0.agg(count(lit(1)))).getLong(0))
     val e = LoopCache.tunedInputs(w, e0).head
       .repartition(w, col("src")).sortWithinPartitions("src")
-    def loop(step: (DataFrame, DataFrame) => DataFrame,
-        execute: Boolean): DataFrame = {
+    // DEEP-ROUNDS SAFE (round 16): each round pinned AND re-rooted, like
+    // [[runAdj]] — the previous plan-identity probe kept full plan
+    // nesting, whose Catalyst planning cost grows superlinearly past ~10
+    // rounds (KCoreDepthProbe, SCALE.md r14). The threshold parameters
+    // ride the memo key (`keyTag`) in place of plan identity; warm
+    // re-invocations return the memoized final.
+    LoopCache.untuned(LoopCache.memo(
+      Seq("kcore-edge", LoopCache.planKey(e), rounds) ++ keyTag) {
+      e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // round 0: every node, with its full-graph degree (symmetric edges
       // ⇒ every node appears as a src). Pinned like any other round —
       // it is referenced by round 1's two semi-joins AND by the
-      // threshold aggregate, so leaving it lazy re-runs the full edge
-      // aggregate once per forced round (measured ~2x cold at sf0.1).
-      var alive = step(
+      // threshold aggregate.
+      var alivePinned = LoopCache.step(
         e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree")),
         e.limit(0))
+      var alive = SqlBridge.reRoot(alivePinned)
       // one row; broadcast so the per-round filter is a map-side compare.
-      // Pinned + forced for the loop's duration (while round 0 is still
-      // live, so the derivation reads its cache): round 1's step releases
-      // round 0, after which each round's broadcast would otherwise
-      // re-derive the threshold by re-running the full-graph degree
-      // aggregate from lineage — one wasted edge-cache pass per round.
+      // Pinned + forced while round 0 is still live, so the derivation
+      // reads its cache instead of re-running the full-graph degree
+      // aggregate from lineage once per round.
       val kdfF = threshold(alive)
-      if (execute) {
-        kdfF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        kdfF.head()
-      }
+      kdfF.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kdfF.head()
       val kdf = broadcast(kdfF)
       for (_ <- 1 to rounds) {
         val ids = alive.select(col("id"))
@@ -176,28 +181,14 @@ object KCore {
           .groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
           .crossJoin(kdf).filter(col("degree") >= col("k"))
           .select(col("id"), col("degree"))
-        alive = step(next, alive)
+        alivePinned = LoopCache.step(next, alivePinned)
+        alive = SqlBridge.reRoot(alivePinned)
       }
-      // final survivors were forced by the last step — the threshold row
-      // is no longer load-bearing
-      if (execute) kdfF.unpersist(blocking = false)
+      // final survivors were pinned by the last step — the threshold row
+      // and the edge anchor are no longer load-bearing
+      kdfF.unpersist(blocking = false)
+      e.unpersist(blocking = false)
       alive
-    }
-    // cache probe: a prior invocation pinned this exact survivor plan —
-    // reuse it instead of re-driving the peeling rounds (plan-only loop,
-    // nothing executes on a probe hit)
-    val probe = loop((next, _) => next, execute = false)
-    if (LoopCache.cached(probe)) return LoopCache.untuned(probe)
-    // PIN each round, RELEASE the previous (LoopCache.step): the alive
-    // set is referenced twice per round (the two endpoint semi-joins),
-    // so an uncached loop doubles the plan tree every round (the
-    // Bfs.levels 2^rounds bug class), while keeping every superseded
-    // round pinned leaks one node-sized table per round. The edge table
-    // anchors every round — pin it for the drive, release at the end.
-    e.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = loop(LoopCache.step, execute = true)
-    e.unpersist(blocking = false) // final survivors are materialized
-    // parent-session frame out: tuned conf is scoped to the rounds
-    LoopCache.untuned(out)
+    })
   }
 }

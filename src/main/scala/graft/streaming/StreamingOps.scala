@@ -61,8 +61,15 @@ object StreamingOps {
       case Some(d) =>
         // static side broadcast: the guard must not add a shuffle to the
         // stream — a denylist is tiny by construction (keys over a rate
-        // cap), and a stream-static broadcast anti-join keeps zero state
-        val keys = broadcast(d.select(col(keyCol)))
+        // cap), and a stream-static broadcast anti-join keeps zero state.
+        // PERSISTED (ADVICE r15): Structured Streaming re-plans the static
+        // side every micro-batch, so an unpinned denylist plan (typically
+        // a groupBy over the full history — [[hotEntities]]) would re-run
+        // the whole history aggregation per batch per side; the pin makes
+        // each batch's re-evaluation a cache read. Session-lived entry,
+        // one tiny table, materialized by the first micro-batch.
+        val keys = broadcast(d.select(col(keyCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         (left.join(keys, Seq(keyCol), "left_anti"),
           right.join(keys, Seq(keyCol), "left_anti"))
       case None => (left, right)

@@ -27,6 +27,11 @@ object StreamSkewProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      // the drained-rows report sums recentProgress, which keeps only the
+      // last N progress entries (default 100) — fine at 8 batches, but a
+      // silent undercount if staging or maxFilesPerTrigger changes
+      // (ADVICE r15); raise the buffer well past any batch count here
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

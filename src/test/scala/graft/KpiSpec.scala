@@ -189,4 +189,40 @@ class KpiSpec extends AnyFunSuite {
   test("entry() returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("multi-file JSONL input replays in lexicographic file order " +
+      "(scan-order key pin, ADVICE r14)") {
+    // The faithful mean tier replays np.mean's pairwise sum over the
+    // group's values IN SCAN ORDER (ops/Kpi.scala), reconstructing file
+    // order from (input_file_name, block_start, mono-id) because Spark's
+    // size-descending split packing does NOT read files
+    // lexicographically. Pin the contract with values whose float mean
+    // is ORDER-DEPENDENT: [1e16, 3, -1e16] sums to 4.0 sequentially
+    // (3 absorbs into 1e16's ulp as +4) but to 3.0 if the small file's
+    // row were summed first — so a wrong read order changes avg at the
+    // cent and the assert below catches it exactly.
+    def line(elapsed: String) =
+      s"""{"timestamp_utc": "2026-08-11T00:00:00Z", "endpoint": "/get", """ +
+        s""""status_code": 200, "elapsed_ms": $elapsed, "parse_result": "ok"}"""
+    val two = java.nio.file.Files.createTempDirectory("graft_twofile")
+    // part-000: two rows (bigger file); part-001: one row (read FIRST by
+    // Spark's size-descending packing if the key didn't fix it)
+    java.nio.file.Files.writeString(two.resolve("part-000.jsonl"),
+      line("1.0e16") + "\n" + line("3.0") + "\n")
+    java.nio.file.Files.writeString(two.resolve("part-001.jsonl"),
+      line("-1.0e16") + "\n")
+    val one = java.nio.file.Files.createTempDirectory("graft_onefile")
+    java.nio.file.Files.writeString(one.resolve("all.jsonl"),
+      line("1.0e16") + "\n" + line("3.0") + "\n" + line("-1.0e16") + "\n")
+    val twoKpi = Kpi.bitacoraKpi(Kpi.readBitacora(spark, two.toString))
+      .collect().map(_.toString).toSeq
+    val oneKpi = Kpi.bitacoraKpi(Kpi.readBitacora(spark, one.toString))
+      .collect().map(_.toString).toSeq
+    assert(twoKpi == oneKpi,
+      s"two-file scan order != lexicographic concatenation:\n two=$twoKpi\n one=$oneKpi")
+    // and the concatenated order really is the order-sensitive one: the
+    // sequential sum is 4.0 → mean 4/3 → rounds to 1.33
+    assert(oneKpi.exists(_.contains("1.33")),
+      s"fixture lost its order sensitivity: $oneKpi")
+  }
 }
