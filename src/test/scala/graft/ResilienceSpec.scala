@@ -5,8 +5,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Bfs, ConnectedComponents, Hits, KCore, LoopCache,
-  PageRank, ShortestPath, Staging}
+import graft.operators.{Bfs, ConnectedComponents, Hits, KCore,
+  LabelPropagation, LoopCache, PageRank, ShortestPath, Staging}
 
 /** Round-13 trust-at-scale specs (VERDICT r12 #2/#4 + ADVICE #1):
   *
@@ -134,6 +134,51 @@ class ResilienceSpec extends AnyFunSuite {
     val again = Hits.scoresAdj(srcAdj, dstAdj, rounds = 3)
     assert(snapshot(again) == expected,
       "memoized HITS after clearCache() diverged — lineage recompute is broken")
+  }
+
+  test("r16-migrated loops: warm re-invocation is the memoized frame; " +
+      "clearCache() recomputes exactly") {
+    // the deep-rounds migration (round 16) moved LPA (both layouts),
+    // PageRank.personalized and the edge-layout k-core onto
+    // LoopCache.memo + reRoot — pin both halves of that contract:
+    // (a) a re-invoked query factory returns the SAME memoized frame
+    //     (zero jobs — the warm path), and
+    // (b) after clearCache() the memoized frame lazily RECOMPUTES
+    //     through kept lineage to the exact same rows (the reRoot-not-
+    //     localCheckpoint eviction contract).
+    val e = graphEdges
+    val adjU = e.select(col("src").as("id"), col("dst").as("nb"))
+      .union(e.select(col("dst").as("id"), col("src").as("nb")))
+      .groupBy(col("id")).agg(sort_array(collect_list(col("nb"))).as("nbrs"))
+    val seeds = Seq(1L).toDF("id")
+    coldStart()
+    val runs: Seq[(String, () => org.apache.spark.sql.DataFrame, Boolean)] = Seq(
+      ("lpa_edge", () => LabelPropagation.communities(e, "src", "dst", rounds = 3), true),
+      ("lpa_adj", () => LabelPropagation.communitiesAdj(adjU, rounds = 3), true),
+      ("ppr_edge", () => PageRank.personalized(e, "src", "dst", seeds, "id",
+        iterations = 3), true),
+      // kcore's memo sits INSIDE an untuned() rebind, so the hit is
+      // same-plan, not same-object
+      ("kcore_edge", () => KCore.survivors(
+        e.union(e.select(col("dst"), col("src"))), "src", "dst",
+        k = 2, rounds = 3), false))
+    for ((name, fn, sameObject) <- runs) {
+      val first = fn()
+      val expected = snapshot(first)
+      val again = fn()
+      if (sameObject)
+        assert(again eq first,
+          s"$name warm re-invocation did not return the memoized frame")
+      else
+        assert(again.queryExecution.analyzed.sameResult(
+          first.queryExecution.analyzed),
+          s"$name warm re-invocation produced a different plan")
+      spark.catalog.clearCache()
+      assert(snapshot(fn()) == expected,
+        s"$name memoized frame after clearCache() diverged — lineage " +
+          "recompute is broken")
+      coldStart()
+    }
   }
 
   test("loop-tuned operators hand back parent-session frames") {
