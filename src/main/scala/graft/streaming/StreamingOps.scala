@@ -88,8 +88,11 @@ object StreamingOps {
     * whose historical event count exceeds `maxRate`. Computed OFF the
     * stream (one batch groupBy over the history table — rates move
     * slowly; recompute on whatever cadence bot lists refresh) and
-    * broadcast into the stream, so the guard costs the stream nothing.
-    * Returns (keyCol, n_events). */
+    * broadcast into the stream. The steady-state per-batch cost is the
+    * broadcast probe only BECAUSE [[intervalJoinStream]] pins the
+    * denylist table — the history aggregation runs once, at the first
+    * micro-batch, not per batch (measured ~7% tier overhead on a clean
+    * corpus, BENCH_STREAM.json r16). Returns (keyCol, n_events). */
   def hotEntities(history: DataFrame, keyCol: String,
       maxRate: Long): DataFrame =
     history.groupBy(col(keyCol)).agg(count(lit(1)).as("n_events"))
