@@ -1009,4 +1009,59 @@ object QueriesPipeline {
       |       CAST(b - sum(allocated) OVER () AS BIGINT) AS unallocated
       |FROM w4 ORDER BY source""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q148 — token-budget corpus selection: keep the highest lexical-
+  // diversity documents (distinct-token density, an integer score —
+  // float quality scores order differently across engines) until 3/5 of
+  // the corpus's tokens are spent. The global running token total is the
+  // scale-defining part: a two-level prefix sum over deterministic score
+  // ranges (Sampling.budgetSelect), never a single-task global window.
+  // The oracle states the same contract with DuckDB's global window —
+  // legitimate THERE (one process), a scale bug in the engine.
+  // ------------------------------------------------------------------
+  def budgetSelectDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val scored = d
+      .select(col("doc_id"), TextFunctions.tokensWs(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .filter(col("n_tokens") > 0)
+      // ×10^6 before the integer divide: a plain ratio floors to 0 or 1
+      .select(col("doc_id"), col("n_tokens"),
+        expr("(n_distinct * 1000000L) div n_tokens").as("score"))
+    Sampling.budgetSelect(scored, "doc_id", "n_tokens", "score",
+        budgetNum = 3, budgetDen = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  val budgetSelectDocsSql: String = {
+    val norm = normSql("text")
+    s"""WITH t AS (
+      |  SELECT doc_id, $norm AS norm FROM documents),
+      |s0 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN length(norm) = 0 THEN 0
+      |              ELSE CAST(len(string_split(norm, ' ')) AS BIGINT)
+      |         END AS n_tokens,
+      |         CASE WHEN length(norm) = 0 THEN 0
+      |              ELSE CAST(len(list_distinct(string_split(norm, ' '))) AS BIGINT)
+      |         END AS n_distinct
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, n_tokens,
+      |         (n_distinct * 1000000) // n_tokens AS score
+      |  FROM s0 WHERE n_tokens > 0),
+      |b AS (SELECT (sum(n_tokens) * 3) // 5 AS budget FROM s),
+      |c AS (
+      |  SELECT doc_id, n_tokens, score,
+      |         CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id)
+      |           AS BIGINT) AS cum_tokens
+      |  FROM s)
+      |SELECT doc_id, n_tokens, score, cum_tokens
+      |FROM c WHERE cum_tokens <= (SELECT budget FROM b)
+      |ORDER BY doc_id""".stripMargin
+  }
 }

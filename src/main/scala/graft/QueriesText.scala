@@ -1070,6 +1070,41 @@ object QueriesText {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------------
+  // q149 — containment (asymmetric) near-dup pairs: DIRECTED (a → b)
+  // where ≥ 90% of a's 3-gram shingles also appear in b — the screen
+  // that catches documents NESTED inside larger documents (boilerplate-
+  // wrapped republications, quoted fragments), which symmetric Jaccard
+  // structurally misses (a 10× size gap caps Jaccard at ~0.1 however
+  // perfect the overlap). Lossless one-sided prefix filter
+  // (PrefixJoin.containmentJoin); the oracle computes ALL-pairs
+  // containment with no prefix logic, so screen incompleteness would
+  // hash-mismatch.
+  // ------------------------------------------------------------------
+  def containmentPairs(spark: SparkSession, sfDir: String): DataFrame =
+    // staged like the other verified pair tables (q32/q33/q124): a dedup
+    // screen's verified output is a per-corpus artifact
+    graft.operators.Staging.stagedOrDerive(spark, "containment_pairs_t90",
+        Seq(Tables.path(sfDir, "documents"))) {
+      val docs = Tables.rebalance(Tables.documents(spark, sfDir))
+        .select(col("doc_id"), Dedup.shingleArray(col("text"), 3).as("toks"))
+      operators.PrefixJoin.containmentJoin(docs, "doc_id", "toks",
+        tNum = 90, tDen = 100)
+    }.orderBy(col("id_a"), col("id_b"))
+
+  val containmentPairsSql: String =
+    s"""WITH $shingleJaccardCte,
+       |dshared AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+       |  FROM shing a JOIN shing b ON a.sh = b.sh AND a.id <> b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, CAST(shared AS BIGINT) AS inter_sz,
+       |       CAST(na.n_sh AS BIGINT) AS n_a,
+       |       (100 * shared) // na.n_sh AS cont_pct
+       |FROM dshared JOIN sizes na ON na.id = id_a
+       |WHERE shared * 100 >= na.n_sh * 90
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
   // q132 — sorted-neighborhood (SNM) dedup screen + the q32 exact
   // verify contract. The screen family's linear member: candidates
   // ≤ n·w by construction whatever the key distribution (banding and

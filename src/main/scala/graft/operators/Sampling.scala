@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, reproducible sampling — the training-data counterpart of
@@ -201,5 +202,83 @@ object Sampling {
       when(bucket < hi, lit(name)).otherwise(rest)
     }
     df.withColumn("split", assign)
+  }
+
+  /** Token-budget corpus selection: keep the best-scoring documents until
+    * a token budget is exhausted — the "select the top-quality X% of
+    * tokens" step every pretraining mix ends with. Documents are ranked
+    * by (`scoreCol` DESC, `idCol` ASC — a total order, so the cut point
+    * is unique) and kept while the INCLUSIVE running token total stays
+    * ≤ `totalTokens·budgetNum/budgetDen`. Integer scores only: float
+    * score ordering is engine/ULP-dependent, integer ordering is exact
+    * everywhere.
+    *
+    * Scale topology — the global running sum is a TWO-LEVEL prefix sum
+    * (the [[Chunking.packSequences]] pattern, here over a COMPUTED sort
+    * key instead of a dense id): `numRanges` contiguous score ranges from
+    * fixed arithmetic on the score's min/max (deterministic — unlike
+    * `repartitionByRange`, whose sampled boundaries can differ between a
+    * plan's consumers), per-range subtotals (≤ numRanges rows) summed
+    * driver-side into exclusive base offsets and broadcast back, and an
+    * ordinary partitioned window within each range. Every stage is
+    * parallel in the number of ranges; a bare `Window.orderBy(score)`
+    * would funnel the whole corpus through ONE task. Range skew follows
+    * the score distribution (packSequences' uniform-ids caveat,
+    * transposed): heavily-tied scores concentrate ranges — raise
+    * `numRanges` or pre-spread the score scale if one value dominates.
+    *
+    * @return (idCol, n_tokens, score, cum_tokens) for selected docs, where
+    *         cum_tokens is the inclusive running total in rank order. */
+  def budgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+      scoreCol: String, budgetNum: Long, budgetDen: Long,
+      numRanges: Int = 256): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0,
+      s"budget fraction $budgetNum/$budgetDen must be a nonnegative rational")
+    require(numRanges >= 1, s"numRanges=$numRanges must be >= 1")
+    val docs = df.select(col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n_tokens"),
+        col(scoreCol).cast("long").as("score"))
+      .filter(col("n_tokens") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one stats pass: score span for the range arithmetic + the corpus
+    // token total the budget derives from (pinned — plan construction)
+    val stats = LoopCache.pinnedRow(docs.agg(
+      min(col("score")), max(col("score")),
+      coalesce(sum(col("n_tokens")), lit(0L))))
+    if (stats.isNullAt(0)) { // empty corpus: empty selection, same schema
+      val out = docs.select(col("id").as(idCol), col("n_tokens"),
+        col("score"), col("n_tokens").as("cum_tokens")).limit(0)
+      return LoopCache.finish(out, docs)
+    }
+    val (minS, maxS) = (stats.getLong(0), stats.getLong(1))
+    // exact rational of a BIGINT total: the product is taken in BigInt so
+    // a petabyte-scale token count times budgetNum cannot wrap
+    val budget =
+      ((BigInt(stats.getLong(2)) * budgetNum) / budgetDen).toLong
+    val span = math.max(maxS - minS + 1, 1L)
+    val width = math.max(span / numRanges, 1L)
+    // DESCENDING ranges: rg 0 holds the best scores, pure arithmetic
+    val ranged = docs.withColumn("rg",
+      least(expr(s"(${maxS}L - score) DIV ${width}L"), lit(numRanges - 1L)))
+    val totals = ranged.groupBy(col("rg"))
+      .agg(sum(col("n_tokens")).as("rg_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val baseByRange = totals.scanLeft((-1L, 0L)) {
+      case ((_, acc), (rg, tok)) => (rg, acc + tok)
+    }.tail.zip(totals).map {
+      case ((rg, cumIncl), (_, tok)) => (rg, cumIncl - tok)
+    }
+    val base = df.sparkSession.createDataFrame(baseByRange.toSeq)
+      .toDF("rg", "rg_base")
+    val w = Window.partitionBy(col("rg"))
+      .orderBy(col("score").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged
+      .join(broadcast(base), Seq("rg"))
+      .withColumn("cum_tokens", col("rg_base") + sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("id").as(idCol), col("n_tokens"), col("score"),
+        col("cum_tokens"))
+    LoopCache.finish(out, docs)
   }
 }

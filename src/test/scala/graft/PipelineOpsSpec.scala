@@ -277,4 +277,29 @@ class PipelineOpsSpec extends AnyFunSuite {
       Sampling.contentSplit(docs, "text", Seq("a" -> 50, "b" -> 40))
     }
   }
+
+  test("budget select: rank order, tie-break, inclusive budget boundary") {
+    // rank order (score DESC, id ASC): 3 (90), then the 80-tie broken by
+    // id (1 before 5), then 2. totals: 50, 80, 110, 210.
+    val docs = Seq(
+      (1L, 30L, 80L), (2L, 100L, 10L), (3L, 50L, 90L), (5L, 30L, 80L),
+      (9L, 0L, 999L) // zero-token row: excluded from selection AND budget
+    ).toDF("id", "n_tokens", "score")
+    def sel(num: Long, den: Long, ranges: Int = 4) =
+      Sampling.budgetSelect(docs, "id", "n_tokens", "score", num, den, ranges)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // budget 210/2 = 105: id5's cum 110 crosses -> only 3 and 1 kept
+    assert(sel(1, 2) == Map(3L -> 50L, 1L -> 80L))
+    // budget 210*11/21 = 110 EXACTLY: inclusive boundary keeps id5
+    assert(sel(11, 21) == Map(3L -> 50L, 1L -> 80L, 5L -> 110L))
+    // the two-level decomposition is invisible: 1 range == many ranges,
+    // and input partitioning can't change the selection
+    assert(sel(11, 21, ranges = 1) == sel(11, 21, ranges = 16))
+    assert(Sampling.budgetSelect(docs.repartition(7), "id", "n_tokens",
+        "score", 11, 21).collect().map(r => r.getLong(0) -> r.getLong(3))
+      .toMap == sel(11, 21))
+    // empty corpus -> empty selection, not a crash
+    assert(Sampling.budgetSelect(docs.filter($"id" < 0), "id", "n_tokens",
+      "score", 1, 2).count() == 0)
+  }
 }

@@ -235,6 +235,33 @@ class Wave6Spec extends AnyFunSuite {
       (4L, 5L) -> ((3L, 3L, 100L))))
   }
 
+  test("containment join: directed, asymmetric, boundary-exact") {
+    // A ⊂ B: containment(A→B) = 3/3 = 100% kept; the REVERSE direction
+    // (B→A) is 3/10 = 30% and must be absent — the asymmetry symmetric
+    // Jaccard can't express (J(A,B) = 0.3 here, below any useful bar).
+    // C,D identical sets → both directions. E→F sits EXACTLY on the 90%
+    // threshold (9 of 10) → kept at cont_pct 90; F→E is 9/12 → dropped;
+    // G shares only 8/10 with E and F → dropped every direction.
+    val docs = Seq(
+      (1L, Seq("a1", "a2", "a3")),
+      (2L, Seq("a1", "a2", "a3", "b1", "b2", "b3", "b4", "b5", "b6", "b7")),
+      (3L, Seq("c1", "c2", "c3", "c4")),
+      (4L, Seq("c4", "c3", "c2", "c1")),
+      (5L, Seq("e1", "e2", "e3", "e4", "e5", "e6", "e7", "e8", "e9", "x1")),
+      (6L, Seq("e1", "e2", "e3", "e4", "e5", "e6", "e7", "e8", "e9",
+        "f1", "f2", "f3")),
+      (7L, Seq("e1", "e2", "e3", "e4", "e5", "e6", "e7", "e8", "y1", "y2"))
+    ).toDF("id", "toks")
+    val got = operators.PrefixJoin.containmentJoin(docs, "id", "toks", 90, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((3L, 3L, 100L)),
+      (3L, 4L) -> ((4L, 4L, 100L)),
+      (4L, 3L) -> ((4L, 4L, 100L)),
+      (5L, 6L) -> ((9L, 10L, 90L))))
+  }
+
   test("sequential patterns: greedy subsequence support, hand-enumerated") {
     // u3 is the greedy-critical witness for (a,b,c): the b@2 occurrence
     // must be chosen over b@5 (after which no c remains) — earliest
