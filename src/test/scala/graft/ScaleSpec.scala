@@ -779,4 +779,22 @@ class ScaleSpec extends AnyFunSuite {
     val survivors = Dedup.exactDedup(corpus(30), "doc_id", "text")
     assert(survivors.count() == 1)
   }
+
+  test("budgetSelect: the global running sum never collapses to one task") {
+    val docs = (1L to 5000L).map(i => (i, i % 97 + 1, i % 1000))
+      .toDF("id", "n_tokens", "score")
+    val sel = graft.operators.Sampling.budgetSelect(
+      docs, "id", "n_tokens", "score", 1, 2, numRanges = 16)
+    sel.count() // materialize so AQE finalizes the executed plan
+    val plan = sel.queryExecution.executedPlan.toString
+    // the contract is a GLOBAL prefix sum, but the plan must express it
+    // as range-partitioned windows + broadcast base offsets — a bare
+    // Window.orderBy would show up as a SinglePartition exchange, the
+    // shape that funnels a 100 TB corpus through one task
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition stage leaked into budgetSelect:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"range base offsets were not broadcast:\n$plan")
+    graft.operators.LoopCache.clearMemo(); spark.catalog.clearCache()
+  }
 }
