@@ -71,15 +71,32 @@ object Bench {
   // hardcoded fallback additionally requires an EXPLICIT env marker
   // (SPARK_GRAFT_CALIBRATED_BOX=1): "hostname == vm" alone is far too
   // generic an identity to pin a 0.373 s CPU floor on.
+  // Repo-committed seed (round 16): the tmpdir calibration file is a
+  // running min that converges nicely — until the tmpdir is wiped
+  // between sessions, after which the first run re-seeds it with its
+  // OWN (possibly degraded) floor and `contended` silently self-reports
+  // false against it. The committed seed survives wipes; when both
+  // exist the MIN wins, so a live file can tighten the floor but a
+  // freshly re-seeded one can never loosen it past the committed value.
+  private def repoCalibFile: java.nio.file.Path =
+    java.nio.file.Paths.get("calibration", s"sentinel_ref_$hostName")
+  private def readCalib(p: java.nio.file.Path): Option[Double] =
+    try {
+      if (java.nio.file.Files.exists(p))
+        Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          .trim.toDouble)
+      else None
+    } catch { case _: Throwable => None }
   private val sentinelRefResolved: Option[(Double, String)] =
     sys.env.get("SPARK_GRAFT_SENTINEL_REF").map(v => (v.toDouble, "env"))
       .orElse {
-        try {
-          if (java.nio.file.Files.exists(calibFile))
-            Some((new String(java.nio.file.Files.readAllBytes(calibFile),
-              "UTF-8").trim.toDouble, "file"))
-          else None
-        } catch { case _: Throwable => None }
+        (readCalib(calibFile), readCalib(repoCalibFile)) match {
+          case (Some(f), Some(r)) => Some((math.min(f, r),
+            if (f <= r) "file" else "repo-seed"))
+          case (Some(f), None) => Some((f, "file"))
+          case (None, Some(r)) => Some((r, "repo-seed"))
+          case (None, None) => None
+        }
       }
       .orElse(
         if (hostName == CalibratedHost &&
