@@ -1037,6 +1037,44 @@ object QueriesPipeline {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------------
+  // q150 — rendezvous-shard stability report: assign every document to
+  // 10 shards and to 11, then report per-shard sizes and how many docs
+  // move. Rendezvous hashing's contract — only the new shard steals
+  // rows, expected 1/11 of the corpus — is what makes re-sharding a
+  // growing corpus incremental instead of a full rewrite; the oracle
+  // replays both assignments (md5-word weights, argmax with ties to
+  // the smaller shard) and the same movement accounting. Assignment is
+  // a pure narrow expression: the only shuffle here is the report's
+  // 10-row groupBy.
+  // ------------------------------------------------------------------
+  def rendezvousShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id")
+    val assigned = Sampling.rendezvousShard(
+      Sampling.rendezvousShard(d, "doc_id", 10, "shard10"),
+      "doc_id", 11, "shard11")
+    assigned.groupBy(col("shard10"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("shard10") =!= col("shard11")).as("n_moved"))
+      .orderBy(col("shard10"))
+  }
+
+  val rendezvousShardsSql: String = {
+    def asn(n: Int, out: String) =
+      s"""(SELECT doc_id, CAST(s AS INT) AS $out FROM (
+        |  SELECT doc_id, s, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY w DESC, s) AS rn FROM (
+        |    SELECT doc_id, s,
+        |           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |             CAST(s AS VARCHAR)), 1, 8))::BIGINT AS w
+        |    FROM documents, range($n) t(s))) WHERE rn = 1)""".stripMargin
+    s"""SELECT shard10, count(*) AS n_docs,
+      |       count_if(shard10 <> shard11) AS n_moved
+      |FROM ${asn(10, "shard10")} a10
+      |JOIN ${asn(11, "shard11")} a11 USING (doc_id)
+      |GROUP BY shard10 ORDER BY shard10""".stripMargin
+  }
+
   val budgetSelectDocsSql: String = {
     val norm = normSql("text")
     s"""WITH t AS (

@@ -204,6 +204,36 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** Rendezvous (highest-random-weight) sharding: assign each row to the
+    * shard whose per-(key, shard) hash weight is highest. The property
+    * plain `hash(key) mod N` lacks: growing N → N+1 moves ONLY the rows
+    * the new shard wins (expected 1/(N+1) of the corpus), and a moved
+    * row can only move TO the new shard — every other assignment is
+    * untouched. That is what makes incremental re-sharding of a growing
+    * corpus cheap: a snapshot's shards stay valid, only the stolen slice
+    * rewrites (mod-N reshuffles ~all rows on every resize).
+    *
+    * Deterministic and engine-portable: weight = the md5-word of
+    * `key:shard` ([[graft.functions.Md5Word32Expression]], the
+    * contentSplit hash), argmax with ties to the SMALLEST shard id —
+    * the whole assignment is one codegen'd array expression per row,
+    * zero shuffle at any scale. Per-row cost is O(numShards) hashes:
+    * meant for shard counts in the hundreds, not millions (at which
+    * point use two rendezvous levels). */
+  def rendezvousShard(df: DataFrame, keyCol: String, numShards: Int,
+      outCol: String = "shard"): DataFrame = {
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    // struct (weight, -shard): array_max orders by weight then -shard,
+    // so a (practically impossible) md5 tie resolves to the smaller id
+    val pairs = transform(sequence(lit(0), lit(numShards - 1)),
+      s => struct(
+        graft.functions.Md5Word32Expression.md5Word32(
+          concat(col(keyCol).cast("string"), lit(":"), s.cast("string")))
+          .as("w"),
+        (-s).as("ns")))
+    df.withColumn(outCol, (-array_max(pairs).getField("ns")).cast("int"))
+  }
+
   /** Token-budget corpus selection: keep the best-scoring documents until
     * a token budget is exhausted — the "select the top-quality X% of
     * tokens" step every pretraining mix ends with. Documents are ranked

@@ -278,6 +278,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rendezvous sharding: only the new shard steals, ~1/(N+1) moves") {
+    val docs = (1L to 3000L).toDF("id")
+    val a = Sampling.rendezvousShard(
+      Sampling.rendezvousShard(docs, "id", 4, "s4"), "id", 5, "s5")
+      .as[(Long, Int, Int)].collect()
+    // shard ids stay in range
+    assert(a.forall { case (_, s4, s5) => s4 >= 0 && s4 < 4 && s5 >= 0 && s5 < 5 })
+    // THE rendezvous contract: a row that moves can only move TO the new
+    // shard — every other assignment is untouched (mod-N reshuffles all)
+    val moved = a.filter { case (_, s4, s5) => s4 != s5 }
+    assert(moved.forall(_._3 == 4),
+      s"rows moved to an old shard: ${moved.filter(_._3 != 4).take(3).toSeq}")
+    // expected steal fraction 1/5 = 600 of 3000; generous tolerance
+    assert(math.abs(moved.length - 600) < 150, s"moved ${moved.length}/3000")
+    // balance: each of the 4 original shards holds roughly a quarter
+    val sizes = a.groupBy(_._2).map(_._2.length)
+    assert(sizes.forall(n => n > 550 && n < 950), s"shard sizes: $sizes")
+    // pure function of the key: partitioning can't change assignments
+    val b = Sampling.rendezvousShard(docs.repartition(7), "id", 4, "s4")
+      .as[(Long, Int)].collect().toMap
+    assert(a.forall { case (id, s4, _) => b(id) == s4 })
+  }
+
   test("budget select: rank order, tie-break, inclusive budget boundary") {
     // rank order (score DESC, id ASC): 3 (90), then the 80-tie broken by
     // id (1 before 5), then 2. totals: 50, 80, 110, 210.
