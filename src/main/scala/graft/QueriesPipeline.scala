@@ -1038,6 +1038,53 @@ object QueriesPipeline {
   }
 
   // ------------------------------------------------------------------
+  // q151 — rolling p90 of order value from mergeable fixed-width
+  // histograms: the quantile member of the rolling-sketch family (q129
+  // is its distinct-count sibling). Exact rolling quantiles re-sort the
+  // raw rows per window; the histogram is a mergeable summary — per-day
+  // bucket counts, window merge = vector add, answer at bucket
+  // resolution — so nothing row-level survives the first aggregate at
+  // any scale. All-integer contract (floor buckets, ceil threshold,
+  // lowest qualifying bucket): the oracle replays it exactly.
+  // ------------------------------------------------------------------
+  def rollingP90Histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = Tables.orders(spark, sfDir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        // 10k-wide price buckets; floor, not cast (DuckDB's numeric->int
+        // cast ROUNDS — floor is the one both engines state identically)
+        expr("CAST(floor(o_totalprice / 10000) AS INT)").as("bucket"))
+    graft.operators.HistogramQuantile.rolling(b, "day", "bucket",
+        windowDays = 7, qNum = 9, qDen = 10)
+      .select(col("d"), col("n_rows"), col("q_bucket").as("p90_bucket"),
+        (col("q_bucket").cast("long") * 10000L).as("p90_price_lo"))
+      .orderBy(col("d"))
+  }
+
+  val rollingP90HistogramSql: String =
+    """WITH o AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(floor(o_totalprice / 10000) AS INT) AS bucket
+      |  FROM orders),
+      |h AS (SELECT day, bucket, count(*) AS n FROM o GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day AS d FROM o),
+      |m AS (
+      |  SELECT dd.d, h.bucket, CAST(sum(h.n) AS BIGINT) AS n
+      |  FROM h JOIN days dd ON h.day BETWEEN dd.d - 6 AND dd.d
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT d, bucket, n,
+      |         sum(n) OVER (PARTITION BY d ORDER BY bucket) AS cum,
+      |         sum(n) OVER (PARTITION BY d) AS total
+      |  FROM m)
+      |SELECT d, CAST(max(total) AS BIGINT) AS n_rows,
+      |       CAST(min(CASE WHEN cum >= (total * 9 + 9) // 10
+      |                     THEN bucket END) AS INT) AS p90_bucket,
+      |       CAST(min(CASE WHEN cum >= (total * 9 + 9) // 10
+      |                     THEN bucket END) AS BIGINT) * 10000
+      |         AS p90_price_lo
+      |FROM c GROUP BY d ORDER BY d""".stripMargin
+
+  // ------------------------------------------------------------------
   // q150 — rendezvous-shard stability report: assign every document to
   // 10 shards and to 11, then report per-shard sizes and how many docs
   // move. Rendezvous hashing's contract — only the new shard steals

@@ -278,6 +278,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling histogram quantile: window merge + ceil threshold, hand-computed") {
+    import java.sql.Date
+    // day1: buckets 0x5, 1x4, 9x1 -> total 10, ceil(9.0)=9, cum(1)=9 -> p90=1
+    // day5 (day1 still in the 7-day window): +10 rows of bucket 2 ->
+    //   total 20, threshold 18, cum(2)=19 -> p90=2
+    // day20 (isolated): 10 rows of bucket 2 -> p90=2
+    val rows =
+      Seq.fill(5)((Date.valueOf("2020-01-01"), 0)) ++
+      Seq.fill(4)((Date.valueOf("2020-01-01"), 1)) ++
+      Seq((Date.valueOf("2020-01-01"), 9)) ++
+      Seq.fill(10)((Date.valueOf("2020-01-05"), 2)) ++
+      Seq.fill(10)((Date.valueOf("2020-01-20"), 2))
+    val df = rows.toDF("day", "bucket")
+    val got = graft.operators.HistogramQuantile.rolling(df, "day", "bucket")
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    assert(got == Map(
+      "2020-01-01" -> ((10L, 1)),
+      "2020-01-05" -> ((20L, 2)),
+      "2020-01-20" -> ((10L, 2))))
+    // median of the same data: day1 cum(0)=5 >= ceil(5.0)=5 -> bucket 0
+    val med = graft.operators.HistogramQuantile.rolling(
+        df, "day", "bucket", qNum = 1, qDen = 2)
+      .filter($"d" === "2020-01-01").collect()(0).getInt(2)
+    assert(med == 0)
+  }
+
   test("rendezvous sharding: only the new shard steals, ~1/(N+1) moves") {
     val docs = (1L to 3000L).toDF("id")
     val a = Sampling.rendezvousShard(
