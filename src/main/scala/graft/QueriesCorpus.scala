@@ -1127,4 +1127,45 @@ object QueriesCorpus {
       |       CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de,
       |       CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh
       |FROM t GROUP BY source ORDER BY source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q152 — skip-gram association mining (word2vec/GloVe preprocessing):
+  // unordered token pairs co-occurring within a 2-token forward window,
+  // ranked by the exact integer association ratio c_ab·T·10^6 div
+  // (n_a·n_b) — PMI's monotone-equivalent without the float log (the
+  // q105 lift trick at token scale). Pair generation is NARROW
+  // (posexplode + slice, no self-join), so the corpus collapses
+  // map-side into the pair-count aggregate; top-20 is a TakeOrdered
+  // with a full (score, a, b) tiebreak.
+  // ------------------------------------------------------------------
+  def skipgramAssociations(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.SkipGram.associations(
+      Tables.rebalance(Tables.documents(spark, sfDir).select("text")),
+      "text", window = 2, minCount = 5L, topK = 20)
+
+  val skipgramAssociationsSql: String = {
+    val norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    s"""WITH tk AS (
+      |  SELECT string_split($norm, ' ') AS ts
+      |  FROM documents WHERE length($norm) > 0),
+      |idx AS (SELECT ts, unnest(range(1, len(ts) + 1)) AS i FROM tk),
+      |prs AS (
+      |  SELECT least(ts[i], ts[i + k.k]) AS a,
+      |         greatest(ts[i], ts[i + k.k]) AS b
+      |  FROM idx, (VALUES (1), (2)) k(k)
+      |  WHERE i + k.k <= len(ts)),
+      |pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+      |       FROM prs GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT t AS tok, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(ts) AS t FROM tk) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t_pairs FROM pc)
+      |SELECT a, b, c_ab,
+      |       (c_ab * t_pairs * 1000000) // (ua.n * ub.n) AS score
+      |FROM pc, tot
+      |JOIN uni ua ON ua.tok = a
+      |JOIN uni ub ON ub.tok = b
+      |WHERE c_ab >= 5
+      |ORDER BY score DESC, a, b LIMIT 20""".stripMargin
+  }
 }

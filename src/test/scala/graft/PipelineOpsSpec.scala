@@ -278,6 +278,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("skip-gram associations: hand-computed pairs, ratio, tiebreak") {
+    // "x y x y": window-2 pairs = (x,y)x3 + (x,x) + (y,y); T=5; n_x=n_y=2
+    // score(x,y) = 3*5*1e6 div 4 = 3_750_000; the self-pairs tie at
+    // 1_250_000 and break on (a, b)
+    val docs = Seq("x y x y").toDF("text")
+    val got = graft.operators.SkipGram.associations(
+        docs, "text", window = 2, minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("x", "y", 3L, 3750000L),
+      ("x", "x", 1L, 1250000L),
+      ("y", "y", 1L, 1250000L)))
+    // the window clips at the document edge, never crosses documents
+    val two = Seq("a b", "b c").toDF("text")
+    val pairs = graft.operators.SkipGram.associations(
+        two, "text", window = 2, minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(("a", "b"), ("b", "c"))) // no cross-doc (a,c)
+  }
+
   test("rolling histogram quantile: window merge + ceil threshold, hand-computed") {
     import java.sql.Date
     // day1: buckets 0x5, 1x4, 9x1 -> total 10, ceil(9.0)=9, cum(1)=9 -> p90=1
