@@ -285,4 +285,41 @@ class ResilienceSpec extends AnyFunSuite {
     assert(sawOld + sawNew > 0, "reader never completed a single read — " +
       s"no evidence gathered (missing-dir reads: $sawMissing)")
   }
+
+  test("failure injection: block loss leaves the r16 pin/finish operators exact") {
+    import graft.operators.{PrefixJoin, Sampling, SkipGram}
+    // budgetSelect: the broadcast base offsets are computed from the
+    // SAME pinned frame the window later reads — block loss between the
+    // two consumers must recompute consistently (deterministic value
+    // ranges, not sampled boundaries, is what makes that safe)
+    val docs = (1L to 2000L).map(i => (i, i % 97 + 1, (i * 7919) % 1000))
+      .toDF("id", "n_tokens", "score")
+    coldStart()
+    val selExp = snapshot(
+      Sampling.budgetSelect(docs, "id", "n_tokens", "score", 1, 2))
+    coldStart()
+    val selGot = underBlockLoss { snapshot(
+      Sampling.budgetSelect(docs, "id", "n_tokens", "score", 1, 2)) }
+    assert(selGot == selExp, "budgetSelect diverged under block eviction")
+    // containmentJoin: the pinned token stream feeds the df aggregate,
+    // the prefix rank AND the verify double-join
+    val sets = (1L to 40L).map(i =>
+      (i, (0L to (i % 7) + 3).map(j => s"t${(i + j) % 19}")))
+      .toDF("id", "toks")
+    coldStart()
+    val cExp = snapshot(PrefixJoin.containmentJoin(sets, "id", "toks", 90, 100))
+    coldStart()
+    val cGot = underBlockLoss {
+      snapshot(PrefixJoin.containmentJoin(sets, "id", "toks", 90, 100)) }
+    assert(cGot == cExp, "containmentJoin diverged under block eviction")
+    // skip-gram: the pinned token table feeds pairs, unigrams and the total
+    val texts = (1L to 300L).map(i => s"w${i % 5} w${i % 7} w${i % 5} w${i % 3}")
+      .toDF("text")
+    coldStart()
+    val sExp = snapshot(SkipGram.associations(texts, "text", minCount = 1L))
+    coldStart()
+    val sGot = underBlockLoss {
+      snapshot(SkipGram.associations(texts, "text", minCount = 1L)) }
+    assert(sGot == sExp, "skip-gram associations diverged under block eviction")
+  }
 }
