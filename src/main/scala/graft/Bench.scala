@@ -165,6 +165,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // rank-filter pre-trim for corpus-scale quotas (see Verify.scala)
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "16777216")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = Queries.registry.filter(_.bench)

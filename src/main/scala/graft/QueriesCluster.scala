@@ -166,4 +166,56 @@ object QueriesCluster {
       |       coalesce(s.n_after, 0) AS n_after
       |FROM t LEFT JOIN s USING (source)
       |ORDER BY t.source""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q153 — EXACT-quota √-temperature mix: the same targets as q99, hit
+  // EXACTLY instead of in expectation (per-stratum rank over the Lehmer
+  // draw, keep the target_n smallest — Sampling.exactQuotaSample). The
+  // output carries min/max KEPT doc ids per source, so the oracle
+  // verifies the selection IDENTITY (which rows the ranking keeps), not
+  // just the counts.
+  // ------------------------------------------------------------------
+  def exactQuotaMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val targets = Sampling.sqrtTemperatureTargets(d, "source")
+    val kept = Sampling.exactQuotaSample(d, "source", "doc_id", targets)
+    val agg = kept.groupBy(col("source")).agg(
+      count(lit(1)).as("n_after"),
+      min(col("doc_id")).as("min_kept_id"),
+      max(col("doc_id")).as("max_kept_id"))
+    targets.select(col("source"), col("n_before"), col("target_n"))
+      .join(agg, Seq("source"), "left")
+      .select(col("source"), col("n_before"), col("target_n"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        col("min_kept_id"), col("max_kept_id"))
+      .orderBy(col("source"))
+  }
+
+  val exactQuotaMixSql: String =
+    """WITH c AS (
+      |  SELECT source, count(*) AS n_before FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n_before,
+      |         CAST(floor(sqrt(CAST(n_before AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM c),
+      |t AS (
+      |  SELECT source, n_before, weight,
+      |         least(n_before,
+      |           (((SELECT CAST(sum(n_before) AS BIGINT) FROM c) // 2) * weight)
+      |             // greatest((SELECT CAST(sum(weight) AS BIGINT) FROM w), 1)) AS target_n
+      |  FROM w),
+      |r AS (
+      |  SELECT d.source, d.doc_id,
+      |         row_number() OVER (PARTITION BY d.source
+      |           ORDER BY ((d.doc_id * 48271) % 2147483647) * 48271
+      |                      % 2147483647, d.doc_id) AS rn,
+      |         t.target_n
+      |  FROM documents d JOIN t USING (source)),
+      |k AS (SELECT source, doc_id FROM r WHERE rn <= target_n)
+      |SELECT t.source, t.n_before, t.target_n,
+      |       CAST(count(k.doc_id) AS BIGINT) AS n_after,
+      |       min(k.doc_id) AS min_kept_id, max(k.doc_id) AS max_kept_id
+      |FROM t LEFT JOIN k USING (source)
+      |GROUP BY t.source, t.n_before, t.target_n
+      |ORDER BY t.source""".stripMargin
 }

@@ -26,6 +26,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // rank-filter pre-trim (WindowGroupLimit) for corpus-scale quotas:
+      // the 1000-row default defeats it for any realistic target_n
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "16777216")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     if (master.startsWith("local-cluster")) {
       // Fail fast (ADVICE r15): without the packaged jar, every task

@@ -37,6 +37,8 @@ object CliUtil {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // rank-filter pre-trim for corpus-scale quotas (see Verify.scala)
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "16777216")
       .getOrCreate()
   }
 }

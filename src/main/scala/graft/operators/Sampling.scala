@@ -204,6 +204,43 @@ object Sampling {
     df.withColumn("split", assign)
   }
 
+  /** EXACT-quota stratified sampling — the deterministic complement of
+    * [[temperatureMixSample]]: that one accepts each row independently
+    * (hitting its targets only in expectation, ±√n noise); this one
+    * keeps EXACTLY min(target, |stratum|) rows per stratum — the n
+    * smallest Lehmer draws (ties to the smaller key: a total order), so
+    * a mix that budgets "exactly 120k rows of source X" lands exactly
+    * there, reproducibly, on any engine.
+    *
+    * Scale shape: one per-stratum window. The filter leads with the
+    * LITERAL max quota so Spark inserts WindowGroupLimit — every input
+    * partition pre-trims to its local top-maxQuota BEFORE the stratum
+    * exchange — then the exact per-stratum cut is an ordinary filter
+    * against the broadcast quota column. Per-key windows degrade
+    * gracefully under stratum skew (running row_number streams; the
+    * group-limit bounds the buffered prefix).
+    *
+    * @param targets (strataCol, `targetCol`) — one row per stratum;
+    *                strata absent from it are dropped (allowlist, as
+    *                everywhere in this file). */
+  def exactQuotaSample(df: DataFrame, strataCol: String, keyCol: String,
+      targets: DataFrame, targetCol: String = "target_n"): DataFrame = {
+    val t = targets.select(col(strataCol),
+      col(targetCol).cast("long").as("__quota"))
+    // plan-construction scalar (pinned |strata|-row aggregate): the
+    // literal bound WindowGroupLimit needs. MUST stay an INT literal —
+    // InferWindowGroupLimit only matches `row_number <= IntegerLiteral`;
+    // a Long literal casts the rank attribute and defeats the pre-trim.
+    val maxQuota = math.min(Int.MaxValue.toLong, LoopCache.pinnedRow(
+      t.agg(coalesce(max(col("__quota")), lit(0L)))).getLong(0)).toInt
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(lehmerInt(col(keyCol)), col(keyCol))
+    df.join(broadcast(t), Seq(strataCol))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= lit(maxQuota) && col("__rank") <= col("__quota"))
+      .drop("__rank", "__quota")
+  }
+
   /** Rendezvous (highest-random-weight) sharding: assign each row to the
     * shard whose per-(key, shard) hash weight is highest. The property
     * plain `hash(key) mod N` lacks: growing N → N+1 moves ONLY the rows

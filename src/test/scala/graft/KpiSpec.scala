@@ -16,6 +16,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match the prod factories (Verify/Bench/Mains): rank-filter
+      // pre-trim must engage at corpus-scale quotas
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "16777216")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -349,6 +349,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.forall { case (id, s4, _) => b(id) == s4 })
   }
 
+  test("exact-quota sampling hits targets exactly, partition-invariantly") {
+    val df = (1L to 3000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val targets = Seq(("s0", 137L), ("s1", 2500L)).toDF("stratum", "target_n")
+    val got = Sampling.exactQuotaSample(df, "stratum", "id", targets)
+    val counts = got.groupBy($"stratum").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("s0" -> 137L, "s1" -> 1000L),
+      s"quota miss: $counts") // s1 capped at |stratum|; s2 allowlist-dropped
+    // selection IDENTITY (not just counts) survives repartitioning
+    val ids = got.select($"id").as[Long].collect().sorted.toSeq
+    val ids7 = Sampling.exactQuotaSample(df.repartition(7), "stratum", "id",
+      targets).select($"id").as[Long].collect().sorted.toSeq
+    assert(ids == ids7)
+    // the literal bound must buy the WindowGroupLimit pre-trim
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pre-trim in:\n$plan")
+    // empty targets -> empty result, not a crash
+    assert(Sampling.exactQuotaSample(df, "stratum", "id",
+      targets.filter($"target_n" < 0)).count() == 0)
+  }
+
   test("budget select: rank order, tie-break, inclusive budget boundary") {
     // rank order (score DESC, id ASC): 3 (90), then the 80-tie broken by
     // id (1 before 5), then 2. totals: 50, 80, 110, 210.
