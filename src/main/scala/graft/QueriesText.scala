@@ -948,6 +948,63 @@ object QueriesText {
       |ORDER BY g.source""".stripMargin
 
   // ------------------------------------------------------------------
+  // q154 — perceptual-hash image near-dups: decode → 16-bit aHash over
+  // the feature vector (bit j = cell j strictly above the vector mean,
+  // in exact DECIMAL) → COMPLETE hamming≤1 pairs via the single-bit-
+  // flip equality join (operators/Multimodal.aHash16/phashNearDups16).
+  // The oracle replays the stub decode (q50's HUGEINT mod-2^64 hash +
+  // 16-step LCG), the DECIMAL bit derivation, and an all-pairs hamming
+  // check with NO flip logic — screen incompleteness would surface as a
+  // missing row in the hash compare (the q149 lossless-claim pattern).
+  // ------------------------------------------------------------------
+  def phashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = Multimodal.payloadFromText(
+      Tables.rebalance(
+        Tables.documents(spark, sfDir).select("doc_id", "source", "text")),
+      "doc_id", "source", "text")
+    Multimodal.phashNearDups16(
+        Multimodal.aHash16(Multimodal.decodeFeatures(payloads)), "media_id")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val phashNearDupsSql: String =
+    """WITH RECURSIVE h0 AS (
+      |  SELECT doc_id,
+      |         list_reduce(
+      |           list_prepend(1125899906842597::HUGEINT,
+      |             list_transform(range(1, length(text) + 1),
+      |                            i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+      |           (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents
+      |), lcg AS (
+      |  SELECT doc_id, hu AS s, 0 AS j FROM h0
+      |  UNION ALL
+      |  SELECT doc_id,
+      |         (s * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+      |           % 18446744073709551616::HUGEINT, j + 1
+      |  FROM lcg WHERE j < 16
+      |), feats AS (
+      |  SELECT doc_id, j - 1 AS idx,
+      |         CAST(CAST(CAST(CAST(s // 2048::HUGEINT AS BIGINT) AS REAL) AS DOUBLE)
+      |              / 9007199254740992.0 AS DECIMAL(18,9)) AS dv
+      |  FROM lcg WHERE j >= 1
+      |), tot AS (
+      |  SELECT doc_id, sum(dv) AS total FROM feats GROUP BY doc_id
+      |), ph AS (
+      |  SELECT f.doc_id,
+      |         CAST(sum(CASE WHEN f.dv * 16 > t.total
+      |                       THEN (CAST(1 AS BIGINT) << f.idx) ELSE 0 END)
+      |              AS BIGINT) AS phash
+      |  FROM feats f JOIN tot t USING (doc_id)
+      |  GROUP BY f.doc_id
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.phash, b.phash)) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
   // q121 — blocked edit-distance matching (operators/FuzzyMatch): the
   // typo-level dedup tier between q30's exact digests and q32's shingle
   // similarity. Prefix blocking makes candidate generation one bounded

@@ -229,6 +229,68 @@ object Multimodal {
     }.toDF("media_id", "source", "frame_index", "n_frames")
   }
 
+  /** 16-bit perceptual hash (aHash) over the decoded feature vector:
+    * bit j is set iff `features[j]` is STRICTLY above the vector mean —
+    * compared as `dec(f_j)·16 > Σ dec(f_k)` with dec = an exact
+    * DECIMAL(18,9) staging of each element, so no float summation order
+    * or division appears anywhere and both engines derive identical
+    * bits (the q50 DECIMAL precedent; a tie against the 9-dp decimal
+    * boundary is impossible for dyadic float inputs, so the engines'
+    * rounding modes can't disagree either).
+    *
+    * Tier-agnostic: over the stub codec's LCG features the hash is
+    * DuckDB-replayable end-to-end (q154's oracle); over `imageio`'s 4×4
+    * mean-luminance thumbnail it is the REAL aHash — brightness/contrast
+    * shifts preserve which cells sit above the mean, so re-encoded or
+    * levels-adjusted copies of an image collide (TextOpsSpec drives real
+    * PNGs through it). A zeroed undecodable record hashes to 0.
+    *
+    * Narrow map stage (the mean is staged once per row — the Quantize
+    * O(d²) lambda-hoisting note applies). 16 bits because FeatureDim=16;
+    * a production image pipeline would raise the thumbnail to 8×8 and
+    * this becomes the standard 64-bit aHash with the same plan. */
+  def aHash16(features: DataFrame): DataFrame = {
+    val dec = transform(col("features"),
+      v => v.cast("double").cast("decimal(18,9)"))
+    val total = aggregate(col("__dec"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(28,9)"),
+      (a, v) => (a + v).cast("decimal(28,9)"))
+    val bits = (0 until FeatureDim).map { j =>
+      when(element_at(col("__dec"), j + 1) * lit(16) > col("__tot"),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    features.withColumn("__dec", dec).withColumn("__tot", total)
+      .withColumn("phash", bits).drop("__dec", "__tot")
+  }
+
+  /** Image near-dup pairs by perceptual-hash hamming distance ≤ 1 —
+    * COMPLETE for the radius, never probabilistic: one side keeps its
+    * exact 16-bit hash, the other explodes the hash plus all 16
+    * single-bit flips, so every pair within hamming 1 meets on an
+    * equality join (the q33 HmSearch pigeonhole at its 1-chunk base
+    * case). Each qualifying unordered pair meets in both orientations
+    * exactly once; `id_a < id_b` keeps one — no distinct needed.
+    *
+    * Scale shape: the flip side is a 17-row/id explode of (id, hash,
+    * key) — linear, shuffle-cheap — and the join shuffles on the hash
+    * key. The 16-bit key space bounds both parallelism and selectivity
+    * at 65536 buckets: right for media corpora up to ~10M items (random
+    * hashes collide at the birthday rate n²·17/65536 past that). At
+    * larger scale, widen the decode thumbnail (64-bit hash) — the plan
+    * is unchanged, only the flip fan-out grows. */
+  def phashNearDups16(hashed: DataFrame, idCol: String): DataFrame = {
+    val exact = hashed.select(col(idCol).as("id_a"), col("phash").as("ph_a"))
+    val masks = array((lit(0L) +: (0 until 16).map(b => lit(1L << b))): _*)
+    val probes = hashed.select(col(idCol).as("id_b"), col("phash").as("ph_b"))
+      .withColumn("__key", explode(transform(masks,
+        m => col("ph_b").bitwiseXOR(m))))
+    exact.join(probes,
+        col("ph_a") === col("__key") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int")
+          .as("hamming"))
+  }
+
   /** Per-source feature statistics over the decoded output — the query
     * shape a training pipeline runs to monitor a media corpus.
     *

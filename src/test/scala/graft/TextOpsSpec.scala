@@ -237,6 +237,77 @@ class TextOpsSpec extends AnyFunSuite {
     assert(resized(1).getAs[Int]("width") == 0) // undecodable passthrough
   }
 
+  test("aHash16 + phash pairs: complete at hamming<=1, brute-force-checked") {
+    // 600 synthetic docs -> effectively random 16-bit hashes, enough to
+    // exercise both hamming-0 and hamming-1 collisions
+    val docs = (1L to 600L).map(i => (i, "s", s"doc-$i payload ${i * 7}"))
+      .toDF("doc_id", "source", "text")
+    val hashed = Multimodal.aHash16(Multimodal.decodeFeatures(
+      Multimodal.payloadFromText(docs, "doc_id", "source", "text")))
+    val ph = hashed.select($"media_id", $"phash").as[(Long, Long)]
+      .collect().toMap
+    assert(ph.values.forall(h => h >= 0L && h < 65536L))
+    // identical payload bytes -> identical hash
+    val dup = Multimodal.aHash16(Multimodal.decodeFeatures(
+      Multimodal.payloadFromText(
+        Seq((1L, "s", "same"), (2L, "t", "same")).toDF("doc_id", "source", "text"),
+        "doc_id", "source", "text")))
+      .select($"phash").as[Long].collect()
+    assert(dup(0) == dup(1))
+    // the flip join is COMPLETE for the radius: equals brute force
+    val got = Multimodal.phashNearDups16(hashed, "media_id")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val brute = (for {
+      (a, ha) <- ph.toSeq; (b, hb) <- ph.toSeq if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 1
+    } yield (a, b, d)).toSet
+    assert(got == brute, s"flip join ${got.size} pairs vs brute ${brute.size}")
+    assert(brute.exists(_._3 == 1), "fixture should produce hamming-1 pairs")
+    // partitioning can't change the pair set
+    val got7 = Multimodal.phashNearDups16(
+        Multimodal.aHash16(Multimodal.decodeFeatures(
+          Multimodal.payloadFromText(docs.repartition(7),
+            "doc_id", "source", "text"))), "media_id")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got7 == got)
+  }
+
+  test("aHash16 on imageio: levels-shifted copies collide, inverse doesn't") {
+    import java.awt.image.BufferedImage
+    // gradient image and a brightness-compressed copy: every cell keeps
+    // its side of the mean, so the REAL aHash must be identical; the
+    // inverted gradient flips every above-mean cell below it
+    def gradient(lo: Int, hi: Int, invert: Boolean): Array[Byte] = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val t = if (invert) 63 - x else x
+        val v = lo + t * (hi - lo) / 63
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val payloads = Seq(
+      (1L, "cam", gradient(0, 255, invert = false)),
+      (2L, "cam", gradient(40, 215, invert = false)), // levels-compressed copy
+      (3L, "cam", gradient(0, 255, invert = true)))
+      .toDF("media_id", "source", "payload")
+    val hashed = Multimodal.aHash16(
+        Multimodal.decodeFeatures(payloads, codec = "imageio"))
+      .select($"media_id", $"phash").as[(Long, Long)].collect().toMap
+    assert(hashed(1L) == hashed(2L),
+      s"levels shift must preserve the aHash: ${hashed(1L)} vs ${hashed(2L)}")
+    assert(java.lang.Long.bitCount(hashed(1L) ^ hashed(3L)) > 8,
+      s"inverted image must land far away: ${hashed(1L)} vs ${hashed(3L)}")
+    val pairs = Multimodal.phashNearDups16(
+      Multimodal.aHash16(Multimodal.decodeFeatures(payloads, codec = "imageio")),
+      "media_id").select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("rolling_hash registered for SQL via GraftExtensions; literal folds") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT rolling_hash('hello') AS h, rolling_hash('hello', 37) AS h37")
