@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{IntCluster, Quantize, Sampling}
+import graft.operators.{IntCluster, Projection, Quantize, Sampling}
 
 /** Clustering + corpus-mixing (wave 4): integer k-means and centroid
   * outlier scoring over int8-quantized embeddings, and √-temperature
@@ -190,6 +190,85 @@ object QueriesCluster {
         col("min_kept_id"), col("max_kept_id"))
       .orderBy(col("source"))
   }
+
+  // ------------------------------------------------------------------
+  // q155 — JL sign-projection neighbor audit: compress the int8 codes
+  // 64→16 dims with the fixed ±1 md5-parity matrix (operators/
+  // Projection) and measure what the compression does to retrieval —
+  // for 20 deterministic probe vectors (smallest Lehmer draws), the
+  // exact top-1 neighbor in ORIGINAL space vs PROJECTED space, both as
+  // exact integer L2 argmins with id tiebreaks. Linear scan shape: the
+  // probe set broadcasts, the corpus is read once, the argmin is a
+  // 20-group partial-min aggregate — the recall-audit pass an ANN
+  // deployment runs before trusting a compressed index.
+  // ------------------------------------------------------------------
+  def jlNeighborAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val codes = Quantize.withCodes(
+      Tables.rebalance(
+        Tables.embeddings(spark, sfDir).select("vec_id", "embedding")),
+      "embedding").select(col("vec_id"), col("codes"))
+    val proj = Projection.signProject(codes, "codes", dIn = 64, dOut = 16)
+    val probes = proj
+      .orderBy(Sampling.lehmerInt(col("vec_id")), col("vec_id")).limit(20)
+      .select(col("vec_id").as("probe_id"), col("codes").as("pcodes"),
+        col("proj").as("pproj"))
+    proj.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        Projection.sqDist(col("codes"), col("pcodes")).as("d_orig"),
+        Projection.sqDist(col("proj"), col("pproj")).as("d_proj"))
+      .groupBy(col("probe_id"))
+      .agg(min(struct(col("d_orig"), col("cand_id"))).as("o"),
+        min(struct(col("d_proj"), col("cand_id"))).as("p"))
+      .select(col("probe_id"),
+        col("o.cand_id").as("nn_orig"), col("o.d_orig").as("d_orig"),
+        col("p.cand_id").as("nn_proj"), col("p.d_proj").as("d_proj"),
+        (col("o.cand_id") === col("p.cand_id")).as("agree"))
+      .orderBy(col("probe_id"))
+  }
+
+  val jlNeighborAuditSql: String =
+    s"""$codesCte,
+      |signs AS (
+      |  SELECT ii.i, jj.j,
+      |         CASE WHEN ('0x' || substr(md5(ii.i || ':' || jj.j), 1, 8))::BIGINT
+      |                   % 2 = 0
+      |              THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(range(0, 64)) AS i) ii,
+      |       (SELECT unnest(range(0, 16)) AS j) jj),
+      |pr AS (
+      |  SELECT q.vec_id, s.j,
+      |         CAST(sum(CAST(q.codes[s.i + 1] AS BIGINT) * s.s) AS BIGINT) AS pv
+      |  FROM q CROSS JOIN signs s
+      |  GROUP BY q.vec_id, s.j),
+      |pl AS (SELECT vec_id, list(pv ORDER BY j) AS proj FROM pr GROUP BY vec_id),
+      |probes AS (
+      |  SELECT q.vec_id AS probe_id, q.codes AS pcodes, pl.proj AS pproj
+      |  FROM q JOIN pl USING (vec_id)
+      |  ORDER BY ((q.vec_id * 48271) % 2147483647) * 48271 % 2147483647,
+      |           q.vec_id
+      |  LIMIT 20),
+      |cand AS (
+      |  SELECT p.probe_id, q.vec_id AS cand_id,
+      |         ${sqDistSql("q.codes", "p.pcodes")} AS d_orig,
+      |         ${sqDistSql("pl.proj", "p.pproj")} AS d_proj
+      |  FROM q JOIN pl USING (vec_id) CROSS JOIN probes p
+      |  WHERE q.vec_id <> p.probe_id),
+      |r AS (
+      |  SELECT probe_id, cand_id, d_orig, d_proj,
+      |         row_number() OVER (PARTITION BY probe_id
+      |                            ORDER BY d_orig, cand_id) AS ro,
+      |         row_number() OVER (PARTITION BY probe_id
+      |                            ORDER BY d_proj, cand_id) AS rp
+      |  FROM cand)
+      |SELECT probe_id,
+      |       max(CASE WHEN ro = 1 THEN cand_id END) AS nn_orig,
+      |       max(CASE WHEN ro = 1 THEN d_orig END) AS d_orig,
+      |       max(CASE WHEN rp = 1 THEN cand_id END) AS nn_proj,
+      |       max(CASE WHEN rp = 1 THEN d_proj END) AS d_proj,
+      |       max(CASE WHEN ro = 1 THEN cand_id END)
+      |         = max(CASE WHEN rp = 1 THEN cand_id END) AS agree
+      |FROM r GROUP BY probe_id ORDER BY probe_id""".stripMargin
 
   val exactQuotaMixSql: String =
     """WITH c AS (

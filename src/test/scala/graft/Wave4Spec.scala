@@ -254,4 +254,44 @@ class Wave4Spec extends AnyFunSuite {
     assert(again.toSeq ==
       kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
+
+  test("JL sign projection: exact linear map, partition-invariant") {
+    import graft.operators.Projection
+    // the sign contract matches the md5 hex chain the oracle replays
+    for ((i, j) <- Seq((0, 0), (3, 7), (63, 15))) {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j".getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      val want = if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+      assert(Projection.sign(i, j) == want, s"sign($i,$j)")
+    }
+    val d = 8; val k = 4
+    val vecs = Seq(
+      (1L, Array(1, -2, 3, 0, 5, -1, 2, 7)),
+      (2L, Array(1, -2, 3, 0, 5, -1, 2, 7)), // exact duplicate of 1
+      (3L, Array(-1, 2, -3, 0, -5, 1, -2, -7)), // negation of 1
+      (4L, Array(100, 90, -80, 70, -60, 50, -40, 30))
+    ).toDF("id", "codes")
+    val proj = Projection.signProject(vecs, "codes", d, k)
+      .select($"id", $"proj").as[(Long, Seq[Long])].collect().toMap
+    // hand-compute row 1 against the driver-side sign function
+    val expect1 = (0 until k).map(j =>
+      (0 until d).map(i => Seq(1, -2, 3, 0, 5, -1, 2, 7)(i).toLong
+        * Projection.sign(i, j)).sum)
+    assert(proj(1L) == expect1)
+    assert(proj(2L) == proj(1L))                 // duplicate -> same image
+    assert(proj(3L) == proj(1L).map(-_))          // linearity: -v -> -Pv
+    assert(Projection.signProject(vecs.repartition(3), "codes", d, k)
+      .select($"id", $"proj").as[(Long, Seq[Long])].collect().toMap == proj)
+    // sqDist: exact integer L2; a planted duplicate is top-1 in BOTH
+    // spaces with distance 0
+    val dd = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter($"a.id" === 1L && $"b.id" === 2L)
+      .select(Projection.sqDist(col("a.codes"), col("b.codes")).as("o"))
+      .as[Long].head()
+    assert(dd == 0L)
+    intercept[IllegalArgumentException] {
+      Projection.signProject(vecs, "codes", d, d + 1)
+    }
+  }
 }
