@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{BloomJoin, DistinctSketch, Dsir, Sampling, TfIdf, TopK, UniMax, ZOrder}
+import graft.operators.{BloomJoin, DistinctSketch, Dsir, Privacy, Sampling, TfIdf, TopK, UniMax, ZOrder}
 
 /** Pipeline-utility queries (q45-q52): the selection / sizing / scrubbing
   * operations around the dedup+similarity core of a training-data pipeline
@@ -1149,4 +1149,46 @@ object QueriesPipeline {
       |FROM c WHERE cum_tokens <= (SELECT budget FROM b)
       |ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q156 — k-anonymity release audit (operators/Privacy): equivalence
+  // classes over (nation, segment, 1000-unit balance bracket), rows in
+  // classes smaller than k=5 flagged for suppression, reported per
+  // nation. One keyed exchange (unordered window count); every number
+  // is an integer count, so the oracle replays it verbatim.
+  // ------------------------------------------------------------------
+  def kAnonymityAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(
+      col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("bal_bucket"))
+    Privacy.kAnonymity(c, Seq("c_nationkey", "c_mktsegment", "bal_bucket"),
+        k = 5)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_mktsegment"), col("bal_bucket")).as("n_classes"),
+        sum(when(col("suppressed"), 1L).otherwise(0L)).as("n_suppressed"),
+        min(when(!col("suppressed"), col("class_size"))).as("min_kept_class"),
+        max(col("class_size")).as("max_class"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val kAnonymityAuditSql: String =
+    """WITH b AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment,
+      |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      |  FROM customer),
+      |s AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_bucket,
+      |         count(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+      |                                     bal_bucket) AS class_size
+      |  FROM b)
+      |SELECT c_nationkey,
+      |       count(*) AS n_rows,
+      |       count(DISTINCT (c_mktsegment, bal_bucket)) AS n_classes,
+      |       CAST(count(*) FILTER (WHERE class_size < 5) AS BIGINT)
+      |         AS n_suppressed,
+      |       min(CASE WHEN class_size >= 5 THEN class_size END)
+      |         AS min_kept_class,
+      |       max(class_size) AS max_class
+      |FROM s GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 }

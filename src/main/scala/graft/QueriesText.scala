@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{RollingHashExpression, TextFunctions}
-import graft.operators.{Dedup, Funnel, FuzzyMatch, Multimodal, Quantize, Sessionize, Similarity}
+import graft.operators.{Bootstrap, Dedup, Funnel, FuzzyMatch, Multimodal, Quantize, Sessionize, Similarity}
 
 /** Training-data pipeline queries over `documents` / `embeddings` / `events`:
   * dedup (exact, near-exact, MinHash-LSH, SimHash, n-gram jaccard),
@@ -1003,6 +1003,76 @@ object QueriesText {
       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.phash, b.phash)) <= 1
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q157 — Poisson-bootstrap error bars (operators/Bootstrap): 95%
+  // confidence intervals on the per-source mean token count from 32
+  // deterministic Poisson(1) replicas. All B replicas ride ONE narrow
+  // pass (each row hashes its own multiplicity per replica), the only
+  // exchange is the (source × replica) aggregate, and every statistic
+  // is an exact scaled-integer ratio — the oracle replays draws, sums,
+  // and percentile ranks verbatim.
+  // ------------------------------------------------------------------
+  def bootstrapTokenCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.rebalance(
+        Tables.documents(spark, sfDir).select("doc_id", "source", "text"))
+      .select(col("doc_id"), col("source"),
+        TextFunctions.tokenCountWs(col("text")).as("n_tokens"))
+    val ci = Bootstrap.percentileCi(
+      Bootstrap.replicaMeans(toks, "doc_id", "source", "n_tokens", b = 32),
+      "source")
+    toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("(sum(CAST(n_tokens AS BIGINT)) * 1000000) div count(1)")
+          .as("point_scaled"))
+      .join(ci, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  val bootstrapTokenCiSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source, ${tokCountSql(normSql("text"))} AS n_tokens
+      |  FROM documents),
+      |reps AS (SELECT t.*, r.b FROM t, UNNEST(range(0, 32)) AS r(b)),
+      |m AS (
+      |  SELECT source, b, n_tokens,
+      |         (CASE WHEN u >= 367879 THEN 1 ELSE 0 END +
+      |          CASE WHEN u >= 735759 THEN 1 ELSE 0 END +
+      |          CASE WHEN u >= 919699 THEN 1 ELSE 0 END +
+      |          CASE WHEN u >= 981012 THEN 1 ELSE 0 END) AS mult
+      |  FROM (SELECT *, ('0x' || substr(md5(doc_id || ':' || b), 1, 8))::BIGINT
+      |                    % 1000000 AS u
+      |        FROM reps)),
+      |rm AS (
+      |  SELECT source, b,
+      |         CASE WHEN sum(mult) > 0
+      |              THEN (sum(mult * CAST(n_tokens AS BIGINT)) * 1000000)
+      |                     // sum(mult)
+      |         END AS mean_scaled
+      |  FROM m GROUP BY source, b),
+      |rk AS (
+      |  SELECT source, b, mean_scaled,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY mean_scaled, b) AS rn,
+      |         count(*) OVER (PARTITION BY source) AS n
+      |  FROM rm WHERE mean_scaled IS NOT NULL),
+      |ci AS (
+      |  SELECT source,
+      |         max(CASE WHEN rn = (n * 5 + 99) // 100
+      |                  THEN mean_scaled END) AS lo_scaled,
+      |         max(CASE WHEN rn = (n * 95 + 99) // 100
+      |                  THEN mean_scaled END) AS hi_scaled,
+      |         CAST(max(n) AS BIGINT) AS n_replicas
+      |  FROM rk GROUP BY source),
+      |pt AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         (sum(CAST(n_tokens AS BIGINT)) * 1000000) // count(*)
+      |           AS point_scaled
+      |  FROM t GROUP BY source)
+      |SELECT p.source, p.n_docs, p.point_scaled,
+      |       c.lo_scaled, c.hi_scaled, c.n_replicas
+      |FROM pt p JOIN ci c USING (source)
+      |ORDER BY p.source""".stripMargin
 
   // ------------------------------------------------------------------
   // q121 — blocked edit-distance matching (operators/FuzzyMatch): the

@@ -371,6 +371,60 @@ class PipelineOpsSpec extends AnyFunSuite {
       targets.filter($"target_n" < 0)).count() == 0)
   }
 
+  test("poisson bootstrap: exact draws, sane mass, partition-invariant CI") {
+    import graft.operators.{Bootstrap => Bs}
+    val df = (1L to 2000L).map(i => (i, "g", (i % 7).toInt))
+      .toDF("id", "grp", "v")
+    // multiplicity matches the driver-side md5 replay of the thresholds
+    val drawn = df.limit(5).withColumn("m", Bs.multiplicity($"id", lit(3)))
+      .select($"id", $"m").as[(Long, Long)].collect()
+    for ((id, m) <- drawn) {
+      val u = graft.functions.Md5Word32Expression.word32(
+        s"$id:3".getBytes("UTF-8")) % 1000000L
+      assert(m == Bs.Thresholds.count(t => u >= t), s"id=$id u=$u")
+    }
+    // Poisson(1): total replica mass ~ n, mean multiplicity ~ 1
+    val means = Bs.replicaMeans(df, "id", "grp", "v", b = 32)
+    val ms = means.select($"mean_scaled").as[Long].collect()
+    assert(ms.length == 32)
+    // every replica mean lands near the true mean 3 (=3000000 scaled)
+    assert(ms.forall(m => m > 2800000L && m < 3200000L), ms.take(5).toSeq)
+    val ci = Bs.percentileCi(means, "grp").collect().head
+    val (lo, hi) = (ci.getAs[Long]("lo_scaled"), ci.getAs[Long]("hi_scaled"))
+    assert(lo <= hi && ci.getAs[Long]("n_replicas") == 32L)
+    assert(lo == ms.sorted.apply(1) && hi == ms.sorted.apply(30)) // ceil ranks 2/31
+    // the whole chain is a pure function of (key, replica): partitioning
+    // can't move a single interval endpoint
+    val ci7 = Bs.percentileCi(
+      Bs.replicaMeans(df.repartition(7), "id", "grp", "v", 32), "grp")
+      .collect().head
+    assert(ci7.getAs[Long]("lo_scaled") == lo
+      && ci7.getAs[Long]("hi_scaled") == hi)
+  }
+
+  test("k-anonymity: class sizes, suppression flag, partition-invariant") {
+    import graft.operators.Privacy
+    // classes: (a,1)x5, (a,2)x2, (b,1)x1 -> with k=3 only (a,1) survives
+    val rows = Seq.fill(5)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++ Seq(("b", 1))
+    val df = rows.zipWithIndex.map { case ((s, b), i) => (i.toLong, s, b) }
+      .toDF("id", "seg", "bucket")
+    val got = Privacy.kAnonymity(df, Seq("seg", "bucket"), k = 3)
+    val bySize = got.select($"seg", $"bucket", $"class_size", $"suppressed")
+      .distinct().as[(String, Int, Long, Boolean)].collect().toSet
+    assert(bySize == Set(("a", 1, 5L, false), ("a", 2, 2L, true),
+      ("b", 1, 1L, true)))
+    // k = 1 suppresses nothing; flags survive any input partitioning
+    assert(Privacy.kAnonymity(df, Seq("seg", "bucket"), k = 1)
+      .filter($"suppressed").count() == 0)
+    val got7 = Privacy.kAnonymity(df.repartition(7), Seq("seg", "bucket"), 3)
+      .select($"id", $"suppressed").as[(Long, Boolean)].collect().toSet
+    assert(got7 == got.select($"id", $"suppressed")
+      .as[(Long, Boolean)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymity(df, Seq.empty, k = 3)
+    }
+  }
+
   test("budget select: rank order, tie-break, inclusive budget boundary") {
     // rank order (score DESC, id ASC): 3 (90), then the 80-tie broken by
     // id (1 before 5), then 2. totals: 50, 80, 110, 210.
