@@ -244,4 +244,58 @@ object QueriesStreaming {
         col("reg_sum"), col("registers_hit"))
       .orderBy(col("l_returnflag"))
   }
+
+  // -------------------------------------------------------------------
+  // q158 — the distribution-drift monitor, replayed: events arrive in 8
+  // event-time-ordered micro-batches; each day window's event-type mix
+  // is compared (ppm-integer L1) against the PERSISTED static reference
+  // histogram of the whole corpus. The oracle recomputes day mixes and
+  // the identical div-by-10⁶ arithmetic from the batch table — counts
+  // are commutative, so any batching must land on the same histograms,
+  // and the stream-static broadcast must not perturb a single count.
+  // -------------------------------------------------------------------
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def driftStreamReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir).select(col("ts"), col("event_type"))
+    val ref = StreamingOps.typeHistogram(ev, "event_type", eventTypes)
+    val lastTs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    def sentinel(daysAhead: Int): DataFrame =
+      Seq((new java.sql.Timestamp(lastTs + daysAhead * 86400000L),
+        "zz_replay_sentinel")).toDF("ts", "event_type")
+    Replay.replayFiles(spark, ev, Seq(col("ts")), numBatches = 8,
+        OutputMode.Append, flush = Seq(sentinel(40), sentinel(41))) { df =>
+      StreamingOps.driftStream(df, "event_type", "ts", eventTypes, ref,
+        windowLen = "1 day", watermark = "2 hours")
+    }
+      .filter(col("window_start") <= lit(new java.sql.Timestamp(lastTs)))
+      .orderBy(col("window_start"))
+  }
+
+  val driftStreamReplaySql: String = {
+    val bs = eventTypes.zipWithIndex.map { case (t, i) =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS b$i" }.mkString(",\n         ")
+    val rs = eventTypes.zipWithIndex.map { case (t, i) =>
+      s"count(*) FILTER (WHERE event_type = '$t') AS r$i" }.mkString(",\n         ")
+    val l1 = eventTypes.indices.map(i =>
+      s"abs((b$i * 1000000) // t - (r$i * 1000000) // rt)").mkString(" +\n         ")
+    s"""WITH g AS (
+      |  SELECT $rs
+      |  FROM events),
+      |d AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |         $bs
+      |  FROM events GROUP BY 1),
+      |j AS (
+      |  SELECT d.*, g.*,
+      |         (b0 + b1 + b2 + b3 + b4) AS t,
+      |         (r0 + r1 + r2 + r3 + r4) AS rt
+      |  FROM d, g)
+      |SELECT day AS window_start, CAST(t AS BIGINT) AS total,
+      |       CAST($l1 AS BIGINT) AS l1_ppm,
+      |       ($l1) > 200000 AS drifted
+      |FROM j WHERE t > 0 AND rt > 0
+      |ORDER BY window_start""".stripMargin
+  }
 }

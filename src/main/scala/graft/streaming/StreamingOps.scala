@@ -228,6 +228,65 @@ object StreamingOps {
       .select(col(typeCol), col("window.start").as("hour_start"), col("x"))
   }
 
+  /** Reference histogram for [[driftStream]]: ONE row of per-bucket
+    * counts (`r0..r{n-1}`) over a static corpus — the training-time
+    * category mix the stream is monitored against. */
+  def typeHistogram(df: DataFrame, typeCol: String,
+      buckets: Seq[String]): DataFrame = {
+    require(buckets.nonEmpty, "typeHistogram: need at least one bucket")
+    df.agg(
+      count_if(col(typeCol) === buckets.head).as("r0"),
+      buckets.tail.zipWithIndex.map { case (b, i) =>
+        count_if(col(typeCol) === b).as(s"r${i + 1}") }: _*)
+  }
+
+  /** Continuous distribution-drift monitor: per event-time window, the
+    * L1 distance between the window's category mix and a STATIC
+    * reference mix, flagged when it exceeds a threshold — the alarm a
+    * training-data ingest runs so a source whose composition shifts
+    * (schema change upstream, a crawler gone wrong, seasonality) is
+    * caught before it contaminates a corpus snapshot.
+    *
+    * Distance contract (deterministic at any scale): per-bucket PPM
+    * proportions `(b_i·10⁶) div total` vs `(r_i·10⁶) div ref_total`,
+    * L1 = Σ |difference| — integer end-to-end, bounded by 2·10⁶
+    * regardless of corpus size (no product of two totals can overflow),
+    * and replayed verbatim by the q158 oracle. Resolution is 1 ppm per
+    * bucket — the documented truncation.
+    *
+    * Scale shape: ONE stateful operator (the windowed conditional-count
+    * aggregate — a fixed-width row per window, never per category), a
+    * broadcast of the PERSISTED 1-row reference (the stream-static plan
+    * is re-derived per micro-batch — the [[intervalJoinStream]] denylist
+    * lesson), and a stateless projection for the distance. Rows drop
+    * from state once the watermark passes their window. */
+  def driftStream(events: DataFrame, typeCol: String, tsCol: String,
+      buckets: Seq[String], ref: DataFrame,
+      windowLen: String = "1 day", watermark: String = "2 hours",
+      thresholdPpm: Long = 200000L): DataFrame = {
+    require(buckets.nonEmpty, "driftStream: need at least one bucket")
+    val counts = buckets.zipWithIndex.map { case (b, i) =>
+      count_if(col(typeCol) === b).as(s"b$i") }
+    val refRow = broadcast(ref.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val total = buckets.indices.map(i => col(s"b$i")).reduce(_ + _)
+    val rtotal = buckets.indices.map(i => col(s"r$i")).reduce(_ + _)
+    val l1 = buckets.indices.map(i =>
+      abs(expr(s"(b$i * 1000000) div __t") - expr(s"(r$i * 1000000) div __rt")))
+      .reduce(_ + _)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counts.head, counts.tail: _*)
+      .crossJoin(refRow)
+      .withColumn("__t", total).withColumn("__rt", rtotal)
+      .filter(col("__t") > 0L && col("__rt") > 0L)
+      .withColumn("l1_ppm", l1)
+      .select(col("window.start").as("window_start"),
+        col("__t").as("total"), col("l1_ppm"),
+        (col("l1_ppm") > lit(thresholdPpm)).as("drifted"))
+  }
+
   /** Per-entity funnel progress for [[FunnelStream.funnelStream]]:
     * `reached` = stages completed, `t` = micros of the latest stage. */
   final case class FunnelState(reached: Int, t: Long)

@@ -176,6 +176,38 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("drift monitor: skewed day flagged with exact ppm L1, balanced day clean") {
+    implicit val sqlCtx = spark.sqlContext
+    val types = Seq("a", "b")
+    // reference corpus: perfectly balanced 50/50
+    val ref = StreamingOps.typeHistogram(
+      Seq.fill(50)("a").map(("x", _)).toDF("k", "t")
+        .union(Seq.fill(50)("b").map(("x", _)).toDF("k", "t")), "t", types)
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.driftStream(events, "event_type", "ts", types, ref,
+        windowLen = "1 day", watermark = "1 hour", thresholdPpm = 300000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("drift").start()
+    try {
+      // day 1: balanced 5/5 -> L1 = 0; day 2: 9 a's vs 1 b ->
+      // |900000-500000| + |100000-500000| = 800000 ppm
+      val day1 = (1 to 5).flatMap(i => Seq(
+        (ts(s"2026-08-10 01:0$i:00"), "a"), (ts(s"2026-08-10 02:0$i:00"), "b")))
+      val day2 = (1 to 9).map(i => (ts(s"2026-08-11 01:0$i:00"), "a")) :+
+        (ts("2026-08-11 02:01:00"), "b")
+      mem.addData(day1 ++ day2: _*)
+      mem.addData((ts("2026-08-13 12:00:00"), "a")) // advance the watermark
+      q.processAllAvailable()
+      val got = spark.table("drift")
+        .select($"window_start", $"total", $"l1_ppm", $"drifted")
+        .as[(Timestamp, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got(ts("2026-08-10 00:00:00")) == ((10L, 0L, false)))
+      assert(got(ts("2026-08-11 00:00:00")) == ((10L, 800000L, true)))
+    } finally q.stop()
+  }
+
   test("streaming funnel matches the batch operator on in-order events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
