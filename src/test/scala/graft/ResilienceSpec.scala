@@ -321,5 +321,17 @@ class ResilienceSpec extends AnyFunSuite {
     val sGot = underBlockLoss {
       snapshot(SkipGram.associations(texts, "text", minCount = 1L)) }
     assert(sGot == sExp, "skip-gram associations diverged under block eviction")
+    // exactQuotaSample: the pinned max-quota scalar shapes the PLAN (the
+    // WindowGroupLimit literal) while the broadcast quota column cuts
+    // per stratum — block loss must leave the kept-row identity intact
+    val strat = (1L to 1500L).map(i => (i, s"s${i % 4}")).toDF("id", "st")
+    val targets = Seq(("s0", 40L), ("s1", 900L), ("s2", 7L))
+      .toDF("st", "target_n")
+    coldStart()
+    val qExp = snapshot(Sampling.exactQuotaSample(strat, "st", "id", targets))
+    coldStart()
+    val qGot = underBlockLoss {
+      snapshot(Sampling.exactQuotaSample(strat, "st", "id", targets)) }
+    assert(qGot == qExp, "exactQuotaSample diverged under block eviction")
   }
 }
