@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{RollingHashExpression, TextFunctions}
-import graft.operators.{Bootstrap, Dedup, Funnel, FuzzyMatch, Multimodal, Quantize, Sessionize, Similarity}
+import graft.operators.{Bootstrap, Dedup, Funnel, FuzzyMatch, Multimodal, Quantize, Sessionize, Similarity, SweepLine}
 
 /** Training-data pipeline queries over `documents` / `embeddings` / `events`:
   * dedup (exact, near-exact, MinHash-LSH, SimHash, n-gram jaccard),
@@ -354,6 +354,72 @@ object QueriesText {
       |       CAST(sum(n_events) AS BIGINT) AS n_events,
       |       max(n_events) AS max_session_events
       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q159 — peak session concurrency per day (operators/SweepLine): the
+  // q40 sessions become [first_event, last_event + 1µs) intervals and
+  // the sweep line reports each day's worst-moment in-flight count. The
+  // textbook formulation is ONE global ordered prefix sum — stated
+  // exactly that way by the oracle (single process), decomposed by the
+  // engine into day subtotals + per-day windows (the budgetSelect
+  // two-level shape) so no task ever sorts more than a day.
+  // ------------------------------------------------------------------
+  def peakConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Sessionize.sessionIds(
+      Tables.events(spark, sfDir).select("user_id", "ts", "event_id"),
+      "user_id", "ts", "event_id", 1800L)
+    val sessions = s.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("start_ts"),
+        timestamp_micros(unix_micros(max(col("ts"))) + 1L).as("end_ts"))
+    SweepLine.dailyPeakConcurrency(sessions, "start_ts", "end_ts")
+  }
+
+  val peakConcurrencySql: String =
+    """WITH l AS (
+      |  SELECT user_id, ts, event_id,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |), n AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN prev IS NULL
+      |                OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+      |              ELSE 0 END AS is_new
+      |  FROM l
+      |), s AS (
+      |  SELECT user_id, ts,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING
+      |                           AND CURRENT ROW) AS session_id
+      |  FROM n
+      |), per AS (
+      |  SELECT user_id, session_id, min(ts) AS st,
+      |         max(ts) + INTERVAL 1 MICROSECOND AS et
+      |  FROM s GROUP BY user_id, session_id
+      |), d AS (
+      |  SELECT st AS ts, CAST(1 AS BIGINT) AS delta FROM per
+      |  UNION ALL
+      |  SELECT et, CAST(-1 AS BIGINT) FROM per
+      |), r AS (
+      |  SELECT date_trunc('day', ts) AS day, delta,
+      |         sum(delta) OVER (ORDER BY ts, delta
+      |                          ROWS BETWEEN UNBOUNDED PRECEDING
+      |                          AND CURRENT ROW) AS run
+      |  FROM d
+      |), ds AS (
+      |  SELECT day, sum(delta) AS day_sum,
+      |         CAST(count(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_starts,
+      |         CAST(count(*) FILTER (WHERE delta = -1) AS BIGINT) AS n_ends,
+      |         CAST(max(run) AS BIGINT) AS mx
+      |  FROM r GROUP BY day
+      |)
+      |SELECT day, n_starts, n_ends,
+      |       CAST(coalesce(sum(day_sum) OVER (ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |            AS BIGINT) AS carry_in,
+      |       CAST(greatest(coalesce(sum(day_sum) OVER (ORDER BY day
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), mx)
+      |            AS BIGINT) AS peak
+      |FROM ds ORDER BY day""".stripMargin
 
   // ------------------------------------------------------------------
   // q41 — LSH-bucketed approximate knn, SELF-VALIDATING (the q46/q53

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval sweep line: peak concurrency over time from (start, end)
+  * interval rows — "how many sessions were in flight at the worst
+  * moment of each day", the capacity-planning readout every serving or
+  * ingest system wants from its session log.
+  *
+  * Semantics (exact, engine-portable):
+  *  - an interval contributes +1 at `start` and −1 at `end`, END
+  *    EXCLUSIVE: at one instant, departures process before arrivals
+  *    (deltas order (ts, delta) — the −1 sorts first), so back-to-back
+  *    sessions never double-count;
+  *  - a day's peak INCLUDES its carry-in level (a day whose first delta
+  *    is −1 peaked at the concurrency it inherited at midnight);
+  *  - days with no deltas carry silently (they have no rows to measure;
+  *    their level is the next day's carry_in — derivable from output).
+  *
+  * Scale shape — the textbook sweep line is ONE GLOBAL ordered prefix
+  * sum, which a single-process engine states directly and a cluster
+  * must never run as one task. Same two-level decomposition as
+  * [[Sampling.budgetSelect]] / Chunking.packSequences, transposed to
+  * time: per-day delta subtotals collect to the driver (bounded by the
+  * span in days — a decade is ~3.7k rows), an exclusive scan gives each
+  * day its midnight carry, and the running sum is a PER-DAY window over
+  * a broadcast base join — the only corpus exchange is the day-keyed
+  * one, and no stage sees more than one day's deltas in one sort.
+  */
+object SweepLine {
+
+  /** Per-day peak concurrency: (day, n_starts, n_ends, carry_in, peak),
+    * ordered by day. `startCol`/`endCol` are timestamps; rows with NULL
+    * in either are dropped (open intervals are the caller's decision to
+    * close — e.g. cap at the log horizon — not a silent default). */
+  def dailyPeakConcurrency(intervals: DataFrame,
+      startCol: String, endCol: String): DataFrame = {
+    val deltas = intervals
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .select(col(startCol).as("ts"), lit(1L).as("delta"))
+      .unionByName(intervals
+        .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+        .select(col(endCol).as("ts"), lit(-1L).as("delta")))
+      .withColumn("day", date_trunc("day", col("ts")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded driver read (one row per active day), exclusive scan for
+    // the midnight carry — the budgetSelect base-offset pattern
+    val subtotals = deltas.groupBy(col("day"))
+      .agg(sum(col("delta")).as("day_sum"),
+        count_if(col("delta") === 1L).as("n_starts"),
+        count_if(col("delta") === -1L).as("n_ends"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1.getTime)
+    val bases = subtotals.scanLeft((null: java.sql.Timestamp, 0L, 0L, 0L, 0L)) {
+      case ((_, _, _, _, acc), (day, daySum, ns, ne)) =>
+        (day, ns, ne, acc, acc + daySum)
+    }.tail.map { case (day, ns, ne, carryIn, _) => (day, ns, ne, carryIn) }
+    val spark = intervals.sparkSession
+    val base = spark.createDataFrame(bases.toSeq)
+      .toDF("day", "n_starts", "n_ends", "carry_in")
+    val w = Window.partitionBy(col("day")).orderBy(col("ts"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = deltas
+      .withColumn("run", sum(col("delta")).over(w))
+      .groupBy(col("day")).agg(max(col("run")).as("max_run"))
+      .join(broadcast(base), Seq("day"))
+      .select(col("day"), col("n_starts"), col("n_ends"), col("carry_in"),
+        greatest(col("carry_in"), col("carry_in") + col("max_run")).as("peak"))
+      .orderBy(col("day"))
+    LoopCache.finish(out, deltas)
+  }
+}

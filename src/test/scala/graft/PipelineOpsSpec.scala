@@ -371,6 +371,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       targets.filter($"target_n" < 0)).count() == 0)
   }
 
+  test("sweep line: end-exclusive peaks, midnight carry, hand-computed") {
+    import graft.operators.SweepLine
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val iv = Seq(
+      // day 1: three overlapping at 10:30 -> peak 3; back-to-back pair
+      // at 12:00 must NOT double-count (end exclusive)
+      (t("2026-08-10 10:00:00"), t("2026-08-10 11:00:00")),
+      (t("2026-08-10 10:15:00"), t("2026-08-10 10:45:00")),
+      (t("2026-08-10 10:30:00"), t("2026-08-10 12:00:00")),
+      (t("2026-08-10 12:00:00"), t("2026-08-10 12:30:00")),
+      // spans midnight: day 2 inherits carry_in 1 and its only delta is
+      // the -1, so its peak IS the carry level
+      (t("2026-08-10 23:00:00"), t("2026-08-11 01:00:00"))
+    ).toDF("st", "et")
+    val got = SweepLine.dailyPeakConcurrency(iv, "st", "et")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      ("2026-08-10", 5L, 4L, 0L, 3L),
+      ("2026-08-11", 0L, 1L, 1L, 1L)))
+    // partition invariance and null-interval drop
+    val withNull = iv.union(Seq((t("2026-08-10 09:00:00"),
+      null.asInstanceOf[java.sql.Timestamp])).toDF("st", "et"))
+    val got7 = SweepLine.dailyPeakConcurrency(withNull.repartition(7),
+      "st", "et").collect().map(_.getLong(4)).toSeq
+    assert(got7 == got.map(_._5).toSeq)
+  }
+
   test("poisson bootstrap: exact draws, sane mass, partition-invariant CI") {
     import graft.operators.{Bootstrap => Bs}
     val df = (1L to 2000L).map(i => (i, "g", (i % 7).toInt))
