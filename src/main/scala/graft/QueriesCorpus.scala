@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Bpe, Chunking, CorpusDiff, Decontaminate, Dedup, NgramLm, Overlap}
+import graft.operators.{Bm25, Bpe, Chunking, CorpusDiff, Decontaminate, Dedup, EventSeq, NgramLm, Overlap}
 
 /** Corpus-preparation wave 2: the sequence-level operators between a
   * cleaned document corpus and model-ready training batches — train/eval
@@ -1168,4 +1168,61 @@ object QueriesCorpus {
       |WHERE c_ab >= 5
       |ORDER BY score DESC, a, b LIMIT 20""".stripMargin
   }
+
+  // -------------------------------------------------------------------
+  // q160 — event-time lateness profile (EventSeq.latenessProfile): the
+  // measurement a streaming watermark is chosen from. The raw log is
+  // perfectly ordered, so the query replays the realistic disorder
+  // source — a 4-shard collector (shard = event_id % 4) shipping
+  // 1-HOUR batches, merged in (batch, shard) arrival order — and
+  // profiles how far event time regresses behind the per-user running
+  // max in that order. Fixed buckets with a cumulative column: the
+  // watermark covering >=99.9% of events is read straight off the
+  // output. One user-keyed exchange; the cumulative window runs over
+  // <=6 rows.
+  // -------------------------------------------------------------------
+  def latenessProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("shard", expr("event_id % 4"))
+      .withColumn("batch_hr", expr("unix_micros(ts) div 3600000000"))
+    EventSeq.latenessProfile(ev, "user_id", "ts",
+      Seq("batch_hr", "shard", "ts", "event_id"),
+      Seq(60L, 300L, 900L, 3600L))
+  }
+
+  val latenessProfileSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |         event_id % 4 AS shard,
+      |         epoch_us(ts) // 3600000000 AS batch_hr
+      |  FROM events),
+      |l AS (
+      |  SELECT greatest(0, coalesce(max(epoch_us(ts)) OVER (
+      |             PARTITION BY user_id
+      |             ORDER BY batch_hr, shard, ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |           epoch_us(ts)) - epoch_us(ts)) AS late
+      |  FROM e),
+      |b AS (
+      |  SELECT CASE WHEN late = 0 THEN 0
+      |              WHEN late <= 60000000 THEN 1
+      |              WHEN late <= 300000000 THEN 2
+      |              WHEN late <= 900000000 THEN 3
+      |              WHEN late <= 3600000000 THEN 4
+      |              ELSE 5 END AS bucket, late
+      |  FROM l),
+      |g AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(max(late) AS BIGINT) AS max_lateness_us
+      |  FROM b GROUP BY bucket)
+      |SELECT bucket,
+      |       CASE bucket WHEN 0 THEN 'on_time' WHEN 1 THEN '(0s,60s]'
+      |            WHEN 2 THEN '(60s,300s]' WHEN 3 THEN '(300s,900s]'
+      |            WHEN 4 THEN '(900s,3600s]' ELSE '>3600s' END AS lateness_bucket,
+      |       n_events, max_lateness_us,
+      |       CAST(sum(n_events) OVER (ORDER BY bucket
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |            AS BIGINT) AS cum_events
+      |FROM g ORDER BY bucket""".stripMargin
 }

@@ -135,4 +135,62 @@ object EventSeq {
         col("p.e3").as("e3"))
       .agg(count(lit(1)).as("n_entities"))
   }
+
+  /** Event-time lateness profile — the measurement a streaming watermark
+    * is chosen FROM: per entity, an event's lateness is how far its event
+    * time sits behind the maximum event time already seen in the
+    * entity's log (running max in log order, exact micros), and the
+    * profile buckets those latenesses into fixed thresholds with a
+    * cumulative coverage column, so "watermark = the bound covering
+    * ≥ 99.9% of events" is read straight off the output. On-time events
+    * (lateness 0) are the first bucket.
+    *
+    * `seqCols` define the log order (ingestion sequence — e.g. the
+    * (batch, shard, …) arrival key of a multi-source collector); event
+    * time disorder is measured AGAINST that order — the exact thing a
+    * watermark must tolerate. One entity-keyed exchange (running-max
+    * window, streaming frame), then a fixed-bucket aggregate; integer
+    * micros end-to-end.
+    *
+    * @param bucketBoundsSec ascending exclusive upper bounds in seconds;
+    *        a final unbounded bucket is appended. */
+  def latenessProfile(events: DataFrame, entityCol: String, tsCol: String,
+      seqCols: Seq[String], bucketBoundsSec: Seq[Long]): DataFrame = {
+    require(bucketBoundsSec.nonEmpty && bucketBoundsSec == bucketBoundsSec.sorted,
+      s"bucket bounds must be ascending, got $bucketBoundsSec")
+    require(seqCols.nonEmpty, "latenessProfile: need a log-order key")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(seqCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateUs = greatest(lit(0L),
+      coalesce(max(unix_micros(col(tsCol))).over(w),
+        unix_micros(col(tsCol))) - unix_micros(col(tsCol)))
+    // bucket 0 = on time; bucket i (1-based) = (bound_{i-1}, bound_i]
+    val bounds = bucketBoundsSec.map(_ * 1000000L)
+    val bucket = bounds.zipWithIndex.foldRight(
+      lit(bounds.length + 1): Column) { case ((b, i), rest) =>
+      when(col("__late") <= b, lit(i + 1)).otherwise(rest)
+    }
+    val labels = ("on_time" +: bucketBoundsSec.zip(0L +: bucketBoundsSec.init)
+      .map { case (hi, lo) => s"(${lo}s,${hi}s]" }) :+
+      s">${bucketBoundsSec.last}s"
+    val labelCol = labels.zipWithIndex.foldRight(lit(labels.last): Column) {
+      case ((l, i), rest) => when(col("bucket") === i, lit(l)).otherwise(rest)
+    }
+    val wc = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__late", lateUs)
+      .withColumn("bucket",
+        when(col("__late") === 0L, lit(0)).otherwise(bucket))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("__late")).as("max_lateness_us"))
+      // the profile is ≤ |bounds|+2 rows: the ordered cumulative window
+      // runs over a bounded tiny frame, never the corpus
+      .withColumn("cum_events", sum(col("n_events")).over(wc))
+      .select(col("bucket"), labelCol.as("lateness_bucket"),
+        col("n_events"), col("max_lateness_us"), col("cum_events"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -255,6 +255,34 @@ class Wave4Spec extends AnyFunSuite {
       kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("lateness profile: running-max regression, exact buckets, carry rules") {
+    // user 1 arrival order (seq): ts walks 100, 250, 240, 249, 40 —
+    // latenesses 0, 0, 10, 1, 210 (vs running max 250)
+    val ev = Seq(
+      (1L, 100L, 1L), (1L, 250L, 2L), (1L, 240L, 3L), (1L, 249L, 4L),
+      (1L, 40L, 5L),
+      (2L, 500L, 1L), (2L, 501L, 2L)) // user 2: fully ordered
+      .map { case (u, sec, seq) =>
+        (u, new java.sql.Timestamp(sec * 1000L), seq) }
+      .toDF("user", "ts", "seq")
+    val got = EventSeq.latenessProfile(ev, "user", "ts", Seq("seq"),
+        Seq(1L, 60L, 300L))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (0, "on_time", 4L, 0L, 4L),          // 100, 250, 500, 501
+      (1, "(0s,1s]", 1L, 1000000L, 5L),    // the 249 (1s behind 250)
+      (2, "(1s,60s]", 1L, 10000000L, 6L),  // the 240 (10s behind)
+      (3, "(60s,300s]", 1L, 210000000L, 7L))) // the 40 (210s behind)
+    // partitioning can't change a bucket count
+    val got7 = EventSeq.latenessProfile(ev.repartition(7), "user", "ts",
+      Seq("seq"), Seq(1L, 60L, 300L)).collect().map(_.getLong(2)).toSeq
+    assert(got7 == got.map(_._3).toSeq)
+    intercept[IllegalArgumentException] {
+      EventSeq.latenessProfile(ev, "user", "ts", Seq("seq"), Seq(60L, 1L))
+    }
+  }
+
   test("JL sign projection: exact linear map, partition-invariant") {
     import graft.operators.Projection
     // the sign contract matches the md5 hex chain the oracle replays
