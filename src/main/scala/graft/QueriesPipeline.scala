@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{BloomJoin, DistinctSketch, Dsir, Privacy, Sampling, TfIdf, TopK, UniMax, ZOrder}
+import graft.operators.{BloomJoin, DistinctSketch, Dsir, JoinEstimate, LoopCache, Privacy, Sampling, TfIdf, TopK, UniMax, ZOrder}
 
 /** Pipeline-utility queries (q45-q52): the selection / sizing / scrubbing
   * operations around the dedup+similarity core of a training-data pipeline
@@ -1149,6 +1149,95 @@ object QueriesPipeline {
       |FROM c WHERE cum_tokens <= (SELECT budget FROM b)
       |ORDER BY doc_id""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q161 — sketch-based join-size estimation (operators/JoinEstimate):
+  // the self-join size of lineitem on l_partkey — Σ_k cnt(k)², the
+  // number that decides whether a join is shuffle-safe — from BOTH
+  // classic estimators over one-pass mergeable sketches, each also at
+  // a 256-wide FOLD (derived by re-aggregation, no corpus re-scan):
+  // the CM min-of-dots (guaranteed upper bound, excess ≈ n²/w — here
+  // +46% at w=4096) and the AMS signed median (unbiased — here within
+  // ±1.6% at BOTH widths), against the exact answer with signed ppm
+  // errors. Counters, dots, medians, and errors are integers; the
+  // oracle replays every counter of both sketches.
+  // ------------------------------------------------------------------
+  def joinCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+    val cmWide = JoinEstimate.sketch(li, "l_partkey", 4096)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val amsWide = JoinEstimate.amsSketch(li, "l_partkey", 4096)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def tier(width: Int, cm: DataFrame, ams: DataFrame): DataFrame =
+      JoinEstimate.selfJoinEstimate(cm).select(col("estimate").as("cm_upper"))
+        .crossJoin(JoinEstimate.amsSelfJoinEstimate(ams)
+          .select(col("estimate").as("ams_estimate")))
+        .withColumn("width", lit(width))
+    val ests = tier(256, JoinEstimate.fold(cmWide, 256),
+        JoinEstimate.fold(amsWide, 256))
+      .unionByName(tier(4096, cmWide, amsWide))
+    val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_size"))
+    val out = ests.crossJoin(broadcast(exact))
+      .select(col("width"), col("cm_upper"), col("ams_estimate"),
+        col("exact_size"),
+        expr("((cm_upper - exact_size) * 1000000) div exact_size")
+          .as("cm_err_ppm"),
+        expr("((ams_estimate - exact_size) * 1000000) div exact_size")
+          .as("ams_err_ppm"))
+      .orderBy(col("width"))
+    LoopCache.finish(out, cmWide, amsWide)
+  }
+
+  val joinCardinalitySql: String =
+    """WITH h AS (
+      |  SELECT r.j,
+      |         ('0x' || substr(md5(r.j || ':' || l_partkey), 1, 8))::BIGINT
+      |           % 4096 AS b
+      |  FROM lineitem, UNNEST(range(0, 4)) AS r(j)),
+      |sk AS (SELECT j, b, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM h GROUP BY j, b),
+      |cm1 AS (
+      |  SELECT CAST(4096 AS INT) AS width, min(dot) AS cm_upper
+      |  FROM (SELECT j, sum(cnt * cnt) AS dot FROM sk GROUP BY j)),
+      |f AS (SELECT j, b % 256 AS b, sum(cnt) AS cnt FROM sk GROUP BY 1, 2),
+      |cm2 AS (
+      |  SELECT CAST(256 AS INT) AS width, min(dot) AS cm_upper
+      |  FROM (SELECT j, sum(cnt * cnt) AS dot FROM f GROUP BY j)),
+      |ah AS (
+      |  SELECT r.j,
+      |         ('0x' || substr(md5(r.j || ':' || l_partkey), 1, 8))::BIGINT
+      |           % 4096 AS b,
+      |         CASE WHEN ('0x' || substr(md5('s' || r.j || ':' || l_partkey),
+      |                                   1, 8))::BIGINT % 2 = 0
+      |              THEN 1 ELSE -1 END AS s
+      |  FROM lineitem, UNNEST(range(0, 5)) AS r(j)),
+      |ask AS (SELECT j, b, CAST(sum(s) AS BIGINT) AS cnt
+      |        FROM ah GROUP BY j, b),
+      |am1 AS (
+      |  SELECT CAST(4096 AS INT) AS width, dot AS ams_estimate
+      |  FROM (SELECT j, sum(cnt * cnt) AS dot,
+      |               row_number() OVER (ORDER BY sum(cnt * cnt), j) AS rn
+      |        FROM ask GROUP BY j) WHERE rn = 3),
+      |af AS (SELECT j, b % 256 AS b, sum(cnt) AS cnt FROM ask GROUP BY 1, 2),
+      |am2 AS (
+      |  SELECT CAST(256 AS INT) AS width, dot AS ams_estimate
+      |  FROM (SELECT j, sum(cnt * cnt) AS dot,
+      |               row_number() OVER (ORDER BY sum(cnt * cnt), j) AS rn
+      |        FROM af GROUP BY j) WHERE rn = 3),
+      |x AS (
+      |  SELECT CAST(sum(c * c) AS BIGINT) AS exact_size
+      |  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)),
+      |e AS (SELECT * FROM cm2 UNION ALL SELECT * FROM cm1),
+      |a AS (SELECT * FROM am2 UNION ALL SELECT * FROM am1)
+      |SELECT e.width, CAST(e.cm_upper AS BIGINT) AS cm_upper,
+      |       CAST(a.ams_estimate AS BIGINT) AS ams_estimate, x.exact_size,
+      |       ((e.cm_upper - x.exact_size) * 1000000) // x.exact_size
+      |         AS cm_err_ppm,
+      |       ((a.ams_estimate - x.exact_size) * 1000000) // x.exact_size
+      |         AS ams_err_ppm
+      |FROM e JOIN a USING (width), x
+      |ORDER BY e.width""".stripMargin
 
   // ------------------------------------------------------------------
   // q156 — k-anonymity release audit (operators/Privacy): equivalence

@@ -371,6 +371,36 @@ class PipelineOpsSpec extends AnyFunSuite {
       targets.filter($"target_n" < 0)).count() == 0)
   }
 
+  test("join estimate: CM upper bound holds, AMS unbiased, folds consistent") {
+    import graft.operators.JoinEstimate
+    // planted skew: key 1 x100, key 2 x50, 850 singletons
+    // exact self-join size = 100^2 + 50^2 + 850 = 13350
+    val keys = (Seq.fill(100)(1L) ++ Seq.fill(50)(2L) ++
+      (1000L to 1849L)).toDF("k")
+    val exact = 100L * 100 + 50L * 50 + 850L
+    val cm = JoinEstimate.sketch(keys, "k", 4096)
+    val cmEst = JoinEstimate.selfJoinEstimate(cm).as[Long].head()
+    assert(cmEst >= exact, s"CM must be an upper bound: $cmEst < $exact")
+    assert(cmEst <= exact * 2, s"CM way off on a sparse sketch: $cmEst")
+    // the fold equals a directly-built narrow sketch, counter for counter
+    val folded = JoinEstimate.fold(cm, 256)
+      .as[(Int, Long, Long)].collect().toSet
+    val direct = JoinEstimate.sketch(keys, "k", 256)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(folded == direct)
+    // AMS: a signed median within 30% on this corpus, partition-invariant
+    val ams = JoinEstimate.amsSketch(keys, "k", 4096)
+    val amsEst = JoinEstimate.amsSelfJoinEstimate(ams).as[Long].head()
+    assert(math.abs(amsEst - exact) * 10 <= exact * 3,
+      s"AMS estimate $amsEst vs exact $exact")
+    val amsEst7 = JoinEstimate.amsSelfJoinEstimate(
+      JoinEstimate.amsSketch(keys.repartition(7), "k", 4096)).as[Long].head()
+    assert(amsEst7 == amsEst)
+    // sketch mass: CM counters sum to SignDepth-free Depth * n
+    val mass = cm.agg(sum($"cnt")).as[Long].head()
+    assert(mass == JoinEstimate.Depth.toLong * 1000L)
+  }
+
   test("sweep line: end-exclusive peaks, midnight carry, hand-computed") {
     import graft.operators.SweepLine
     def t(s: String) = java.sql.Timestamp.valueOf(s)
