@@ -1178,13 +1178,15 @@ object QueriesPipeline {
       .unionByName(tier(4096, cmWide, amsWide))
     val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * col("c")).as("exact_size"))
+    // ppm errors through DECIMAL(38,0): cm_upper * 10^6 can pass 2^63 at
+    // corpus scale (a 60M-row self-join pushes the w=256 bound to ~10^13)
     val out = ests.crossJoin(broadcast(exact))
       .select(col("width"), col("cm_upper"), col("ams_estimate"),
         col("exact_size"),
-        expr("((cm_upper - exact_size) * 1000000) div exact_size")
-          .as("cm_err_ppm"),
-        expr("((ams_estimate - exact_size) * 1000000) div exact_size")
-          .as("ams_err_ppm"))
+        expr("CAST(((CAST(cm_upper AS DECIMAL(38,0)) - exact_size)" +
+          " * 1000000) DIV exact_size AS BIGINT)").as("cm_err_ppm"),
+        expr("CAST(((CAST(ams_estimate AS DECIMAL(38,0)) - exact_size)" +
+          " * 1000000) DIV exact_size AS BIGINT)").as("ams_err_ppm"))
       .orderBy(col("width"))
     LoopCache.finish(out, cmWide, amsWide)
   }
@@ -1232,10 +1234,10 @@ object QueriesPipeline {
       |a AS (SELECT * FROM am2 UNION ALL SELECT * FROM am1)
       |SELECT e.width, CAST(e.cm_upper AS BIGINT) AS cm_upper,
       |       CAST(a.ams_estimate AS BIGINT) AS ams_estimate, x.exact_size,
-      |       ((e.cm_upper - x.exact_size) * 1000000) // x.exact_size
-      |         AS cm_err_ppm,
-      |       ((a.ams_estimate - x.exact_size) * 1000000) // x.exact_size
-      |         AS ams_err_ppm
+      |       CAST(((CAST(e.cm_upper AS HUGEINT) - x.exact_size) * 1000000)
+      |            // x.exact_size AS BIGINT) AS cm_err_ppm,
+      |       CAST(((CAST(a.ams_estimate AS HUGEINT) - x.exact_size) * 1000000)
+      |            // x.exact_size AS BIGINT) AS ams_err_ppm
       |FROM e JOIN a USING (width), x
       |ORDER BY e.width""".stripMargin
 
