@@ -62,6 +62,17 @@ object JoinEstimate {
     sk.groupBy(col("j")).agg(sum(col("cnt") * col("cnt")).as("dot"))
       .agg(min(col("dot")).as("estimate"))
 
+  /** Two-relation equi-join size estimate: min over rows j of the
+    * (j, b)-aligned counter inner product — the CM upper bound on
+    * |A ⋈ B|. Both sketches must share [[Depth]] and width. */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
+    skA.join(skB.withColumnRenamed("cnt", "__cntB"), Seq("j", "b"))
+      .groupBy(col("j")).agg(sum(col("cnt") * col("__cntB")).as("dot"))
+      // a row j with NO shared bucket has dot 0 but vanishes from the
+      // inner join — any missing row forces the min to 0
+      .agg(when(count(lit(1)) === Depth, min(col("dot")))
+        .otherwise(lit(0L)).as("estimate"))
+
   val SignDepth = 5
 
   /** AMS (Alon–Matias–Szegedy) signed sketch: counter (j, b) holds

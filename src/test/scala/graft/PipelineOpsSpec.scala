@@ -399,6 +399,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     // sketch mass: CM counters sum to SignDepth-free Depth * n
     val mass = cm.agg(sum($"cnt")).as[Long].head()
     assert(mass == JoinEstimate.Depth.toLong * 1000L)
+    // two-relation estimate: upper-bounds the exact equi-join size, and
+    // fully disjoint key sets estimate 0 (missing-row rule)
+    val other = (Seq.fill(30)(1L) ++ (5000L to 5099L)).toDF("k")
+    val exactAB = 100L * 30 // only key 1 matches
+    val estAB = JoinEstimate.joinSizeEstimate(cm,
+      JoinEstimate.sketch(other, "k", 4096)).as[Long].head()
+    assert(estAB >= exactAB && estAB <= exactAB + 1000,
+      s"two-relation estimate $estAB vs exact $exactAB")
+    val disjoint = JoinEstimate.joinSizeEstimate(cm,
+      JoinEstimate.sketch((90000L to 90000L).toDF("k"), "k", 4096))
+      .as[Long].head()
+    assert(disjoint <= 100L, s"near-disjoint join grossly over: $disjoint")
   }
 
   test("sweep line: end-exclusive peaks, midnight carry, hand-computed") {

@@ -505,6 +505,49 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(got.distinct.size == got.size, "duplicate anomaly rows in sink")
   }
 
+  test("checkpoint recovery: drift-monitor window histograms merge across a " +
+      "kill+restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val types = Seq("a", "b")
+    // reference 50/50: day 1's final mix must be 8a/2b -> L1 = 600000 ppm
+    val ref = StreamingOps.typeHistogram(
+      (Seq.fill(10)("a") ++ Seq.fill(10)("b")).map(("x", _)).toDF("k", "t"),
+      "t", types)
+    val mem = MemoryStream[(Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_dr").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_out_dr").toString
+    def start() = StreamingOps.driftStream(events, "event_type", "ts", types,
+        ref, windowLen = "1 day", watermark = "1 hour",
+        thresholdPpm = 300000L)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      mem.addData((ts("2026-08-10 01:00:00"), "a"), (ts("2026-08-10 01:05:00"), "a"),
+        (ts("2026-08-10 01:10:00"), "b")); q1.processAllAvailable()
+      mem.addData((ts("2026-08-10 02:00:00"), "a")); q1.processAllAvailable()
+      assert(commitsIn(ckpt) >= 2, s"need >=2 committed batches, got ${commitsIn(ckpt)}")
+      // pending at kill: the counts that make the day drift ONLY if the
+      // restarted query merges them into the recovered window histogram
+      mem.addData((ts("2026-08-10 03:00:00"), "a"), (ts("2026-08-10 03:01:00"), "a"),
+        (ts("2026-08-10 03:02:00"), "a"), (ts("2026-08-10 03:03:00"), "a"),
+        (ts("2026-08-10 03:04:00"), "a"), (ts("2026-08-10 03:05:00"), "b"))
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      mem.addData((ts("2026-08-12 12:00:00"), "a")) // watermark past day 1
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(out)
+      .select($"window_start", $"total", $"l1_ppm", $"drifted")
+      .as[(Timestamp, Long, Long, Boolean)].collect().toSeq
+    assert(got.toSet == Set((ts("2026-08-10 00:00:00"), 10L, 600000L, true)),
+      s"drift rows across restart wrong: $got — day 1 must emit ONCE with " +
+        "the merged 8a/2b histogram (|800000-500000|+|200000-500000|)")
+    assert(got.distinct.size == got.size, "duplicate drift rows in sink")
+  }
+
   test("hot-entity guard: denylisted key excluded, clean keys hash-match the " +
       "unguarded join, side output captures the exclusions") {
     implicit val sqlCtx = spark.sqlContext
