@@ -1242,6 +1242,79 @@ object QueriesPipeline {
       |ORDER BY e.width""".stripMargin
 
   // ------------------------------------------------------------------
+  // q162 — two-relation join-size estimate: "how many lineitems will a
+  // join against the premium-parts dimension keep" (p_retailprice >
+  // 975 — the top quarter; the selectivity question an optimizer answers before picking
+  // broadcast vs shuffle), estimated as the (j,b)-aligned CM counter
+  // inner product at widths 256/4096 vs the exact join count, signed
+  // ppm error in the output. Part keys are unique, so the exact size is
+  // a semi-join count — stated that way by the oracle.
+  // ------------------------------------------------------------------
+  def joinSizeTwoRel(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_partkey"))
+    val dim = Tables.load(spark, sfDir, "part")
+      .filter(col("p_retailprice") > 975.0).select(col("p_partkey"))
+    val liSk = JoinEstimate.sketch(li, "l_partkey", 4096)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dimSk = JoinEstimate.sketch(dim, "p_partkey", 4096)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def tier(width: Int, a: DataFrame, b: DataFrame): DataFrame =
+      JoinEstimate.joinSizeEstimate(a, b).withColumn("width", lit(width))
+    val ests = tier(256, JoinEstimate.fold(liSk, 256),
+        JoinEstimate.fold(dimSk, 256))
+      .unionByName(tier(4096, liSk, dimSk))
+    val exact = li.join(dim, col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .agg(count(lit(1)).as("exact_size"))
+    val out = ests.crossJoin(broadcast(exact))
+      .select(col("width"), col("estimate"), col("exact_size"),
+        expr("CASE WHEN exact_size > 0 THEN" +
+          " CAST(((CAST(estimate AS DECIMAL(38,0)) - exact_size)" +
+          " * 1000000) DIV exact_size AS BIGINT) END").as("err_ppm"))
+      .orderBy(col("width"))
+    LoopCache.finish(out, liSk, dimSk)
+  }
+
+  val joinSizeTwoRelSql: String =
+    """WITH dim AS (
+      |  SELECT p_partkey FROM part WHERE p_retailprice > 975.0),
+      |la AS (
+      |  SELECT r.j,
+      |         ('0x' || substr(md5(r.j || ':' || l_partkey), 1, 8))::BIGINT
+      |           % 4096 AS b
+      |  FROM lineitem, UNNEST(range(0, 4)) AS r(j)),
+      |ska AS (SELECT j, b, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM la GROUP BY j, b),
+      |lb AS (
+      |  SELECT r.j,
+      |         ('0x' || substr(md5(r.j || ':' || p_partkey), 1, 8))::BIGINT
+      |           % 4096 AS b
+      |  FROM dim, UNNEST(range(0, 4)) AS r(j)),
+      |skb AS (SELECT j, b, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM lb GROUP BY j, b),
+      |e1 AS (
+      |  SELECT CAST(4096 AS INT) AS width,
+      |         CASE WHEN count(*) = 4 THEN min(dot) ELSE 0 END AS estimate
+      |  FROM (SELECT a.j, sum(a.cnt * b.cnt) AS dot
+      |        FROM ska a JOIN skb b USING (j, b) GROUP BY a.j)),
+      |fa AS (SELECT j, b % 256 AS b, sum(cnt) AS cnt FROM ska GROUP BY 1, 2),
+      |fb AS (SELECT j, b % 256 AS b, sum(cnt) AS cnt FROM skb GROUP BY 1, 2),
+      |e2 AS (
+      |  SELECT CAST(256 AS INT) AS width,
+      |         CASE WHEN count(*) = 4 THEN min(dot) ELSE 0 END AS estimate
+      |  FROM (SELECT a.j, sum(a.cnt * b.cnt) AS dot
+      |        FROM fa a JOIN fb b USING (j, b) GROUP BY a.j)),
+      |x AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS exact_size
+      |  FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM dim))
+      |SELECT width, CAST(estimate AS BIGINT) AS estimate, exact_size,
+      |       CASE WHEN exact_size > 0 THEN
+      |         CAST(((CAST(estimate AS HUGEINT) - exact_size) * 1000000)
+      |              // exact_size AS BIGINT) END AS err_ppm
+      |FROM (SELECT * FROM e2 UNION ALL SELECT * FROM e1), x
+      |ORDER BY width""".stripMargin
+
+  // ------------------------------------------------------------------
   // q156 — k-anonymity release audit (operators/Privacy): equivalence
   // classes over (nation, segment, 1000-unit balance bracket), rows in
   // classes smaller than k=5 flagged for suppression, reported per
