@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Bm25, Bpe, Chunking, CorpusDiff, Decontaminate, Dedup, EventSeq, NgramLm, Overlap}
+import graft.operators.{Bm25, Bpe, Chunking, CorpusDiff, Decontaminate, Dedup, EventSeq, LoopCache, NgramLm, Overlap}
 
 /** Corpus-preparation wave 2: the sequence-level operators between a
   * cleaned document corpus and model-ready training batches — train/eval
@@ -1225,4 +1225,88 @@ object QueriesCorpus {
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |            AS BIGINT) AS cum_events
       |FROM g ORDER BY bucket""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q163 — BPE encoding (the deploy half of q145): apply the top-20
+  // mined merges, in rank order, to the word-type table via the
+  // wrapped-separator literal-replace fold (operators/Bpe.applyMerges —
+  // greedy leftmost, boundary-safe, regex-free), and report per-source
+  // compression: chars -> symbols, ratio in ppm. Corpus-scale cost is a
+  // word count; the fold runs over word TYPES. The oracle re-mines the
+  // same merges and replays the fold as a 20-step recursive CTE with
+  // the same replace() left-to-right contract.
+  // -------------------------------------------------------------------
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("source", "text"))
+    // plan-construction scalar rows (q70's pinnedRows rationale): the 20
+    // mined merges become literals inside the per-word fold expression
+    val merges = LoopCache.pinnedRows(
+        Bpe.mergeCandidates(docs.select("text"), "text", k = 20))
+      .toSeq.sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getString(0), r.getString(1)))
+    val sw = docs.select(col("source"),
+        explode(graft.functions.TextFunctions.tokensWs(col("text")))
+          .as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+    val types = Bpe.applyMerges(
+      sw.select(col("word")).distinct(), "word", merges)
+    sw.join(types.select(col("word"), col("n_syms")), Seq("word"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("word")).cast("long")).as("n_chars"),
+        sum(col("cnt") * col("n_syms").cast("long")).as("n_syms"))
+      .select(col("source"), col("n_words"), col("n_chars"), col("n_syms"),
+        expr("CAST((CAST(n_syms AS DECIMAL(38,0)) * 1000000)" +
+          " DIV n_chars AS BIGINT)").as("compression_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val bpeEncodeSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT source,
+      |         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+      |  FROM documents
+      |  WHERE length(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0),
+      |ws AS (
+      |  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT source, unnest(t) AS word FROM t) GROUP BY 1, 2),
+      |wc AS (SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM ws GROUP BY 1),
+      |pairs AS (
+      |  SELECT substr(word, u.i, 1) AS lhs, substr(word, u.i + 1, 1) AS rhs,
+      |         cnt
+      |  FROM wc, UNNEST(range(1, len(word))) AS u(i)
+      |  WHERE len(word) >= 2),
+      |agg AS (
+      |  SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS pair_freq
+      |  FROM pairs GROUP BY lhs, rhs),
+      |merges AS (
+      |  SELECT lhs, rhs,
+      |         row_number() OVER (ORDER BY pair_freq DESC, lhs, rhs) AS rank
+      |  FROM agg ORDER BY pair_freq DESC, lhs, rhs LIMIT 20),
+      |sym0 AS (
+      |  SELECT word,
+      |         chr(1) || regexp_replace(word, '(.)', '\1' || chr(1), 'g') AS sym
+      |  FROM (SELECT DISTINCT word FROM ws)),
+      |r AS (
+      |  SELECT word, sym, 0 AS step FROM sym0
+      |  UNION ALL
+      |  SELECT r.word,
+      |         replace(r.sym, chr(1) || m.lhs || chr(1) || m.rhs || chr(1),
+      |                        chr(1) || m.lhs || m.rhs || chr(1)),
+      |         r.step + 1
+      |  FROM r JOIN merges m ON m.rank = r.step + 1
+      |  WHERE r.step < 20),
+      |fin AS (
+      |  SELECT word,
+      |         len(sym) - len(replace(sym, chr(1), '')) - 1 AS n_syms
+      |  FROM r WHERE step = 20)
+      |SELECT ws.source,
+      |       CAST(sum(ws.cnt) AS BIGINT) AS n_words,
+      |       CAST(sum(ws.cnt * len(ws.word)) AS BIGINT) AS n_chars,
+      |       CAST(sum(ws.cnt * fin.n_syms) AS BIGINT) AS n_syms,
+      |       CAST((CAST(sum(ws.cnt * fin.n_syms) AS HUGEINT) * 1000000)
+      |            // sum(ws.cnt * len(ws.word)) AS BIGINT) AS compression_ppm
+      |FROM ws JOIN fin USING (word)
+      |GROUP BY ws.source ORDER BY ws.source""".stripMargin
 }

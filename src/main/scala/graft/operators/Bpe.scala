@@ -22,6 +22,43 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Symbol separator for [[applyMerges]]' wrapped representation —
+    * a control char that corpus-normalized text never contains. */
+  val Sep = "\u0001"
+
+  /** Apply a STATIC rank-ordered merge list to the word-type table —
+    * the encode half of BPE, run exactly as a tokenizer deployment
+    * does: the merge list is fixed (mined once), application is a pure
+    * per-word function, and the corpus-scale cost is vocabulary-sized
+    * because it runs over word TYPES.
+    *
+    * Representation is the whole trick: each word becomes a WRAPPED
+    * symbol string `⸱h⸱e⸱l⸱l⸱o⸱` (every symbol PREFIXED with [[Sep]],
+    * one trailing). Merge (l, r) is then the literal left-to-right
+    * replace of `⸱l⸱r⸱` with `⸱lr⸱` — which is exactly BPE's greedy
+    * leftmost application ("aaa" + (a,a) → [aa][a], the consumed shared
+    * separator blocks the overlap), and cannot merge across a symbol
+    * boundary (the inner characters of a merged symbol carry no
+    * separator). No regex, no lookaround — the same `replace`
+    * left-to-right contract on every engine, so a DuckDB recursive CTE
+    * replays the fold verbatim.
+    *
+    * Scope note (q145's): a full TRAINER iterates merge→recount on the
+    * vocabulary; this applies one mined list — the deployment path, and
+    * the only part that touches corpus-scale data.
+    *
+    * Adds `sym` (the encoded symbol string) and `n_syms`. */
+  def applyMerges(words: DataFrame, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val sym0 = concat(lit(Sep), regexp_replace(col(wordCol), "(.)", "$1" + Sep))
+    val folded = merges.foldLeft(sym0) { case (s, (l, r)) =>
+      replace(s, lit(Sep + l + Sep + r + Sep), lit(Sep + l + r + Sep))
+    }
+    words.withColumn("sym", folded)
+      .withColumn("n_syms", (length(col("sym"))
+        - length(replace(col("sym"), lit(Sep), lit("")))) - 1)
+  }
+
   /** Top-`k` adjacent character-pair merge candidates over the tokens of
     * `textCol` (corpus-standard normalization). Output: (lhs, rhs,
     * pair_freq, rank) — pair_freq = Σ over word types count(word) ×

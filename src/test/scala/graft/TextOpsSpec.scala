@@ -308,6 +308,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("BPE apply: greedy leftmost, boundary-safe, rank-ordered fold") {
+    import graft.operators.Bpe
+    def enc(words: Seq[String], merges: Seq[(String, String)]) =
+      Bpe.applyMerges(words.toDF("word"), "word", merges)
+        .select($"word", $"sym", $"n_syms").as[(String, String, Int)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val S = Bpe.Sep
+    // greedy leftmost: "aaa" + (a,a) -> [aa][a], never [a][aa]
+    val g = enc(Seq("aaa"), Seq(("a", "a")))
+    assert(g("aaa") == ((s"${S}aa$S" + s"a$S", 2)))
+    // boundary safety: after (e,l), the rule (l,l) must NOT reach into
+    // the merged "el" symbol — "hello" -> h [el] l o, not h e [ll] o
+    val b = enc(Seq("hello"), Seq(("e", "l"), ("l", "l")))
+    assert(b("hello") == ((s"${S}h${S}el${S}l${S}o$S", 4)), b("hello"))
+    // rank order matters: (l,l) FIRST gives h e [ll] o
+    val b2 = enc(Seq("hello"), Seq(("l", "l"), ("e", "l")))
+    assert(b2("hello") == ((s"${S}h${S}e${S}ll${S}o$S", 4)), b2("hello"))
+    // no merges: one symbol per char; single char: one symbol
+    val n = enc(Seq("ab", "x"), Seq.empty)
+    assert(n("ab")._2 == 2 && n("x")._2 == 1)
+  }
+
   test("rolling_hash registered for SQL via GraftExtensions; literal folds") {
     GraftExtensions.register(spark)
     val got = spark.sql("SELECT rolling_hash('hello') AS h, rolling_hash('hello', 37) AS h37")
