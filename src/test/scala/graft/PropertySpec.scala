@@ -199,4 +199,83 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("sweep-line property: daily peaks == brute-force scan, ∀ interval sets") {
+    import graft.operators.SweepLine
+    val ivGen = Gen.nonEmptyListOf(for {
+      st <- Gen.chooseNum(0L, 400000L)       // seconds over ~4.6 days
+      len <- Gen.chooseNum(1L, 200000L)
+    } yield (st, st + len))
+    for ((ivs, i) <- samples(ivGen, 8).zipWithIndex) {
+      val df = ivs.map { case (s, e) =>
+        (new java.sql.Timestamp(s * 1000L), new java.sql.Timestamp(e * 1000L))
+      }.toDF("st", "et")
+      val got = SweepLine.dailyPeakConcurrency(df, "st", "et")
+        .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(4))
+        .toMap
+      // brute force: concurrency at instant t = #{[s,e) : s <= t < e},
+      // evaluated at every delta instant plus each active day's start
+      val deltas = ivs.flatMap { case (s, e) => Seq(s, e) }.distinct.sorted
+      def conc(t: Long) = ivs.count { case (s, e) => s <= t && t < e }
+      val activeDays = deltas.map(_ / 86400 * 86400).distinct
+      val want = activeDays.map { day =>
+        val instants = deltas.filter(t => t >= day && t < day + 86400) :+ day
+        day -> instants.map(conc).max.toLong
+      }.toMap
+      assert(got == want, s"interval set $i: $ivs")
+    }
+  }
+
+  test("lateness-profile property: bucket counts == brute force, ∀ logs") {
+    import graft.operators.EventSeq
+    val logGen = Gen.nonEmptyListOf(for {
+      u <- Gen.chooseNum(1L, 4L)
+      t <- Gen.chooseNum(0L, 5000L)
+    } yield (u, t))
+    val bounds = Seq(1L, 60L, 600L)
+    for ((log, i) <- samples(logGen, 8).zipWithIndex) {
+      val rows = log.zipWithIndex.map { case ((u, t), seq) =>
+        (u, new java.sql.Timestamp(t * 1000L), seq.toLong)
+      }
+      val got = EventSeq.latenessProfile(rows.toDF("u", "ts", "seq"),
+          "u", "ts", Seq("seq"), bounds)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      // brute force latenesses in seq order per user
+      val lates = rows.groupBy(_._1).values.flatMap { evs =>
+        val sorted = evs.sortBy(_._3)
+        sorted.zipWithIndex.map { case ((_, ts, _), k) =>
+          val prevMax = sorted.take(k).map(_._2.getTime).maxOption.getOrElse(ts.getTime)
+          math.max(0L, prevMax - ts.getTime) / 1000 // whole seconds in this fixture
+        }
+      }.toSeq
+      def bucketOf(l: Long) =
+        if (l == 0) 0
+        else bounds.indexWhere(l <= _) match {
+          case -1 => bounds.length + 1; case j => j + 1 }
+      val want = lates.groupBy(bucketOf).map { case (b, ls) => b -> ls.size.toLong }
+      assert(got == want, s"log $i: $log")
+    }
+  }
+
+  test("exact-quota property: kept set == brute-force rank cut, ∀ strata") {
+    import graft.operators.Sampling
+    val gen = for {
+      n <- Gen.chooseNum(1, 300)
+      t0 <- Gen.chooseNum(0L, 50L)
+      t1 <- Gen.chooseNum(0L, 400L)
+    } yield (n, t0, t1)
+    for (((n, t0, t1), i) <- samples(gen, 6).zipWithIndex) {
+      val df = (1L to n.toLong).map(id => (id, s"s${id % 2}")).toDF("id", "st")
+      val targets = Seq(("s0", t0), ("s1", t1)).toDF("st", "target_n")
+      val got = Sampling.exactQuotaSample(df, "st", "id", targets)
+        .select($"id").as[Long].collect().toSet
+      def draw(id: Long) = (id * 48271 % 2147483647) * 48271 % 2147483647
+      val want = (1L to n.toLong).groupBy(id => s"s${id % 2}")
+        .flatMap { case (st, ids) =>
+          val t = if (st == "s0") t0 else t1
+          ids.sortBy(id => (draw(id), id)).take(t.toInt)
+        }.toSet
+      assert(got == want, s"case $i: n=$n targets=($t0,$t1)")
+    }
+  }
 }
