@@ -1071,6 +1071,91 @@ object QueriesText {
       |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------------------
+  // q164 — audio silence profiling (Multimodal.stubWaveform +
+  // silenceRuns): the dead-air screen an audio pipeline runs before
+  // training on clips. Stub waveform (payload poly-31 hash + LCG, the
+  // q50 contract; 1 + h mod 240 samples, amplitudes in [0,1024)) →
+  // gaps-and-islands silence runs (amp < 128, length ≥ 3) → per-source
+  // run counts, longest run, and dead-air ppm. The oracle replays the
+  // waveform with the q50 HUGEINT machinery and the same pos −
+  // row_number island key.
+  // ------------------------------------------------------------------
+  def audioSilence(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = Multimodal.payloadFromText(
+      Tables.rebalance(
+        Tables.documents(spark, sfDir).select("doc_id", "source", "text")),
+      "doc_id", "source", "text")
+    val samples = Multimodal.stubWaveform(payloads)
+    val runs = Multimodal.silenceRuns(samples, silenceBelow = 128, minRun = 3)
+    val perSrc = samples.groupBy(col("source"))
+      .agg(countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_samples"))
+    val runAgg = runs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_len")).as("longest_run"),
+        sum(col("run_len")).as("sil_in_runs"))
+    perSrc.join(runAgg, Seq("source"), "left")
+      .select(col("source"), col("n_media"), col("n_samples"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        expr("CAST((CAST(coalesce(sil_in_runs, 0) AS DECIMAL(38,0))" +
+          " * 1000000) DIV n_samples AS BIGINT)").as("silence_run_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val audioSilenceSql: String =
+    """WITH RECURSIVE h0 AS (
+      |  SELECT doc_id, source,
+      |         list_reduce(
+      |           list_prepend(1125899906842597::HUGEINT,
+      |             list_transform(range(1, length(text) + 1),
+      |                            i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+      |           (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents
+      |), meta AS (
+      |  SELECT doc_id, source, hu,
+      |         1 + CAST(((CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |                         THEN hu - 18446744073709551616::HUGEINT
+      |                         ELSE hu END % 240) + 240) % 240 AS INT) AS n
+      |  FROM h0
+      |), lcg AS (
+      |  SELECT doc_id, source, hu AS s, 0 AS j, n FROM meta
+      |  UNION ALL
+      |  SELECT doc_id, source,
+      |         (s * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+      |           % 18446744073709551616::HUGEINT, j + 1, n
+      |  FROM lcg WHERE j < n
+      |), samples AS (
+      |  SELECT doc_id, source, j AS pos,
+      |         CAST((s // 2048::HUGEINT) % 1024 AS INT) AS amp
+      |  FROM lcg WHERE j >= 1
+      |), sil AS (
+      |  SELECT doc_id, source, pos,
+      |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM samples WHERE amp < 128
+      |), runs AS (
+      |  SELECT doc_id, source, grp, CAST(count(*) AS BIGINT) AS run_len
+      |  FROM sil GROUP BY doc_id, source, grp
+      |  HAVING count(*) >= 3
+      |), ps AS (
+      |  SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_media,
+      |         CAST(count(*) AS BIGINT) AS n_samples
+      |  FROM samples GROUP BY source
+      |), pr AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_runs,
+      |         CAST(max(run_len) AS BIGINT) AS longest_run,
+      |         CAST(sum(run_len) AS BIGINT) AS sil_in_runs
+      |  FROM runs GROUP BY source
+      |)
+      |SELECT ps.source, ps.n_media, ps.n_samples,
+      |       coalesce(pr.n_runs, 0) AS n_runs,
+      |       coalesce(pr.longest_run, 0) AS longest_run,
+      |       CAST((CAST(coalesce(pr.sil_in_runs, 0) AS HUGEINT) * 1000000)
+      |            // ps.n_samples AS BIGINT) AS silence_run_ppm
+      |FROM ps LEFT JOIN pr USING (source)
+      |ORDER BY ps.source""".stripMargin
+
+  // ------------------------------------------------------------------
   // q157 — Poisson-bootstrap error bars (operators/Bootstrap): 95%
   // confidence intervals on the per-source mean token count from 32
   // deterministic Poisson(1) replicas. All B replicas ride ONE narrow

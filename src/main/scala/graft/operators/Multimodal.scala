@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.RollingHashExpression
 
@@ -289,6 +290,58 @@ object Multimodal {
       .select(col("id_a"), col("id_b"),
         bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("int")
           .as("hamming"))
+  }
+
+  /** One decoded audio sample at the waveform boundary. */
+  final case class AudioSample(media_id: Long, source: String, pos: Int, amp: Int)
+
+  /** STUB audio decode — the waveform analogue of [[decodeFeatures]]'
+    * fake codec: a deterministic pure function of the payload bytes
+    * (same poly-31 hash seed, same LCG walk as `fakeDecode`, so the
+    * q164 oracle replays it with the q50 HUGEINT machinery). Sample
+    * count is `1 + h mod 240` (signed floor-mod of the payload hash —
+    * NOT sampleFrames' byte-length rule), amplitudes land in
+    * [0, 1024). A real implementation swaps the
+    * body for a PCM decoder at this same mapPartitions seam — one
+    * iterator per partition, rows exploded per sample. */
+  def stubWaveform(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        var h = 1125899906842597L
+        var i = 0
+        while (i < r.payload.length) { h = h * 31 + r.payload(i); i += 1 }
+        val n = 1 + math.floorMod(h, 240L).toInt
+        var s = h
+        (1 to n).map { j =>
+          s = s * 6364136223846793005L + 1442695040888963407L
+          AudioSample(r.media_id, r.source, j, ((s >>> 11) % 1024L).toInt)
+        }
+      }
+    }.toDF()
+  }
+
+  /** Silence-run detection over a sample stream — the gaps-and-islands
+    * pass an audio pipeline runs to drop dead air before training on a
+    * clip: consecutive runs of ≥ `minRun` samples below `silenceBelow`,
+    * one row per run with its start and length. The island key is the
+    * classic `pos − row_number()` over the silent rows only — constant
+    * per run, distinct across runs — so the whole detection is one
+    * media-keyed window plus a grouped count, no self-join, no state.
+    * Samples per media bound the window buffer (a production pipeline
+    * chunks clips upstream; the decode emits ≤240 here). */
+  def silenceRuns(samples: DataFrame,
+      silenceBelow: Int, minRun: Int): DataFrame = {
+    require(minRun >= 1, s"minRun=$minRun must be >= 1")
+    val w = Window.partitionBy(col("media_id")).orderBy(col("pos"))
+    samples.filter(col("amp") < silenceBelow)
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("media_id"), col("source"), col("__grp"))
+      .agg(count(lit(1)).cast("long").as("run_len"),
+        min(col("pos")).as("run_start"))
+      .filter(col("run_len") >= minRun)
+      .drop("__grp")
   }
 
   /** Per-source feature statistics over the decoded output — the query

@@ -308,6 +308,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("audio silence runs: exact islands, min-run boundary, waveform contract") {
+    // hand-built stream: media 1 amps 900,10,10,10,900,10,10,900 ->
+    // one run of 3 at pos 2; the trailing pair is below minRun
+    val amps1 = Seq(900, 10, 10, 10, 900, 10, 10, 900)
+    val amps2 = Seq(10, 10, 10, 10) // media 2: one full-clip run of 4
+    val samples = (amps1.zipWithIndex.map { case (a, i) => (1L, "s", i + 1, a) }
+      ++ amps2.zipWithIndex.map { case (a, i) => (2L, "s", i + 1, a) })
+      .toDF("media_id", "source", "pos", "amp")
+    val runs = Multimodal.silenceRuns(samples, silenceBelow = 128, minRun = 3)
+      .select($"media_id", $"run_start", $"run_len")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(runs == Set((1L, 2, 3L), (2L, 1, 4L)), runs)
+    // min-run boundary: raising minRun to 4 drops media 1's run
+    assert(Multimodal.silenceRuns(samples, 128, 4)
+      .select($"media_id").as[Long].collect().toSeq == Seq(2L))
+    // stub waveform: deterministic, the 1 + hash mod 240 length contract
+    // (hand-replayed), amplitudes in range, partition-invariant
+    val payloads = Seq((7L, "s", "some payload"), (8L, "s", "x"))
+      .toDF("media_id", "source", "payload")
+      .withColumn("payload", $"payload".cast("binary"))
+    val wf = Multimodal.stubWaveform(payloads)
+      .as[(Long, String, Int, Int)].collect()
+    assert(wf.forall(s => s._4 >= 0 && s._4 < 1024))
+    def wantLen(text: String): Long = {
+      var h = 1125899906842597L
+      text.getBytes("UTF-8").foreach(b => h = h * 31 + b)
+      1L + math.floorMod(h, 240L)
+    }
+    val perMedia = wf.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(perMedia == Map(7L -> wantLen("some payload"), 8L -> wantLen("x")),
+      s"waveform lengths $perMedia must follow 1 + hash mod 240")
+    val wf7 = Multimodal.stubWaveform(payloads.repartition(3))
+      .as[(Long, String, Int, Int)].collect()
+    assert(wf7.toSet == wf.toSet)
+  }
+
   test("BPE apply: greedy leftmost, boundary-safe, rank-ordered fold") {
     import graft.operators.Bpe
     def enc(words: Seq[String], merges: Seq[(String, String)]) =
