@@ -1156,6 +1156,101 @@ object QueriesText {
       |ORDER BY ps.source""".stripMargin
 
   // ------------------------------------------------------------------
+  // q165 — video scene-cut profiling (Multimodal.sceneCuts over the
+  // stub frame stream): a cut is a ≥512 jump in the per-frame feature;
+  // the running cut count segments each clip into scenes in the same
+  // window pass. Per source: clips, frames, cuts, the longest scene,
+  // and the cut rate over transitions (frames − clips). Completes the
+  // modality triple: image (q154 pHash), audio (q164 silence), video.
+  // ------------------------------------------------------------------
+  def videoCuts(spark: SparkSession, sfDir: String): DataFrame = {
+    val payloads = Multimodal.payloadFromText(
+      Tables.rebalance(
+        Tables.documents(spark, sfDir).select("doc_id", "source", "text")),
+      "doc_id", "source", "text")
+    val seg = Multimodal.sceneCuts(
+      Multimodal.stubWaveform(payloads), minDelta = 512)
+    val scenes = seg.groupBy(col("media_id"), col("source"), col("scene"))
+      .agg(count(lit(1)).as("scene_len"))
+    val perMedia = seg.groupBy(col("media_id"), col("source"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"))
+    perMedia.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_frames")).as("n_frames"),
+        sum(col("n_cuts")).as("n_cuts"))
+      .join(scenes.groupBy(col("source"))
+        .agg(max(col("scene_len")).as("longest_scene")), Seq("source"))
+      .select(col("source"), col("n_media"), col("n_frames"), col("n_cuts"),
+        col("longest_scene"),
+        expr("CASE WHEN n_frames > n_media THEN" +
+          " CAST((CAST(n_cuts AS DECIMAL(38,0)) * 1000000)" +
+          " DIV (n_frames - n_media) AS BIGINT) END").as("cut_rate_ppm"))
+      .orderBy(col("source"))
+  }
+
+  val videoCutsSql: String =
+    """WITH RECURSIVE h0 AS (
+      |  SELECT doc_id, source,
+      |         list_reduce(
+      |           list_prepend(1125899906842597::HUGEINT,
+      |             list_transform(range(1, length(text) + 1),
+      |                            i -> CAST(ord(substr(text, i, 1)) AS HUGEINT))),
+      |           (h, b) -> (h * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents
+      |), meta AS (
+      |  SELECT doc_id, source, hu,
+      |         1 + CAST(((CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |                         THEN hu - 18446744073709551616::HUGEINT
+      |                         ELSE hu END % 240) + 240) % 240 AS INT) AS n
+      |  FROM h0
+      |), lcg AS (
+      |  SELECT doc_id, source, hu AS s, 0 AS j, n FROM meta
+      |  UNION ALL
+      |  SELECT doc_id, source,
+      |         (s * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+      |           % 18446744073709551616::HUGEINT, j + 1, n
+      |  FROM lcg WHERE j < n
+      |), samples AS (
+      |  SELECT doc_id, source, j AS pos,
+      |         CAST((s // 2048::HUGEINT) % 1024 AS INT) AS amp
+      |  FROM lcg WHERE j >= 1
+      |), seg AS (
+      |  SELECT doc_id, source, pos, amp,
+      |         CASE WHEN lag(amp) OVER w IS NOT NULL
+      |               AND abs(amp - lag(amp) OVER w) >= 512
+      |              THEN 1 ELSE 0 END AS is_cut
+      |  FROM samples
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), sc AS (
+      |  SELECT doc_id, source, pos, is_cut,
+      |         sum(is_cut) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene
+      |  FROM seg
+      |), scenes AS (
+      |  SELECT doc_id, source, scene, CAST(count(*) AS BIGINT) AS scene_len
+      |  FROM sc GROUP BY doc_id, source, scene
+      |), pm AS (
+      |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_frames,
+      |         CAST(sum(is_cut) AS BIGINT) AS n_cuts
+      |  FROM sc GROUP BY doc_id, source
+      |), ps AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_media,
+      |         CAST(sum(n_frames) AS BIGINT) AS n_frames,
+      |         CAST(sum(n_cuts) AS BIGINT) AS n_cuts
+      |  FROM pm GROUP BY source
+      |), ls AS (
+      |  SELECT source, CAST(max(scene_len) AS BIGINT) AS longest_scene
+      |  FROM scenes GROUP BY source
+      |)
+      |SELECT ps.source, ps.n_media, ps.n_frames, ps.n_cuts, ls.longest_scene,
+      |       CASE WHEN ps.n_frames > ps.n_media THEN
+      |         CAST((CAST(ps.n_cuts AS HUGEINT) * 1000000)
+      |              // (ps.n_frames - ps.n_media) AS BIGINT) END AS cut_rate_ppm
+      |FROM ps JOIN ls USING (source)
+      |ORDER BY ps.source""".stripMargin
+
+  // ------------------------------------------------------------------
   // q157 — Poisson-bootstrap error bars (operators/Bootstrap): 95%
   // confidence intervals on the per-source mean token count from 32
   // deterministic Poisson(1) replicas. All B replicas ride ONE narrow

@@ -344,6 +344,28 @@ object Multimodal {
       .drop("__grp")
   }
 
+  /** Scene segmentation over a per-frame feature stream — the cut
+    * detector a video pipeline runs before sampling clips: a CUT is a
+    * frame whose feature jumps ≥ `minDelta` from its predecessor (lag
+    * window), and the running count of cuts IS the scene id (a
+    * prefix-sum segmentation — every frame gets its scene in the same
+    * single media-keyed window pass the lag already paid for). Returns
+    * the frame stream with `is_cut` and `scene` attached; scene lengths
+    * and rates are ordinary grouped counts downstream. Works over any
+    * (media_id, source, pos, amp) stream — [[stubWaveform]]'s, or a real
+    * per-frame luma extractor swapped in at the same seam. */
+  def sceneCuts(samples: DataFrame, minDelta: Int): DataFrame = {
+    require(minDelta >= 1, s"minDelta=$minDelta must be >= 1")
+    val w = Window.partitionBy(col("media_id")).orderBy(col("pos"))
+    samples
+      .withColumn("__prev", lag(col("amp"), 1).over(w))
+      .withColumn("is_cut", col("__prev").isNotNull &&
+        abs(col("amp") - col("__prev")) >= minDelta)
+      .withColumn("scene", sum(when(col("is_cut"), 1L).otherwise(0L))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev")
+  }
+
   /** Per-source feature statistics over the decoded output — the query
     * shape a training pipeline runs to monitor a media corpus.
     *

@@ -344,6 +344,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(wf7.toSet == wf.toSet)
   }
 
+  test("scene cuts: lag threshold, prefix-sum scene ids, hand-computed") {
+    // media 1: amps 100, 700, 650, 100, 120 -> cuts at pos 2 (jump 600)
+    // and pos 4 (jump 550); scenes [1], [2,3], [4,5]
+    val s1 = Seq(100, 700, 650, 100, 120).zipWithIndex
+      .map { case (a, i) => (1L, "s", i + 1, a) }
+    val s2 = Seq((2L, "s", 1, 500)) // single frame: no transitions
+    val seg = Multimodal.sceneCuts((s1 ++ s2).toDF("media_id", "source", "pos", "amp"),
+        minDelta = 512)
+      .select($"media_id", $"pos", $"is_cut", $"scene")
+      .as[(Long, Int, Boolean, Long)].collect().toSet
+    assert(seg == Set(
+      (1L, 1, false, 0L), (1L, 2, true, 1L), (1L, 3, false, 1L),
+      (1L, 4, true, 2L), (1L, 5, false, 2L),
+      (2L, 1, false, 0L)), seg)
+    // exact boundary: a delta of exactly minDelta IS a cut
+    val b = Multimodal.sceneCuts(
+      Seq((3L, "s", 1, 0), (3L, "s", 2, 512)).toDF("media_id", "source", "pos", "amp"),
+      minDelta = 512).filter($"is_cut").count()
+    assert(b == 1L)
+    // partitioning can't move a cut
+    val seg7 = Multimodal.sceneCuts(
+      (s1 ++ s2).toDF("media_id", "source", "pos", "amp").repartition(5), 512)
+      .select($"media_id", $"pos", $"is_cut", $"scene")
+      .as[(Long, Int, Boolean, Long)].collect().toSet
+    assert(seg7 == seg)
+  }
+
   test("BPE apply: greedy leftmost, boundary-safe, rank-ordered fold") {
     import graft.operators.Bpe
     def enc(words: Seq[String], merges: Seq[(String, String)]) =
