@@ -195,6 +195,17 @@ object BenchStream {
           s.filter(col("event_type") === "click"),
           "user_id", "ts", denylist = Some(deny))
       }(eventsDir),
+      // distribution-drift monitor (q158's production shape): per-day
+      // category mix vs the batch-computed reference histogram — one
+      // windowed fixed-width aggregate, the persisted 1-row reference
+      // broadcast; state is one row per open day window
+      runTier("drift") { s =>
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val ref = streaming.StreamingOps.typeHistogram(
+          spark.read.parquet(eventsDir), "event_type", types)
+        streaming.StreamingOps.driftStream(s, "event_type", "ts", types,
+          ref, windowLen = "1 day", watermark = "1 hour")
+      }(eventsDir),
       // ---- dedup THROUGHPUT ATTRIBUTION sweep: the tier's low rows/s
       // is per-micro-batch fixed cost (state-store commit + a 32-way
       // keyed exchange + checkpoint fsync), not digest work — the
