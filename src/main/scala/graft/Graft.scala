@@ -240,4 +240,99 @@ object Graft {
       idCol: String = "vec_id", embCol: String = "embedding",
       labelCol: String = "label"): DataFrame =
     Similarity.hardNegatives(corpus, queries, k, idCol, embCol, labelCol)
+
+  // --- exact quotas, privacy, uncertainty (round 16) ---
+
+  /** Keep EXACTLY min(target, |stratum|) rows per stratum. */
+  def exactQuotaSample(df: DataFrame, strataCol: String, keyCol: String,
+      targets: DataFrame): DataFrame =
+    Sampling.exactQuotaSample(df, strataCol, keyCol, targets)
+
+  /** Quasi-identifier class sizes + a `suppressed` flag below k. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame =
+    Privacy.kAnonymity(df, quasiCols, k)
+
+  /** Poisson-bootstrap replica means of an integer metric. */
+  def bootstrapMeans(df: DataFrame, keyCol: String, groupCol: String,
+      valueCol: String, replicas: Int = 32): DataFrame =
+    Bootstrap.replicaMeans(df, keyCol, groupCol, valueCol, replicas)
+
+  /** Percentile-method interval over [[bootstrapMeans]] output. */
+  def bootstrapCi(means: DataFrame, groupCol: String): DataFrame =
+    Bootstrap.percentileCi(means, groupCol)
+
+  // --- media analysis across the modality triple (round 16) ---
+
+  /** 16-bit perceptual hash over decoded feature vectors. */
+  def imagePHash(features: DataFrame): DataFrame = Multimodal.aHash16(features)
+
+  /** ALL image pairs within hamming 1 of each other's pHash. */
+  def imageNearDups(hashed: DataFrame, idCol: String): DataFrame =
+    Multimodal.phashNearDups16(hashed, idCol)
+
+  /** Stub audio decode: (media_id, source, pos, amp) sample stream. */
+  def audioWaveform(payloads: DataFrame): DataFrame =
+    Multimodal.stubWaveform(payloads)
+
+  /** Dead-air runs of ≥ minRun samples below the threshold. */
+  def silenceRuns(samples: DataFrame, silenceBelow: Int,
+      minRun: Int): DataFrame =
+    Multimodal.silenceRuns(samples, silenceBelow, minRun)
+
+  /** Scene segmentation: cut flags + prefix-sum scene ids. */
+  def sceneCuts(samples: DataFrame, minDelta: Int): DataFrame =
+    Multimodal.sceneCuts(samples, minDelta)
+
+  // --- embeddings, joins, tokenizers, time (round 16) ---
+
+  /** Johnson–Lindenstrauss ±1 projection of integer embedding codes. */
+  def jlProject(df: DataFrame, codesCol: String, dIn: Int,
+      dOut: Int): DataFrame =
+    Projection.signProject(df, codesCol, dIn, dOut)
+
+  /** d×w count-min counter sketch of a join key. */
+  def joinKeySketch(df: DataFrame, keyCol: String, width: Int): DataFrame =
+    JoinEstimate.sketch(df, keyCol, width)
+
+  /** CM upper bound on |A ⋈ B| from two aligned sketches. */
+  def joinSizeEstimate(skA: DataFrame, skB: DataFrame): DataFrame =
+    JoinEstimate.joinSizeEstimate(skA, skB)
+
+  /** Unbiased AMS self-join size estimate of a key column. */
+  def selfJoinSizeEstimate(df: DataFrame, keyCol: String,
+      width: Int = 4096): DataFrame =
+    JoinEstimate.amsSelfJoinEstimate(JoinEstimate.amsSketch(df, keyCol, width))
+
+  /** Top-k BPE merge candidates (tokenizer training, step 1). */
+  def bpeMerges(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    Bpe.mergeCandidates(docs, textCol, k)
+
+  /** Apply a mined merge list: the encode half of BPE. */
+  def bpeApply(words: DataFrame, wordCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    Bpe.applyMerges(words, wordCol, merges)
+
+  /** Per-day peak in-flight intervals (sweep line). */
+  def dailyPeakConcurrency(intervals: DataFrame, startCol: String,
+      endCol: String): DataFrame =
+    SweepLine.dailyPeakConcurrency(intervals, startCol, endCol)
+
+  /** Event-time lateness distribution for watermark sizing. */
+  def latenessProfile(events: DataFrame, entityCol: String, tsCol: String,
+      seqCols: Seq[String], bucketBoundsSec: Seq[Long]): DataFrame =
+    EventSeq.latenessProfile(events, entityCol, tsCol, seqCols,
+      bucketBoundsSec)
+
+  /** Streaming distribution-drift monitor vs a static reference mix. */
+  def driftMonitor(events: DataFrame, typeCol: String, tsCol: String,
+      buckets: Seq[String], ref: DataFrame, windowLen: String = "1 day",
+      watermark: String = "2 hours",
+      thresholdPpm: Long = 200000L): DataFrame =
+    streaming.StreamingOps.driftStream(events, typeCol, tsCol, buckets,
+      ref, windowLen, watermark, thresholdPpm)
+
+  /** Reference histogram for [[driftMonitor]]. */
+  def typeHistogram(df: DataFrame, typeCol: String,
+      buckets: Seq[String]): DataFrame =
+    streaming.StreamingOps.typeHistogram(df, typeCol, buckets)
 }
