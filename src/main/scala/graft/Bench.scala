@@ -78,8 +78,27 @@ object Bench {
   // false against it. The committed seed survives wipes; when both
   // exist the MIN wins, so a live file can tighten the floor but a
   // freshly re-seeded one can never loosen it past the committed value.
+  // Resolved against a DISCOVERED repo root, not the bare process CWD:
+  // when Bench runs from outside the repo (tools/run_main.sh from
+  // another dir, a cron wrapper) a relative path would silently miss
+  // the committed seed and the contended flag would fall back to the
+  // wipeable tmpdir floor the seed exists to fix (ADVICE r16). Order:
+  // explicit env override, then walk UP from CWD until a directory
+  // containing build.sbt (the repo root marker) is found.
+  private def repoRoot: Option[java.nio.file.Path] = {
+    sys.env.get("SPARK_GRAFT_REPO_ROOT")
+      .map(java.nio.file.Paths.get(_))
+      .orElse {
+        Iterator.iterate(java.nio.file.Paths.get(
+            sys.props.getOrElse("user.dir", ".")).toAbsolutePath) { p =>
+          Option(p.getParent).orNull
+        }.takeWhile(_ != null).take(16)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      }
+  }
   private def repoCalibFile: java.nio.file.Path =
-    java.nio.file.Paths.get("calibration", s"sentinel_ref_$hostName")
+    repoRoot.getOrElse(java.nio.file.Paths.get("."))
+      .resolve("calibration").resolve(s"sentinel_ref_$hostName")
   private def readCalib(p: java.nio.file.Path): Option[Double] =
     try {
       if (java.nio.file.Files.exists(p))

@@ -1116,7 +1116,7 @@ object QueriesPipeline {
         |             CAST(s AS VARCHAR)), 1, 8))::BIGINT AS w
         |    FROM documents, range($n) t(s))) WHERE rn = 1)""".stripMargin
     s"""SELECT shard10, count(*) AS n_docs,
-      |       count_if(shard10 <> shard11) AS n_moved
+      |       CAST(count_if(shard10 <> shard11) AS BIGINT) AS n_moved
       |FROM ${asn(10, "shard10")} a10
       |JOIN ${asn(11, "shard11")} a11 USING (doc_id)
       |GROUP BY shard10 ORDER BY shard10""".stripMargin
@@ -1173,8 +1173,8 @@ object QueriesPipeline {
         .crossJoin(JoinEstimate.amsSelfJoinEstimate(ams)
           .select(col("estimate").as("ams_estimate")))
         .withColumn("width", lit(width))
-    val ests = tier(256, JoinEstimate.fold(cmWide, 256),
-        JoinEstimate.fold(amsWide, 256))
+    val ests = tier(256, JoinEstimate.fold(cmWide, 4096, 256),
+        JoinEstimate.fold(amsWide, 4096, 256))
       .unionByName(tier(4096, cmWide, amsWide))
     val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
       .agg(sum(col("c") * col("c")).as("exact_size"))
@@ -1260,8 +1260,8 @@ object QueriesPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def tier(width: Int, a: DataFrame, b: DataFrame): DataFrame =
       JoinEstimate.joinSizeEstimate(a, b).withColumn("width", lit(width))
-    val ests = tier(256, JoinEstimate.fold(liSk, 256),
-        JoinEstimate.fold(dimSk, 256))
+    val ests = tier(256, JoinEstimate.fold(liSk, 4096, 256),
+        JoinEstimate.fold(dimSk, 4096, 256))
       .unionByName(tier(4096, liSk, dimSk))
     val exact = li.join(dim, col("l_partkey") === col("p_partkey"),
         "left_semi")

@@ -1304,16 +1304,16 @@ object QueriesText {
       |  FROM rm WHERE mean_scaled IS NOT NULL),
       |ci AS (
       |  SELECT source,
-      |         max(CASE WHEN rn = (n * 5 + 99) // 100
-      |                  THEN mean_scaled END) AS lo_scaled,
-      |         max(CASE WHEN rn = (n * 95 + 99) // 100
-      |                  THEN mean_scaled END) AS hi_scaled,
+      |         CAST(max(CASE WHEN rn = (n * 5 + 99) // 100
+      |                       THEN mean_scaled END) AS BIGINT) AS lo_scaled,
+      |         CAST(max(CASE WHEN rn = (n * 95 + 99) // 100
+      |                       THEN mean_scaled END) AS BIGINT) AS hi_scaled,
       |         CAST(max(n) AS BIGINT) AS n_replicas
       |  FROM rk GROUP BY source),
       |pt AS (
       |  SELECT source, count(*) AS n_docs,
-      |         (sum(CAST(n_tokens AS BIGINT)) * 1000000) // count(*)
-      |           AS point_scaled
+      |         CAST((sum(CAST(n_tokens AS BIGINT)) * 1000000) // count(*)
+      |              AS BIGINT) AS point_scaled
       |  FROM t GROUP BY source)
       |SELECT p.source, p.n_docs, p.point_scaled,
       |       c.lo_scaled, c.hi_scaled, c.n_replicas

@@ -22,8 +22,10 @@ import graft.functions.Md5Word32Expression
   *    as every graft split/bucket draw;
   *  - multiplicity m = #{thresholds < u} over the truncated-Poisson(1)
   *    cdf at 6-digit resolution: 367879 / 735759 / 919699 / 981012
-  *    (⌊10⁶·e⁻¹·Σ 1/j!⌋; the residual 1.8988% tail mass is lumped into
-  *    m = 4 — documented truncation, exact thresholds);
+  *    (10⁶·e⁻¹·Σ 1/j! ROUNDED to the nearest integer — e.g. 735758.88
+  *    → 735759, so not a floor; the residual 1.8988% tail mass is
+  *    lumped into m = 4 — documented truncation, exact thresholds
+  *    shared verbatim with the q157 oracle);
   *  - replica statistics are exact integer ratios, reported as
   *    `(value·10⁶) div weight` so ordering and quantile cuts are
   *    bit-identical on any engine or partitioning.

@@ -44,11 +44,20 @@ object JoinEstimate {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Fold a sketch to a coarser width (must divide the original): the
-    * mergeable-histogram property, no corpus re-scan. */
-  def fold(sk: DataFrame, coarseWidth: Int): DataFrame =
+  /** Fold a sketch to a coarser width: the mergeable-histogram
+    * property, no corpus re-scan. `coarseWidth` MUST divide the width
+    * the sketch was built at — `(h % W) % w == h % w` only when
+    * `w | W`; a non-dividing fold would silently produce a table that
+    * is NOT the width-`w` sketch of the data, biasing estimates beyond
+    * the CM contract (ADVICE r16), so the precondition is enforced. */
+  def fold(sk: DataFrame, originalWidth: Int, coarseWidth: Int): DataFrame = {
+    require(coarseWidth >= 2, s"coarseWidth=$coarseWidth must be >= 2")
+    require(originalWidth % coarseWidth == 0,
+      s"coarseWidth=$coarseWidth must divide originalWidth=$originalWidth " +
+        "or the folded table is not a CM sketch at that width")
     sk.groupBy(col("j"), (col("b") % coarseWidth).as("b"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** Self-join size estimate from a sketch: min over rows j of
     * Σ_b cnt², as one (estimate) row. The same shape with two sketches

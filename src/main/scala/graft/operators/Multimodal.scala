@@ -186,23 +186,33 @@ object Multimodal {
       // per-partition codec setup seam (same as decodeBatch)
       it.map { r =>
         if (codec == "imageio") {
-          val img = try javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(r.payload))
-          catch { case _: Exception => null }
-          if (img == null) ResizedMedia(r.media_id, r.source, 0, 0, r.payload)
-          else {
-            val (tw, th) = fit(img.getWidth, img.getHeight)
-            val out = new java.awt.image.BufferedImage(
-              tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            val g = out.createGraphics()
-            g.setRenderingHint(
-              java.awt.RenderingHints.KEY_INTERPOLATION,
-              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-            g.drawImage(img, 0, 0, tw, th, null)
-            g.dispose()
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(out, "png", bos)
-            ResizedMedia(r.media_id, r.source, tw, th, bos.toByteArray)
+          // degrade contract (same as decodeFeatures): a poisoned blob
+          // must never kill the pipeline — and "poisoned" includes
+          // payloads that DECODE fine but then blow up in
+          // createGraphics/drawImage/ImageIO.write (truncated rasters,
+          // exotic color models), so the WHOLE decode-resize-encode
+          // body degrades to the 0×0 pass-through record (ADVICE r16)
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            if (img == null) ResizedMedia(r.media_id, r.source, 0, 0, r.payload)
+            else {
+              val (tw, th) = fit(img.getWidth, img.getHeight)
+              val out = new java.awt.image.BufferedImage(
+                tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, tw, th, null)
+              g.dispose()
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              ResizedMedia(r.media_id, r.source, tw, th, bos.toByteArray)
+            }
+          } catch {
+            case _: Exception =>
+              ResizedMedia(r.media_id, r.source, 0, 0, r.payload)
           }
         } else {
           val d = fakeDecode(r)

@@ -169,7 +169,12 @@ object Sampling {
 
   /** Content-keyed variant: stable under id reassignment (dedup-safe). */
   def contentHashSample(df: DataFrame, textCol: String, rate: Double): DataFrame = {
-    // xxhash64 ∈ [Long.Min, Long.Max]; shift into [0,1) without overflow
+    // xxhash64 ∈ [Long.Min, Long.Max]; shift into [0,1] without overflow.
+    // The comparison is strict (u < rate) for rate < 1 — half-open
+    // bucket semantics — but at rate >= 1.0 "keep everything" must mean
+    // exactly that: the one row hashing to Long.MaxValue maps to
+    // u == 1.0 and a strict compare would drop it (ADVICE r16).
+    if (rate >= 1.0) return df
     val u = (xxhash64(col(textCol)).cast("double") / lit(2.0 * Long.MaxValue)) + lit(0.5)
     df.filter(u < lit(rate))
   }

@@ -383,7 +383,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(cmEst >= exact, s"CM must be an upper bound: $cmEst < $exact")
     assert(cmEst <= exact * 2, s"CM way off on a sparse sketch: $cmEst")
     // the fold equals a directly-built narrow sketch, counter for counter
-    val folded = JoinEstimate.fold(cm, 256)
+    val folded = JoinEstimate.fold(cm, 4096, 256)
       .as[(Int, Long, Long)].collect().toSet
     val direct = JoinEstimate.sketch(keys, "k", 256)
       .as[(Int, Long, Long)].collect().toSet

@@ -22,6 +22,32 @@ def same(x, y):
         pass
     return x == y
 
+
+def dtype_class(dt):
+    k = dt.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "Mm":
+        return "time"
+    return "other"
+
+
+def dtype_mismatch(got, want):
+    """Driver-parity guard (VERDICT r16 #2): the driver's hash compare
+    is representation-sensitive, so an int64 Spark column vs a HUGEINT
+    oracle column (pandas float64) must FAIL here even though the
+    values are ==-equal. Classes, not widths: int32 vs int64 passes."""
+    for c in got.columns:
+        a, b = dtype_class(got[c].dtype), dtype_class(want[c].dtype)
+        if a != b:
+            return (f"dtype col={c}: spark={got[c].dtype}({a}) "
+                    f"duckdb={want[c].dtype}({b})")
+    return None
+
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
 
@@ -52,6 +78,11 @@ for name, sql in sorted(oracle.items()):
         continue
     if len(got) != len(want):
         print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+        fails += 1
+        continue
+    dt_err = dtype_mismatch(got, want)
+    if dt_err:
+        print(f"FAIL {name}: {dt_err}")
         fails += 1
         continue
     bad = []

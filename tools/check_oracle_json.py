@@ -31,6 +31,36 @@ def same(x, y):
     return x == y
 
 
+def dtype_class(dt):
+    k = dt.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k in "Mm":
+        return "time"
+    return "other"
+
+
+def dtype_mismatch(got, want):
+    """The driver's hash is REPRESENTATION-sensitive: int64 6 and
+    float64 6.0 hash differently even though Python == calls them equal
+    — the exact blind spot that let q150/q157 pass five local gates in
+    r16 and fail the driver (DuckDB HUGEINT arrives in pandas as
+    float64/object). Compare dtype CLASSES, not widths: int32 vs int64
+    is fine, int vs float is not. Both frames come through the same
+    duckdb .df() path, so null-widening (int+NULL -> float64) is
+    symmetric and does not false-positive here."""
+    for c in got.columns:
+        a, b = dtype_class(got[c].dtype), dtype_class(want[c].dtype)
+        if a != b:
+            return (f"dtype col={c}: spark={got[c].dtype}({a}) "
+                    f"duckdb={want[c].dtype}({b})")
+    return None
+
+
 def main():
     # accept BOTH --opt=value and --opt value (the docstring advertises
     # the space form; silently dropping it would run every oracle with
@@ -70,6 +100,23 @@ def main():
         oracle = json.load(open(f"{out_dir}/oracle_sql.partial.json"))
     report = {}
     fails = 0
+    # Full runs also bind every oracle's TYPES in DuckDB (no execution)
+    # via check_oracle_types.py — a HUGEINT/float-vs-integral oracle is
+    # a gate failure even when its values compare equal (VERDICT r16 #2:
+    # the driver's hash is representation-sensitive; the local gate must
+    # not be able to diverge from it again).
+    if only is None:
+        import os
+        import subprocess
+        sweep = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "check_oracle_types.py")
+        r = subprocess.run([sys.executable, sweep, sf_dir, out_dir],
+                           capture_output=True, text=True)
+        print(r.stdout, end="")
+        if r.returncode != 0:
+            fails += 1
+            report["_type_sweep"] = {"err": r.stdout.strip()[-400:] or
+                                            r.stderr.strip()[-400:]}
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
             continue
@@ -140,6 +187,12 @@ def main():
             fails += 1
             continue
         row["rows_match"] = True
+        dt_err = dtype_mismatch(got, want)
+        if dt_err:
+            row["err"] = dt_err[:200]
+            print(f"FAIL {name}: {dt_err}")
+            fails += 1
+            continue
         mismatch = None
         for c in got.columns:
             for i, (x, y) in enumerate(zip(got[c].tolist(), want[c].tolist())):
@@ -170,6 +223,9 @@ def main():
         merged.update(report)
     except (FileNotFoundError, ValueError):
         pass
+    # a clean full run clears any stale sweep finding from a prior run
+    if only is None and "_type_sweep" not in report:
+        merged.pop("_type_sweep", None)
     # ...but on a FULL (unfiltered) run, prune merged keys that are no
     # longer in the live oracle registry: a renamed/removed query must
     # not keep a stale PASS record forever (ADVICE r13). `_meta`-style
@@ -182,7 +238,7 @@ def main():
             print(f"PRUNE {k}: no longer in the oracle registry")
     with open(json_out, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
-    n = len(report)
+    n = len([k for k in report if not k.startswith("_")])
     print(f"\n{n - fails}/{n} oracle queries match -> {json_out}")
     sys.exit(1 if fails else 0)
 
