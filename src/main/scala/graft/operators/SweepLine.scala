@@ -36,7 +36,25 @@ object SweepLine {
     * in either are dropped (open intervals are the caller's decision to
     * close — e.g. cap at the log horizon — not a silent default). */
   def dailyPeakConcurrency(intervals: DataFrame,
-      startCol: String, endCol: String): DataFrame = {
+      startCol: String, endCol: String): DataFrame =
+    dailyPeakConcurrency(intervals, startCol, endCol,
+      hotDayDeltas = 2000000L)
+
+  /** [[dailyPeakConcurrency]] with the hot-day threshold exposed: when
+    * any single day holds more than `hotDayDeltas` delta rows, the
+    * per-day running-sum window would sort that whole day in ONE task
+    * (day-grain parallelism — the honest 100×-scale caveat from the
+    * r16 audit). Above the threshold the operator applies its own
+    * two-level decomposition once more WITHIN the day, at hour grain:
+    * hour subtotals -> a ≤24-rows-per-day exclusive scan for each
+    * hour's carry -> per-(day, hour) windows, which splits a hot day's
+    * sort 24 ways while computing the exact same peaks (hour truncation
+    * is a prefix of the (ts, delta) order, so per-hour runs concatenate
+    * to the per-day run; pinned equal by PipelineOpsSpec/PropertySpec).
+    * The decision input is already on the driver — the same bounded
+    * per-day subtotal read that computes midnight carries. */
+  def dailyPeakConcurrency(intervals: DataFrame, startCol: String,
+      endCol: String, hotDayDeltas: Long): DataFrame = {
     val deltas = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull)
       .select(col(startCol).as("ts"), lit(1L).as("delta"))
@@ -61,15 +79,53 @@ object SweepLine {
     val spark = intervals.sparkSession
     val base = spark.createDataFrame(bases.toSeq)
       .toDF("day", "n_starts", "n_ends", "carry_in")
-    val w = Window.partitionBy(col("day")).orderBy(col("ts"), col("delta"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val out = deltas
-      .withColumn("run", sum(col("delta")).over(w))
-      .groupBy(col("day")).agg(max(col("run")).as("max_run"))
-      .join(broadcast(base), Seq("day"))
-      .select(col("day"), col("n_starts"), col("n_ends"), col("carry_in"),
-        greatest(col("carry_in"), col("carry_in") + col("max_run")).as("peak"))
-      .orderBy(col("day"))
+    val hot = subtotals.exists { case (_, _, ns, ne) => ns + ne > hotDayDeltas }
+    val out = if (!hot) {
+      val w = Window.partitionBy(col("day")).orderBy(col("ts"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas
+        .withColumn("run", sum(col("delta")).over(w))
+        .groupBy(col("day")).agg(max(col("run")).as("max_run"))
+        .join(broadcast(base), Seq("day"))
+        .select(col("day"), col("n_starts"), col("n_ends"), col("carry_in"),
+          greatest(col("carry_in"), col("carry_in") + col("max_run")).as("peak"))
+        .orderBy(col("day"))
+    } else {
+      // hour-nested path: each hour's carry = day carry_in + exclusive
+      // within-day prefix of hour subtotals (a ≤24-rows-per-day window,
+      // never a big sort); the corpus-sized window partitions by
+      // (day, hour). A day's peak is the max over its hours of
+      // greatest(hour_carry, hour_carry + max_run) — the first active
+      // hour's carry IS the day's carry_in, so the inherited-level
+      // peak is covered exactly as in the flat path.
+      val hourDeltas = deltas.withColumn("hour", date_trunc("hour", col("ts")))
+      val wHour = Window.partitionBy(col("day")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val hourBase = hourDeltas.groupBy(col("day"), col("hour"))
+        .agg(sum(col("delta")).as("hsum"))
+        .withColumn("hour_offset",
+          coalesce(sum(col("hsum")).over(wHour), lit(0L)))
+        .join(broadcast(base), Seq("day"))
+        .select(col("day"), col("hour"), col("n_starts"), col("n_ends"),
+          col("carry_in"),
+          (col("carry_in") + col("hour_offset")).as("hour_carry"))
+      val wRun = Window.partitionBy(col("day"), col("hour"))
+        .orderBy(col("ts"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hourDeltas
+        .withColumn("run", sum(col("delta")).over(wRun))
+        .groupBy(col("day"), col("hour")).agg(max(col("run")).as("max_run"))
+        .join(broadcast(hourBase), Seq("day", "hour"))
+        .select(col("day"), col("n_starts"), col("n_ends"), col("carry_in"),
+          greatest(col("hour_carry"),
+            col("hour_carry") + col("max_run")).as("hpeak"))
+        .groupBy(col("day"))
+        .agg(max(col("n_starts")).as("n_starts"),
+          max(col("n_ends")).as("n_ends"),
+          max(col("carry_in")).as("carry_in"),
+          max(col("hpeak")).as("peak"))
+        .orderBy(col("day"))
+    }
     LoopCache.finish(out, deltas)
   }
 }

@@ -439,6 +439,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got7 = SweepLine.dailyPeakConcurrency(withNull.repartition(7),
       "st", "et").collect().map(_.getLong(4)).toSeq
     assert(got7 == got.map(_._5).toSeq)
+    // the hour-nested hot-day path (threshold 0 forces it) returns the
+    // SAME five-column rows — carry_in semantics and all
+    val gotNested = SweepLine.dailyPeakConcurrency(withNull, "st", "et", 0L)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(gotNested.toSeq == got.toSeq)
   }
 
   test("poisson bootstrap: exact draws, sane mass, partition-invariant CI") {

@@ -213,6 +213,12 @@ class PropertySpec extends AnyFunSuite {
       val got = SweepLine.dailyPeakConcurrency(df, "st", "et")
         .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(4))
         .toMap
+      // hour-nested hot-day path (hotDayDeltas = 0 forces it): must be
+      // row-for-row the flat path — the r17 decomposition pin
+      val gotNested = SweepLine.dailyPeakConcurrency(df, "st", "et", 0L)
+        .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(4))
+        .toMap
+      assert(gotNested == got, s"nested != flat on interval set $i: $ivs")
       // brute force: concurrency at instant t = #{[s,e) : s <= t < e},
       // evaluated at every delta instant plus each active day's start
       val deltas = ivs.flatMap { case (s, e) => Seq(s, e) }.distinct.sorted
