@@ -335,4 +335,22 @@ object Graft {
   def typeHistogram(df: DataFrame, typeCol: String,
       buckets: Seq[String]): DataFrame =
     streaming.StreamingOps.typeHistogram(df, typeCol, buckets)
+
+  // --- weighted draws, content-defined chunking (round 17) ---
+
+  /** The k rows with the smallest (md5·10⁶ div weight) priority — a
+    * fixed-size sample drawn proportional to a per-row weight. */
+  def weightedBottomK(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame =
+    Sampling.weightedBottomK(df, keyCol, weightCol, k)
+
+  /** Content-defined chunks: cut after every md5-anchor token. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame =
+    Chunking.cdcChunks(df, idCol, textCol, divisor)
+
+  /** Duplicated-chunk stats over [[cdcChunks]] (token-weighted ppm). */
+  def cdcDupStats(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame =
+    Chunking.cdcDupStats(df, idCol, textCol, divisor)
 }

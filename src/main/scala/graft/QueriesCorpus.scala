@@ -460,8 +460,9 @@ object QueriesCorpus {
     val ntok = s"CASE WHEN length($norm) = 0 THEN 0 " +
       s"ELSE CAST(len(string_split($norm, ' ')) AS INT) END"
     s"""WITH t AS (SELECT doc_id, $ntok AS n_tokens FROM documents),
-      |c AS (SELECT quantile_cont(n_tokens,
-      |        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts FROM t),
+      |c0 AS (SELECT ${OracleSql.sortedListSql("n_tokens")} AS lv FROM t),
+      |c AS (SELECT ${OracleSql.percentileListSql("lv",
+               (1 to 9).map(i => s"0.$i"))} AS cuts FROM c0),
       |b AS (
       |  SELECT doc_id, n_tokens,
       |         CAST(1 + len(list_filter(cuts,
@@ -1309,4 +1310,56 @@ object QueriesCorpus {
       |            // sum(ws.cnt * len(ws.word)) AS BIGINT) AS compression_ppm
       |FROM ws JOIN fin USING (word)
       |GROUP BY ws.source ORDER BY ws.source""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q167 — content-defined-chunk duplication (operators/Chunking
+  // .cdcDupStats): q77's duplicated-block signal with CDC boundaries —
+  // cuts after every token whose md5word32 % 16 == 0, so an inserted
+  // token shifts only its own chunk and duplication stays visible (the
+  // fixed 10-token grid hides it after any edit). Chunking is one
+  // narrow HOF projection (filter over positions + transform/slice —
+  // no explode, no per-doc window); shuffles only at the corpus
+  // frequency groupBy and the per-doc rollup. The token-weighted dup
+  // ratio is an exact integer ppm. Oracle replays cuts, slices and
+  // frequencies verbatim.
+  // -------------------------------------------------------------------
+  def cdcDupChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    Chunking.cdcDupStats(docs, "doc_id", "text", divisor = 16)
+      .orderBy(col("doc_id"))
+  }
+
+  val cdcDupChunksSql: String =
+    s"""$toksCte,
+      |c0 AS (
+      |  SELECT doc_id, t,
+      |         list_sort(list_distinct(list_append(
+      |           list_filter(range(1, len(t) + 1),
+      |             i -> ('0x' || substr(md5(t[i]), 1, 8))::BIGINT % 16 = 0),
+      |           len(t)))) AS cuts
+      |  FROM toks),
+      |ch AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(cuts) + 1), j ->
+      |           struct_pack(
+      |             txt := array_to_string(
+      |               t[(CASE WHEN j = 1 THEN 1 ELSE cuts[j - 1] + 1 END):cuts[j]],
+      |               ' '),
+      |             nt := cuts[j] -
+      |               (CASE WHEN j = 1 THEN 0 ELSE cuts[j - 1] END)))) AS c
+      |  FROM c0),
+      |cc AS (SELECT doc_id, c.txt AS txt, CAST(c.nt AS BIGINT) AS nt FROM ch),
+      |f AS (SELECT txt, count(*) AS df FROM cc GROUP BY txt)
+      |SELECT cc.doc_id,
+      |       count(*) AS n_chunks,
+      |       count(*) FILTER (WHERE f.df > 1) AS n_dup_chunks,
+      |       CAST(sum(nt) AS BIGINT) AS n_toks,
+      |       CAST(sum(CASE WHEN f.df > 1 THEN nt ELSE 0 END) AS BIGINT)
+      |         AS dup_toks,
+      |       CAST((CAST(sum(CASE WHEN f.df > 1 THEN nt ELSE 0 END) AS HUGEINT)
+      |             * 1000000) // CAST(sum(nt) AS HUGEINT) AS BIGINT)
+      |         AS dup_token_ppm
+      |FROM cc JOIN f USING (txt)
+      |GROUP BY cc.doc_id ORDER BY cc.doc_id""".stripMargin
 }

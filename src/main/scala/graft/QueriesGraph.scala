@@ -1007,4 +1007,71 @@ object QueriesGraph {
       |SELECT event_type, day, x, cusum_up, cusum_down,
       |       cusum_up > s AS drift_up, cusum_down > s AS drift_down
       |FROM c ORDER BY event_type, day""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q168 — SEASONAL rate anomalies: q106's all-integer |x−μ|>kσ test,
+  // but against a (event_type, day-of-week, hour-of-day) baseline
+  // instead of the type's global mean — the decomposition that stops
+  // every Monday 9am peak from flagging as anomalous and makes a quiet
+  // Monday 9am VISIBLE. Same cleared-denominator identity
+  // (n·x−S)² > k²·(n·SS−S²), exact BIGINTs end to end. dow/hod are
+  // CALENDAR-FREE integers (day-index mod 7 / hour mod 24 from epoch
+  // micros) so both engines derive them with pure arithmetic — no
+  // dayofweek() convention mismatch (Spark 1=Sunday, DuckDB 0=Sunday)
+  // can creep in. Two keyed aggregates + a broadcast-sized join; the
+  // seasonal-cell table is 7·24·|types| rows at ANY corpus size.
+  // -------------------------------------------------------------------
+  def seasonalAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 2L // flag beyond 2 sigma within the seasonal cell
+    val hourly = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("hour_us", unix_micros(col("h")))
+      .withColumn("dow", expr("(hour_us div 86400000000) % 7"))
+      .withColumn("hod", expr("(hour_us div 3600000000) % 24"))
+    val cells = hourly.groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+    // per-cell seasonal profile + anomaly census (a uniformly-seasonal
+    // corpus reports n_anomalies = 0 — with the n/s/min/max evidence
+    // that the baseline was actually computed, not vacuously empty)
+    hourly.join(broadcast(cells), Seq("event_type", "dow", "hod"))
+      .groupBy(col("event_type"), col("dow"), col("hod"))
+      .agg(max(col("n")).as("n_hours"),
+        max(col("s")).as("total_events"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        count_if(
+          (col("n") * col("x") - col("s")) * (col("n") * col("x") - col("s")) >
+            lit(k * k) * (col("n") * col("ss") - col("s") * col("s")))
+          .as("n_anomalies"))
+      .orderBy(col("event_type"), col("dow"), col("hod"))
+  }
+
+  val seasonalAnomaliesSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |         epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us,
+      |         count(*) AS x
+      |  FROM events GROUP BY 1, 2),
+      |d AS (
+      |  SELECT *, (hour_us // 86400000000) % 7 AS dow,
+      |         (hour_us // 3600000000) % 24 AS hod
+      |  FROM hourly),
+      |c AS (
+      |  SELECT event_type, dow, hod, count(*) AS n,
+      |         CAST(sum(x) AS BIGINT) AS s,
+      |         CAST(sum(x * x) AS BIGINT) AS ss
+      |  FROM d GROUP BY event_type, dow, hod)
+      |SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow,
+      |       CAST(d.hod AS BIGINT) AS hod,
+      |       max(c.n) AS n_hours,
+      |       max(c.s) AS total_events,
+      |       min(d.x) AS min_x, max(d.x) AS max_x,
+      |       CAST(count(*) FILTER (
+      |         WHERE (c.n * d.x - c.s) * (c.n * d.x - c.s)
+      |                 > 4 * (c.n * c.ss - c.s * c.s)) AS BIGINT)
+      |         AS n_anomalies
+      |FROM d JOIN c USING (event_type, dow, hod)
+      |GROUP BY d.event_type, d.dow, d.hod
+      |ORDER BY d.event_type, dow, hod""".stripMargin
 }

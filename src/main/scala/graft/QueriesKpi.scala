@@ -42,15 +42,23 @@ object QueriesKpi {
       when(k % 20 === 0, "error").otherwise("ok").as("parse_result"))
   }
 
-  /** SQL CTE shared by the KPI-family oracles (DuckDB dialect). */
+  /** SQL CTE shared by the KPI-family oracles (DuckDB dialect).
+    *
+    * p90 replays Spark's builtin `percentile` arithmetic verbatim
+    * (OracleSql.percentileSql: single product `a + (b−a)·t`) instead of
+    * `quantile_cont` (two products `(1−t)·a + t·b`): the pair is
+    * bit-identical on the sf0.01/sf0.1/sf1 group sizes but diverged by
+    * 1 ULP at the sf10 replica's 74k-row groups (r17 — a == b == 112.77,
+    * t ≈ 0.1: single product is exactly a, two-product rounds to
+    * 112.77000000000001). */
   private val kpiCte: String =
-    """WITH b AS (
+    s"""WITH b AS (
       |  SELECT CAST(ts AS DATE) AS date_utc,
       |         '/' || event_type AS endpoint_base,
-      |         CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |         CAST(json_extract_string(props, '$$.k') AS INT) AS k,
       |         value
       |  FROM events
-      |), kpi AS (
+      |), kpiv AS (
       |  SELECT date_utc, endpoint_base,
       |         count(*) AS requests_total,
       |         count(*) FILTER (WHERE k < 88) AS success_2xx,
@@ -58,8 +66,13 @@ object QueriesKpi {
       |         count(*) FILTER (WHERE k >= 96) AS server_5xx,
       |         count(*) FILTER (WHERE k % 20 = 0) AS parse_errors,
       |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_elapsed_ms,
-      |         quantile_cont(value, 0.9) AS p90_elapsed_ms
+      |         ${OracleSql.sortedListSql("value")} AS lv
       |  FROM b GROUP BY 1, 2
+      |), kpi AS (
+      |  SELECT date_utc, endpoint_base, requests_total, success_2xx,
+      |         client_4xx, server_5xx, parse_errors, avg_elapsed_ms,
+      |         ${OracleSql.percentileSql("lv", "0.9")} AS p90_elapsed_ms
+      |  FROM kpiv
       |)""".stripMargin
 
   /** q01 — the core KPI query (S1,P1-P8,A1-A6,O1). Cross-engine-exact output
@@ -203,7 +216,9 @@ object QueriesKpi {
       |       CASE WHEN sum(requests_total) > 0
       |            THEN CAST(sum(client_4xx + server_5xx) AS DOUBLE) * 100.0 / CAST(sum(requests_total) AS DOUBLE)
       |            ELSE 0.0 END AS pct_err,
-      |       quantile_cont(p90_elapsed_ms, 0.9) AS p90_of_p90
+      |       ${OracleSql.percentileSql(
+                 OracleSql.sortedListSql("p90_elapsed_ms"), "0.9")}
+      |         AS p90_of_p90
       |FROM kpi""".stripMargin
 
   /** q57 — exact global p90 from the RAW data, next to the reference's
@@ -223,8 +238,15 @@ object QueriesKpi {
   }
 
   val globalP90ExactSql: String =
-    s"""$kpiCte, e AS (SELECT quantile_cont(value, 0.9) AS p90_exact FROM events),
-      |a AS (SELECT quantile_cont(p90_elapsed_ms, 0.9) AS p90_of_p90 FROM kpi)
+    s"""$kpiCte, e AS (
+      |  SELECT ${OracleSql.percentileSql(
+                   OracleSql.sortedListSql("value"), "0.9")} AS p90_exact
+      |  FROM events),
+      |a AS (
+      |  SELECT ${OracleSql.percentileSql(
+                   OracleSql.sortedListSql("p90_elapsed_ms"), "0.9")}
+      |    AS p90_of_p90
+      |  FROM kpi)
       |SELECT p90_exact, p90_of_p90, p90_of_p90 - p90_exact AS approx_error
       |FROM e CROSS JOIN a""".stripMargin
 

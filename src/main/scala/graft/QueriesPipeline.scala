@@ -313,7 +313,9 @@ object QueriesPipeline {
   }
 
   val approxQuantileSql: String =
-    """SELECT event_type, quantile_cont(value, 0.9) AS exact_p90,
+    s"""SELECT event_type,
+      |       ${OracleSql.percentileSql(
+                 OracleSql.sortedListSql("value"), "0.9")} AS exact_p90,
       |       TRUE AS approx_within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -1355,4 +1357,38 @@ object QueriesPipeline {
       |         AS min_kept_class,
       |       max(class_size) AS max_class
       |FROM s GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q166 — weighted bottom-k sampling (operators/Sampling
+  // .weightedBottomK): 500 documents drawn proportional to token count
+  // — the fixed-SIZE, per-row-weight draw the sampling family lacked
+  // (q45/q80/q99 are per-stratum rates, q153 exact per-stratum quotas,
+  // q148 a score-ranked budget). Priority = (md5word32(doc_id)·10⁶)
+  // div weight; the k smallest win. Narrow priority expression +
+  // TakeOrderedAndProject (per-partition heaps, no global sort); the
+  // bottom-k set is mergeable across shards. Oracle replays the md5
+  // draw, the integer ratio and the (priority, doc_id) tiebreak.
+  // ------------------------------------------------------------------
+  def weightedBottomKDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.rebalance(
+        Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .select(col("doc_id"),
+        TextFunctions.tokenCountWs(col("text")).as("w"))
+    Sampling.weightedBottomK(d, "doc_id", "w", k = 500)
+  }
+
+  val weightedBottomKDocsSql: String = {
+    val norm = normSql("text")
+    val tok = s"CASE WHEN length($norm) = 0 THEN 0 " +
+      s"ELSE CAST(len(string_split($norm, ' ')) AS BIGINT) END"
+    s"""WITH t AS (
+      |  SELECT doc_id, greatest($tok, 1) AS weight FROM documents),
+      |p AS (
+      |  SELECT doc_id, weight,
+      |         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |            * 1000000) // weight AS priority
+      |  FROM t)
+      |SELECT doc_id, weight, CAST(priority AS BIGINT) AS priority
+      |FROM p ORDER BY priority, doc_id LIMIT 500""".stripMargin
+  }
 }

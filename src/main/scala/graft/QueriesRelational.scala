@@ -610,7 +610,7 @@ object QueriesRelational {
   }
 
   val rfmQuartilesSql: String =
-    """WITH o AS (
+    s"""WITH o AS (
       |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
       |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
       |  FROM orders),
@@ -621,10 +621,17 @@ object QueriesRelational {
       |         count(*) AS frequency,
       |         CAST(sum(p) AS DOUBLE) AS monetary
       |  FROM o CROSS JOIN a GROUP BY o_custkey, a.asof),
-      |c AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
-      |             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fc,
-      |             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc
-      |      FROM per),
+      |c1 AS (SELECT ${OracleSql.sortedListSql("recency_days")} AS rlv,
+      |              ${OracleSql.sortedListSql("frequency")} AS flv,
+      |              ${OracleSql.sortedListSql("monetary")} AS mlv
+      |       FROM per),
+      |c AS (SELECT ${OracleSql.percentileListSql("rlv",
+                Seq("0.25", "0.5", "0.75"))} AS rc,
+      |             ${OracleSql.percentileListSql("flv",
+                Seq("0.25", "0.5", "0.75"))} AS fc,
+      |             ${OracleSql.percentileListSql("mlv",
+                Seq("0.25", "0.5", "0.75"))} AS mc
+      |      FROM c1),
       |b AS (
       |  SELECT per.*,
       |         CAST(1 + len(list_filter(rc,

@@ -12,10 +12,15 @@ import org.apache.spark.sql.functions._
   *  - numpy `_lerp` (lib/function_base.py): `a + (b-a)·t` for t < 0.5 but
   *    `b - (b-a)·(1-t)` for t ≥ 0.5 (the branch improves numerical
   *    symmetry);
-  *  - Spark's builtin `Percentile` and DuckDB's `quantile_cont`:
-  *    `(1-t)·a + t·b` (two products — verified empirically identical to
-  *    each other, which is why the DuckDB-hash oracles keep the builtin);
-  *  - the single-product form everywhere: `a + (b-a)·t`.
+  *  - DuckDB's `quantile_cont`: `(1-t)·a + t·b` (two products);
+  *  - Spark's builtin `Percentile` (4.1, verified live at r17): the
+  *    single-product form `a + (b-a)·t`. The two-product/single-product
+  *    pair agreed on every group size the sf≤1 gates produced, then
+  *    diverged by 1 ULP at the sf10 replica's 74k-row groups (a == b,
+  *    t ≈ 0.1: single product is exactly a; two products round up) —
+  *    which is why the DuckDB oracles now replay Spark's arithmetic
+  *    explicitly (graft.OracleSql.percentileSql) instead of trusting
+  *    `quantile_cont` to match.
   *
   * The difference is invisible until an interpolated value lands exactly on
   * a 2-decimal rounding midpoint: then `py_round` flips the printed digit

@@ -226,4 +226,77 @@ object Chunking {
               when(col("boilerplate").isNull, struct(col("start"), col("block"))))),
             b => b.getField("block"))).as("cleaned_text"))
   }
+
+  /** Content-defined chunking (CDC): cut each document AFTER every
+    * "anchor" token — a token whose `md5word32 % divisor == 0` — so
+    * chunk boundaries are decided by CONTENT, not position. The reason
+    * CDC exists (storage dedup, dataset near-dup mining): insert one
+    * token into a document and [[dupBlockStats]]'s fixed 10-token grid
+    * shifts every downstream block, hiding the duplication; CDC
+    * boundaries re-synchronize right after the edit, so all untouched
+    * chunks keep their identity. Expected chunk length ≈ `divisor`
+    * tokens; the trailing remainder forms a final chunk.
+    *
+    * Scale shape: everything up to the emit is ONE narrow projection —
+    * the cut positions come from `filter` over a position sequence and
+    * the chunks from `transform`+`slice`, all inside whole-stage
+    * codegen, with no per-token explode, no per-doc window sort, and
+    * zero shuffles. Determinism: the anchor draw is the same md5-word
+    * contract as every graft bucket decision; DuckDB replays cuts,
+    * slices and digests verbatim.
+    *
+    * @return (idCol, chunk_idx, n_toks, chunk_text), one row per chunk. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    require(divisor >= 2, s"divisor=$divisor must be >= 2")
+    val t = toks(col(textCol))
+    val withToks = df.select(col(idCol), t.as("toks"))
+      .filter(size(col("toks")) > 0)
+    // cut list: every anchor position, plus the document end (distinct —
+    // an anchor AT the end must not emit an empty trailing chunk)
+    val cuts = array_distinct(concat(
+      filter(sequence(lit(1), size(col("toks"))), i =>
+        graft.functions.Md5Word32Expression
+          .md5Word32(element_at(col("toks"), i)) % divisor === 0),
+      array(size(col("toks")))))
+    withToks
+      .withColumn("cuts", cuts)
+      .select(col(idCol), explode(
+        // chunk j spans (cuts[j-1], cuts[j]] in 1-based token positions
+        transform(sequence(lit(1), size(col("cuts"))), j => {
+          val end = element_at(col("cuts"), j)
+          val start = when(j === lit(1), lit(1))
+            .otherwise(element_at(col("cuts"), j - 1) + 1)
+          struct((j - 1).cast("int").as("chunk_idx"),
+            slice(col("toks"), start, end - start + 1).as("ts"))
+        })).as("c"))
+      .select(col(idCol), col("c.chunk_idx"),
+        size(col("c.ts")).cast("int").as("n_toks"),
+        concat_ws(" ", col("c.ts")).as("chunk_text"))
+  }
+
+  /** Per-document duplicated-chunk stats over [[cdcChunks]] — the
+    * content-defined twin of [[dupBlockStats]]: corpus-wide chunk
+    * frequency, then per doc the chunk count, duplicated-chunk count
+    * and duplicated-TOKEN ratio in ppm (integer-exact; CDC chunks vary
+    * in length, so the token-weighted ratio is the honest one). The
+    * only shuffles are the frequency groupBy (digest-keyed at 100 TB —
+    * swap chunk_text for xxhash64, the [[dupBlockStats]] hashBlocks
+    * trade) and the per-doc rollup. */
+  def cdcDupStats(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16): DataFrame = {
+    val chunks = cdcChunks(df, idCol, textCol, divisor)
+    val freq = chunks.groupBy(col("chunk_text"))
+      .agg(count(lit(1)).as("chunk_df"))
+    chunks.join(freq, Seq("chunk_text"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count_if(col("chunk_df") > 1).as("n_dup_chunks"),
+        sum(col("n_toks")).as("n_toks"),
+        sum(when(col("chunk_df") > 1, col("n_toks").cast("long"))
+          .otherwise(lit(0L))).as("dup_toks"))
+      .withColumn("dup_token_ppm",
+        expr("(dup_toks * 1000000) div n_toks"))
+  }
 }

@@ -353,4 +353,48 @@ object Sampling {
         col("cum_tokens"))
     LoopCache.finish(out, docs)
   }
+
+  /** Weighted bottom-k sampling (priority sampling): keep the k rows
+    * with the SMALLEST priority `(md5word32(key)·10⁶) div weight` — a
+    * row with twice the weight is twice as likely to land in the
+    * sample, the deterministic analogue of PPS sampling (Cohen–Kaplan
+    * bottom-k sketches). The one sampling shape the engine lacked:
+    * q45/q80/q99 draw per-STRATUM rates, q153 cuts exact per-stratum
+    * quotas, q148 fills a token budget by score rank — this draws a
+    * fixed-size sample proportional to a PER-ROW weight with no strata
+    * at all (e.g. "5k docs ∝ token count" for a length-balanced eval
+    * slice).
+    *
+    * Determinism + portability contract (every graft draw's rules):
+    * the draw is the md5-word of the key — content-stable, partition-
+    * independent — and the priority is an exact integer ratio, so the
+    * k-smallest set plus the (priority, key) tiebreak is bit-identical
+    * on any engine; DuckDB replays it verbatim. Magnitude: md5word32
+    * < 2³² so priority ≤ 2³²·10⁶ < 2⁶³ — no overflow for any weight.
+    *
+    * Scale shape: priority is a pure narrow expression; the global
+    * k-smallest plans as TakeOrderedAndProject — per-partition top-k
+    * heaps merged on the driver, k·partitions rows moved, never a
+    * global sort. Bottom-k is also MERGEABLE (union two samples, keep
+    * the k smallest), the property that makes it a one-pass sketch at
+    * any sharding. Weights < 1 are clamped to 1 (zero/negative weights
+    * would divide-by-zero or invert the order — a weight-0 row must
+    * simply never win, so it gets the maximal-priority clamp instead).
+    *
+    * @return (keyCol, weight, priority), the k smallest priorities,
+    *         ordered (priority, key). */
+  def weightedBottomK(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val wgt = greatest(col(weightCol).cast("long"), lit(1L))
+    df.select(col(keyCol), wgt.as("weight"),
+        graft.functions.Md5Word32Expression
+          .md5Word32(col(keyCol).cast("string")).as("__h"))
+      // integer div, not Column./ (double): the priority must be the
+      // exact BIGINT ratio the oracle replays
+      .withColumn("priority", expr("(__h * 1000000) div weight"))
+      .drop("__h")
+      .orderBy(col("priority"), col(keyCol))
+      .limit(k)
+  }
 }

@@ -448,4 +448,50 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       ("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
   }
+
+  test("cdcChunks: lossless reassembly, contiguous ids, edit re-sync " +
+      "(the property fixed grids lack), blank doc dropped") {
+    import graft.functions.Md5Word32Expression
+    def isAnchor(t: String) =
+      Md5Word32Expression.word32(t.getBytes("UTF-8")) % 16 == 0
+    // a long deterministic token stream with real anchors in it
+    val toksA = (1 to 400).map(i => s"w${i % 97}")
+    assert(toksA.count(isAnchor) > 2, "corpus should contain anchors")
+    // the edit token must NOT itself be an anchor for the re-sync claim
+    val edit = "zq"
+    assert(!isAnchor(edit))
+    val docs = Seq(
+      (1L, toksA.mkString(" ")),
+      (2L, (edit +: toksA).mkString(" ")), // one token prepended
+      (3L, "   ")                          // blank: dropped
+    ).toDF("doc_id", "text")
+    val chunks = Chunking.cdcChunks(docs, "doc_id", "text", divisor = 16)
+      .orderBy($"doc_id", $"chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(3)))
+    assert(!chunks.exists(_._1 == 3L), "blank doc must emit no chunks")
+    val a = chunks.filter(_._1 == 1L).map(_._3).toSeq
+    val b = chunks.filter(_._1 == 2L).map(_._3).toSeq
+    // lossless: chunks concatenate back to the exact token stream,
+    // chunk ids contiguous from 0
+    assert(a.mkString(" ") == toksA.mkString(" "))
+    assert(chunks.filter(_._1 == 1L).map(_._2).toSeq == a.indices.toSeq)
+    // CDC re-sync: a front-of-document insert changes ONLY the first
+    // chunk; every later chunk keeps its identity (dupBlockStats' fixed
+    // grid would shift all of them)
+    assert(b.head == s"$edit ${a.head}")
+    assert(b.tail == a.tail, "edit failed to re-synchronize")
+    // chunk lengths: every chunk ends at an anchor except the last
+    for ((_, _, txt) <- chunks.filter(_._1 == 1L).dropRight(1))
+      assert(isAnchor(txt.split(" ").last),
+        s"non-final chunk must end at an anchor: '$txt'")
+    // planted duplication is counted token-weighted
+    val dup = Chunking.cdcDupStats(Seq(
+        (1L, toksA.mkString(" ")), (2L, (edit +: toksA).mkString(" ")))
+        .toDF("doc_id", "text"), "doc_id", "text", divisor = 16)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // all chunks except each doc's first are shared between the docs
+    assert(dup(0)._3 == dup(0)._2 - 1, s"doc1 dup chunks: ${dup(0)}")
+    assert(dup(1)._3 == dup(1)._2 - 1, s"doc2 dup chunks: ${dup(1)}")
+  }
 }

@@ -111,5 +111,13 @@ class GraftFacadeSpec extends AnyFunSuite {
     assertSame(Graft.dailyPeakConcurrency(iv, "st", "et"),
       operators.SweepLine.dailyPeakConcurrency(iv, "st", "et"),
       "dailyPeakConcurrency")
+
+    // r17 tier: weighted bottom-k + CDC chunking
+    val wdf = docs.select(col("doc_id"), length(col("text")).as("w"))
+    assertSame(Graft.weightedBottomK(wdf, "doc_id", "w", 3),
+      operators.Sampling.weightedBottomK(wdf, "doc_id", "w", 3),
+      "weightedBottomK")
+    assertSame(Graft.cdcChunks(docs, "doc_id", "text"),
+      operators.Chunking.cdcChunks(docs, "doc_id", "text"), "cdcChunks")
   }
 }

@@ -525,4 +525,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(Sampling.budgetSelect(docs.filter($"id" < 0), "id", "n_tokens",
       "score", 1, 2).count() == 0)
   }
+
+  test("weighted bottom-k: exact priorities, weight clamp, mergeable") {
+    import graft.functions.Md5Word32Expression
+    val rows = (1L to 200L).map(i => (i, (i % 13) + 1))
+    val df = rows.toDF("id", "w")
+    // driver-side replay of the exact contract: the k-smallest
+    // (md5word32(id)*1e6 div w, id) pairs
+    def prio(id: Long, w: Long) =
+      Md5Word32Expression.word32(id.toString.getBytes("UTF-8")) * 1000000L / w
+    val want = rows.map { case (i, w) => (prio(i, w), i) }.sorted.take(10)
+      .map { case (p, i) => (i, p) }
+    val got = Sampling.weightedBottomK(df, "id", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.toSeq == want, "bottom-k set or order diverged from replay")
+    // mergeable sketch property: bottom-k(full) == bottom-k of the two
+    // halves' bottom-ks unioned — the one-pass-at-any-sharding claim
+    val half1 = Sampling.weightedBottomK(df.filter($"id" <= 100), "id", "w", 10)
+    val half2 = Sampling.weightedBottomK(df.filter($"id" > 100), "id", "w", 10)
+    val merged = Sampling.weightedBottomK(
+      half1.unionByName(half2).withColumnRenamed("weight", "w")
+        .select($"id", $"w"), "id", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(merged.toSeq == want, "bottom-k lost mergeability")
+    // weight <= 0 clamps to 1 (never divides by zero, never wins by
+    // sign inversion); partition count is invisible
+    val clamped = Sampling.weightedBottomK(
+      Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("id", "w"), "id", "w", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clamped(1L) == 1L && clamped(2L) == 1L && clamped(3L) == 10L)
+    assert(Sampling.weightedBottomK(df.repartition(7), "id", "w", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq == want)
+  }
 }
