@@ -178,9 +178,9 @@ object QueriesKpi {
       |       CAST(sum(client_4xx) AS BIGINT) AS client_4xx,
       |       CAST(sum(server_5xx) AS BIGINT) AS server_5xx,
       |       CAST(sum(parse_errors) AS BIGINT) AS parse_errors,
-      |       CAST(sum(CAST(avg_elapsed_ms AS DECIMAL(16,6)) * CAST(requests_total AS DECIMAL(12,0))) AS DOUBLE)
+      |       CAST(sum(CAST(CAST(avg_elapsed_ms AS VARCHAR) AS DECIMAL(16,6)) * CAST(requests_total AS DECIMAL(12,0))) AS DOUBLE)
       |         / CAST(greatest(sum(requests_total), 1) AS DOUBLE) AS avg_elapsed_ms,
-      |       CAST(sum(CAST(p90_elapsed_ms AS DECIMAL(16,6)) * CAST(requests_total AS DECIMAL(12,0))) AS DOUBLE)
+      |       CAST(sum(CAST(CAST(p90_elapsed_ms AS VARCHAR) AS DECIMAL(16,6)) * CAST(requests_total AS DECIMAL(12,0))) AS DOUBLE)
       |         / CAST(greatest(sum(requests_total), 1) AS DOUBLE) AS p90_elapsed_ms,
       |       CAST(sum(success_2xx) AS DOUBLE) * 100.0 / CAST(sum(requests_total) AS DOUBLE) AS pct_2xx,
       |       CAST(sum(client_4xx + server_5xx) AS DOUBLE) * 100.0 / CAST(sum(requests_total) AS DOUBLE) AS pct_err

@@ -1007,7 +1007,7 @@ object QueriesText {
       |       CAST(sum(g.width) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_width,
       |       CAST(sum(g.height) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_height,
       |       count(*) FILTER (WHERE g.format = 'png') AS n_png,
-      |       CAST(sum(CAST(e.energy AS DECIMAL(18,9))) AS DOUBLE)
+      |       CAST(sum(CAST(CAST(e.energy AS VARCHAR) AS DECIMAL(18,9))) AS DOUBLE)
       |         / CAST(count(*) AS DOUBLE) AS avg_feature_energy
       |FROM geom g JOIN energies e ON g.doc_id = e.doc_id
       |GROUP BY g.source
@@ -1051,8 +1051,8 @@ object QueriesText {
       |  FROM lcg WHERE j < 16
       |), feats AS (
       |  SELECT doc_id, j - 1 AS idx,
-      |         CAST(CAST(CAST(CAST(s // 2048::HUGEINT AS BIGINT) AS REAL) AS DOUBLE)
-      |              / 9007199254740992.0 AS DECIMAL(18,9)) AS dv
+      |         CAST(CAST(CAST(CAST(CAST(s // 2048::HUGEINT AS BIGINT) AS REAL) AS DOUBLE)
+      |              / 9007199254740992.0 AS VARCHAR) AS DECIMAL(18,9)) AS dv
       |  FROM lcg WHERE j >= 1
       |), tot AS (
       |  SELECT doc_id, sum(dv) AS total FROM feats GROUP BY doc_id
