@@ -353,4 +353,9 @@ object Graft {
   def cdcDupStats(df: DataFrame, idCol: String, textCol: String,
       divisor: Int = 16): DataFrame =
     Chunking.cdcDupStats(df, idCol, textCol, divisor)
+
+  /** Near-dup pairs crossing a train/eval split boundary (leakage). */
+  def splitLeakage(pairs: DataFrame, aCol: String, bCol: String,
+      assignment: DataFrame, idCol: String, splitCol: String): DataFrame =
+    Dedup.splitLeakage(pairs, aCol, bCol, assignment, idCol, splitCol)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
@@ -1391,4 +1391,88 @@ object QueriesPipeline {
       |SELECT doc_id, weight, CAST(priority AS BIGINT) AS priority
       |FROM p ORDER BY priority, doc_id LIMIT 500""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // q169 — split-leakage audit (operators/Dedup.splitLeakage): the
+  // q32 verified near-dup pair set scored under THREE train/eval split
+  // policies — id-hash (the naive default: near-identical documents
+  // land on opposite sides), q93's content-hash (fixes EXACT dups by
+  // construction, but near-dups have different bytes and still leak —
+  // contentSplit's own scaladoc caveat, here measured), and
+  // cluster-representative (split by the q44 connected-component rep:
+  // provably ZERO leakage, since every pair is by definition inside
+  // one component). The audit a real corpus-prep pipeline runs before
+  // trusting its held-out set; the oracle replays pairs, the closure
+  // and all three md5 draws.
+  // ------------------------------------------------------------------
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.rebalance(
+      Tables.documents(spark, sfDir).select("doc_id", "text"))
+    val pairs = QueriesText.verifiedPairs08(spark, sfDir)
+      .select(col("id_a"), col("id_b"))
+    def bucketSplit(key: Column): Column =
+      when(graft.functions.Md5Word32Expression
+        .md5Word32(key.cast("string")) % 100 < 90, "train").otherwise("eval")
+    val byId = docs.select(col("doc_id"),
+      bucketSplit(col("doc_id")).as("split"))
+    val byContent = Sampling.contentSplit(docs, "text",
+      Seq("train" -> 90, "eval" -> 10)).select(col("doc_id"), col("split"))
+    val reps = graft.operators.ConnectedComponents
+      .dedupClusters(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("representative"))
+    val byCluster = docs.join(reps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        bucketSplit(coalesce(col("representative"), col("doc_id")))
+          .as("split"))
+    def tier(name: String, assignment: DataFrame): DataFrame =
+      graft.operators.Dedup
+        .splitLeakage(pairs, "id_a", "id_b", assignment, "doc_id", "split")
+        .withColumn("policy", lit(name))
+    tier("cluster_rep", byCluster)
+      .unionByName(tier("content_hash", byContent))
+      .unionByName(tier("id_hash", byId))
+      .select(col("policy"), col("n_pairs"), col("n_crossing"))
+      .orderBy(col("policy"))
+  }
+
+  val splitLeakageSql: String =
+    s"""WITH ${QueriesText.shingleJaccardCte},
+      |p AS MATERIALIZED (SELECT id_a, id_b FROM jp WHERE jaccard >= 0.8),
+      |e AS (SELECT id_a AS a, id_b AS b FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |closure AS (
+      |  WITH RECURSIVE reach(src, dst) AS (
+      |    SELECT a, b FROM e
+      |    UNION
+      |    SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a)
+      |  SELECT * FROM reach),
+      |lab AS (
+      |  SELECT src AS id, least(src, min(dst)) AS representative
+      |  FROM closure GROUP BY src),
+      |s AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |         CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |                     % 100 < 90 THEN 'train' ELSE 'eval' END AS id_split,
+      |         CASE WHEN ('0x' || substr(md5(d.text), 1, 8))::BIGINT
+      |                     % 100 < 90 THEN 'train' ELSE 'eval' END AS content_split,
+      |         CASE WHEN ('0x' || substr(md5(CAST(coalesce(lab.representative,
+      |                       d.doc_id) AS VARCHAR)), 1, 8))::BIGINT
+      |                     % 100 < 90 THEN 'train' ELSE 'eval' END AS cluster_split
+      |  FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+      |x AS MATERIALIZED (
+      |  SELECT sa.id_split AS ia, sb.id_split AS ib,
+      |         sa.content_split AS ca, sb.content_split AS cb,
+      |         sa.cluster_split AS ka, sb.cluster_split AS kb
+      |  FROM p JOIN s sa ON sa.doc_id = p.id_a
+      |         JOIN s sb ON sb.doc_id = p.id_b)
+      |SELECT 'cluster_rep' AS policy, count(*) AS n_pairs,
+      |       CAST(count(*) FILTER (WHERE ka <> kb) AS BIGINT) AS n_crossing
+      |FROM x
+      |UNION ALL
+      |SELECT 'content_hash', count(*),
+      |       CAST(count(*) FILTER (WHERE ca <> cb) AS BIGINT) FROM x
+      |UNION ALL
+      |SELECT 'id_hash', count(*),
+      |       CAST(count(*) FILTER (WHERE ia <> ib) AS BIGINT) FROM x
+      |ORDER BY policy""".stripMargin
 }

@@ -117,7 +117,7 @@ object QueriesText {
     * documents.parquet. Rebalance before the signature projection:
     * shingle+64-perm hashing is the CPU hot loop, and a single-row-group
     * scan would pin it to one task (no-op on real multi-file inputs). */
-  private def verifiedPairs08(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def verifiedPairs08(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Staging.stagedOrDerive(spark, "neardup_pairs_j08",
         Seq(Tables.path(sfDir, "documents"))) {
       Dedup.verifiedNearDupPairs(

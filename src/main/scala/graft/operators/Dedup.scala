@@ -554,4 +554,29 @@ object Dedup {
     val cands = simHashNearDups(simHash(df, idCol, textCol), idCol, maxHamming)
     shingleJaccardOnCandidates(df, idCol, textCol, cands, minJaccard, shingleN)
   }
+
+  /** Split-leakage audit: how many duplicate/near-duplicate PAIRS
+    * straddle the boundary of a split assignment — the number that
+    * tells you whether your held-out set is contaminated by training
+    * documents' twins. Policy facts it measures (q169): an id-hashed
+    * split leaks; [[Sampling.contentSplit]] fixes EXACT dups by
+    * construction but near-dups have different bytes and still leak
+    * (its own scaladoc caveat); splitting by the
+    * [[ConnectedComponents.dedupClusters]] representative leaks ZERO
+    * pairs by definition — both endpoints of every pair share a
+    * component.
+    *
+    * Scale shape: two id-keyed broadcast-or-shuffle joins of the pair
+    * table against the (id, split) assignment — the pair table is
+    * candidate-sized (the dedup screen's output), never corpus-sized —
+    * and one aggregate row out. */
+  def splitLeakage(pairs: DataFrame, aCol: String, bCol: String,
+      assignment: DataFrame, idCol: String, splitCol: String): DataFrame =
+    pairs
+      .join(assignment.select(col(idCol).as(aCol),
+        col(splitCol).as("__split_a")), Seq(aCol))
+      .join(assignment.select(col(idCol).as(bCol),
+        col(splitCol).as("__split_b")), Seq(bCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_if(col("__split_a") =!= col("__split_b")).as("n_crossing"))
 }

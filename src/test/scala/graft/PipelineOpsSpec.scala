@@ -526,6 +526,24 @@ class PipelineOpsSpec extends AnyFunSuite {
       "score", 1, 2).count() == 0)
   }
 
+  test("split leakage: exact crossing counts; cluster-rep policy leaks zero") {
+    import graft.operators.{ConnectedComponents, Dedup}
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val assign = Seq((1L, "train"), (2L, "eval"), (3L, "train"),
+      (10L, "train"), (11L, "train"), (99L, "eval")).toDF("id", "split")
+    val got = Dedup.splitLeakage(pairs, "id_a", "id_b", assign, "id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(got == ((3L, 2L)), s"1-2 and 2-3 cross, 10-11 does not: $got")
+    // the cluster-representative invariant: ANY split that is a pure
+    // function of the component representative leaks zero pairs
+    val byRep = ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")
+      .select($"id", when($"representative" % 2 === 0, "train")
+        .otherwise("eval").as("split"))
+    val rep = Dedup.splitLeakage(pairs, "id_a", "id_b", byRep, "id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+    assert(rep == ((3L, 0L)), s"rep-keyed split must never cross: $rep")
+  }
+
   test("weighted bottom-k: exact priorities, weight clamp, mergeable") {
     import graft.functions.Md5Word32Expression
     val rows = (1L to 200L).map(i => (i, (i % 13) + 1))
