@@ -83,17 +83,26 @@ object Bench {
   // another dir, a cron wrapper) a relative path would silently miss
   // the committed seed and the contended flag would fall back to the
   // wipeable tmpdir floor the seed exists to fix (ADVICE r16). Order:
-  // explicit env override, then walk UP from CWD until a directory
-  // containing build.sbt (the repo root marker) is found.
+  // explicit env override; walk UP from CWD to a dir containing
+  // build.sbt; finally walk up from THIS CLASS's code location
+  // (target/scala-2.13/classes or the packaged jar live inside the
+  // repo), which covers a CWD entirely outside the repo — verified
+  // live from /tmp at r17.
+  private def upTo(marker: String, start: java.nio.file.Path) =
+    Iterator.iterate(start.toAbsolutePath)(p => Option(p.getParent).orNull)
+      .takeWhile(_ != null).take(16)
+      .find(p => java.nio.file.Files.exists(p.resolve(marker)))
   private def repoRoot: Option[java.nio.file.Path] = {
     sys.env.get("SPARK_GRAFT_REPO_ROOT")
       .map(java.nio.file.Paths.get(_))
+      .orElse(upTo("build.sbt",
+        java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))))
       .orElse {
-        Iterator.iterate(java.nio.file.Paths.get(
-            sys.props.getOrElse("user.dir", ".")).toAbsolutePath) { p =>
-          Option(p.getParent).orNull
-        }.takeWhile(_ != null).take(16)
-          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        try {
+          val loc = getClass.getProtectionDomain.getCodeSource
+            .getLocation.toURI
+          upTo("build.sbt", java.nio.file.Paths.get(loc))
+        } catch { case _: Throwable => None }
       }
   }
   private def repoCalibFile: java.nio.file.Path =
