@@ -2,23 +2,31 @@ package graft
 
 /** Shared DuckDB oracle fragments.
   *
-  * Percentiles: THREE linear-interpolation formulas circulate and they
+  * Percentiles: several linear-interpolation formulas circulate and they
   * differ at the last ULP (see functions/NpPercentile for the numpy
   * story). What matters for the DuckDB-hash oracles is the pair
   * actually being compared:
   *
   *  - Spark's builtin `percentile` (the crossEngineExact KPI tier and
-  *    every oracle-gated exact-percentile query): single product
-  *    `a + (b − a) · t` — verified against Spark 4.1 live at r17;
-  *  - DuckDB's `quantile_cont`: two products `(1−t)·a + t·b`.
+  *    every oracle-gated exact-percentile query) — Spark 4.1's
+  *    `Percentile.getPercentile`, verified live at r17: return the raw
+  *    value when floor/ceil virtual indexes land inside one distinct
+  *    value's count range (the duplicate short-circuit), else the
+  *    INTEGER-ANCHORED two-product form
+  *    `(ceil(pos) − pos)·a + (pos − floor(pos))·b`;
+  *  - DuckDB's `quantile_cont`: fraction-anchored two products
+  *    `(1−t)·a + t·b`.
   *
   * The two agree on every group the sf0.01/sf0.1/sf1 gates produced,
   * which let `quantile_cont` sit in the oracles for 16 rounds — then
   * the sf10 replica's ~74k-row groups hit a == b == 112.77 with
-  * t ≈ 0.1, where the single product is EXACTLY a but the two-product
-  * form rounds to 112.77000000000001 (r17, q01 row 105). A formula
-  * that merely agrees on small data is not an oracle; these fragments
-  * replay Spark's arithmetic verbatim, one IEEE op at a time.
+  * t ≈ 0.1, where Spark's short-circuit returns EXACTLY a but DuckDB's
+  * fraction-anchored sum rounds to 112.77000000000001 (r17, q01 row
+  * 105). A formula that merely agrees on small data is not an oracle;
+  * these fragments replay Spark's arithmetic verbatim, one IEEE op at
+  * a time. (numpy's `a + (b−a)·t` branch family is a THIRD arithmetic —
+  * it belongs only in NpPercentile's reference-parity outputs, never in
+  * a builtin-percentile oracle.)
   */
 object OracleSql {
 

@@ -1020,6 +1020,16 @@ object QueriesGraph {
   // dayofweek() convention mismatch (Spark 1=Sunday, DuckDB 0=Sunday)
   // can creep in. Two keyed aggregates + a broadcast-sized join; the
   // seasonal-cell table is 7·24·|types| rows at ANY corpus size.
+  // Overflow headroom (ADVICE r17): the quadratic terms (n·x−s)² and
+  // k²·(n·ss−s²) are BIGINT, where DuckDB raises on int64 overflow but
+  // Spark wraps silently — so the identity is only an oracle while
+  // |n·x−s| and k·sqrt(n·ss) stay below √2⁶³ ≈ 3.0e9, i.e. while one
+  // (event_type, dow, hod) cell holds ≲3e9 events (n·x ≤ hours·max
+  // hourly rate, and s/ss are cell-local, never corpus-global). The
+  // gated corpora sit ~6 orders below that (sf10: s ≈ 7e3 per cell,
+  // squares ≈ 5e7); past ~10⁹ events/cell, widen both sides to
+  // DECIMAL(38,0)/HUGEINT so the engines fail together instead of
+  // diverging (wrong flags vs hard error).
   // -------------------------------------------------------------------
   def seasonalAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
     val k = 2L // flag beyond 2 sigma within the seasonal cell

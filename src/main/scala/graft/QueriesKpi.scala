@@ -45,12 +45,13 @@ object QueriesKpi {
   /** SQL CTE shared by the KPI-family oracles (DuckDB dialect).
     *
     * p90 replays Spark's builtin `percentile` arithmetic verbatim
-    * (OracleSql.percentileSql: single product `a + (b−a)·t`) instead of
-    * `quantile_cont` (two products `(1−t)·a + t·b`): the pair is
+    * (OracleSql.percentileSql: duplicate short-circuit, else the
+    * integer-anchored `(ceil(pos)−pos)·a + (pos−floor(pos))·b`) instead
+    * of `quantile_cont` (fraction-anchored `(1−t)·a + t·b`): the pair is
     * bit-identical on the sf0.01/sf0.1/sf1 group sizes but diverged by
     * 1 ULP at the sf10 replica's 74k-row groups (r17 — a == b == 112.77,
-    * t ≈ 0.1: single product is exactly a, two-product rounds to
-    * 112.77000000000001). */
+    * t ≈ 0.1: Spark's short-circuit returns exactly a, quantile_cont
+    * rounds to 112.77000000000001). */
   private val kpiCte: String =
     s"""WITH b AS (
       |  SELECT CAST(ts AS DATE) AS date_utc,

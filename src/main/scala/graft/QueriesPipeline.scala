@@ -1431,7 +1431,11 @@ object QueriesPipeline {
     tier("cluster_rep", byCluster)
       .unionByName(tier("content_hash", byContent))
       .unionByName(tier("id_hash", byId))
-      .select(col("policy"), col("n_pairs"), col("n_crossing"))
+      // n_unmatched is provably 0 here (every pair endpoint comes from
+      // `docs`, which every assignment covers) — carried anyway so the
+      // oracle gates the coverage contract, not just the crossing counts
+      .select(col("policy"), col("n_pairs"), col("n_crossing"),
+        col("n_unmatched"))
       .orderBy(col("policy"))
   }
 
@@ -1463,16 +1467,24 @@ object QueriesPipeline {
       |  SELECT sa.id_split AS ia, sb.id_split AS ib,
       |         sa.content_split AS ca, sb.content_split AS cb,
       |         sa.cluster_split AS ka, sb.cluster_split AS kb
-      |  FROM p JOIN s sa ON sa.doc_id = p.id_a
-      |         JOIN s sb ON sb.doc_id = p.id_b)
-      |SELECT 'cluster_rep' AS policy, count(*) AS n_pairs,
-      |       CAST(count(*) FILTER (WHERE ka <> kb) AS BIGINT) AS n_crossing
+      |  FROM p LEFT JOIN s sa ON sa.doc_id = p.id_a
+      |         LEFT JOIN s sb ON sb.doc_id = p.id_b)
+      |SELECT 'cluster_rep' AS policy,
+      |       CAST(count(*) FILTER (WHERE ka IS NOT NULL AND kb IS NOT NULL)
+      |            AS BIGINT) AS n_pairs,
+      |       CAST(count(*) FILTER (WHERE ka <> kb) AS BIGINT) AS n_crossing,
+      |       CAST(count(*) FILTER (WHERE ka IS NULL OR kb IS NULL)
+      |            AS BIGINT) AS n_unmatched
       |FROM x
       |UNION ALL
-      |SELECT 'content_hash', count(*),
-      |       CAST(count(*) FILTER (WHERE ca <> cb) AS BIGINT) FROM x
+      |SELECT 'content_hash',
+      |       CAST(count(*) FILTER (WHERE ca IS NOT NULL AND cb IS NOT NULL) AS BIGINT),
+      |       CAST(count(*) FILTER (WHERE ca <> cb) AS BIGINT),
+      |       CAST(count(*) FILTER (WHERE ca IS NULL OR cb IS NULL) AS BIGINT) FROM x
       |UNION ALL
-      |SELECT 'id_hash', count(*),
-      |       CAST(count(*) FILTER (WHERE ia <> ib) AS BIGINT) FROM x
+      |SELECT 'id_hash',
+      |       CAST(count(*) FILTER (WHERE ia IS NOT NULL AND ib IS NOT NULL) AS BIGINT),
+      |       CAST(count(*) FILTER (WHERE ia <> ib) AS BIGINT),
+      |       CAST(count(*) FILTER (WHERE ia IS NULL OR ib IS NULL) AS BIGINT) FROM x
       |ORDER BY policy""".stripMargin
 }

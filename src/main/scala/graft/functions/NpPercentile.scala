@@ -13,13 +13,18 @@ import org.apache.spark.sql.functions._
   *    `b - (b-a)·(1-t)` for t ≥ 0.5 (the branch improves numerical
   *    symmetry);
   *  - DuckDB's `quantile_cont`: `(1-t)·a + t·b` (two products);
-  *  - Spark's builtin `Percentile` (4.1, verified live at r17): the
-  *    single-product form `a + (b-a)·t`. The two-product/single-product
-  *    pair agreed on every group size the sf≤1 gates produced, then
-  *    diverged by 1 ULP at the sf10 replica's 74k-row groups (a == b,
-  *    t ≈ 0.1: single product is exactly a; two products round up) —
-  *    which is why the DuckDB oracles now replay Spark's arithmetic
-  *    explicitly (graft.OracleSql.percentileSql) instead of trusting
+  *  - Spark's builtin `Percentile` (4.1, verified live at r17): a
+  *    duplicate short-circuit (floor/ceil indexes inside one distinct
+  *    value's count range → return that value raw), else the
+  *    INTEGER-anchored two-product form
+  *    `(ceil(pos)-pos)·a + (pos-floor(pos))·b` — a third arithmetic,
+  *    distinct from both of the above. It agreed with `quantile_cont`
+  *    on every group size the sf≤1 gates produced, then diverged by
+  *    1 ULP at the sf10 replica's 74k-row groups (a == b, t ≈ 0.1:
+  *    the short-circuit returns exactly a; quantile_cont's two
+  *    fraction-anchored products round up) — which is why the DuckDB
+  *    oracles now replay Spark's arithmetic explicitly
+  *    (graft.OracleSql.percentileSql) instead of trusting
   *    `quantile_cont` to match.
   *
   * The difference is invisible until an interpolated value lands exactly on

@@ -569,14 +569,27 @@ object Dedup {
     * Scale shape: two id-keyed broadcast-or-shuffle joins of the pair
     * table against the (id, split) assignment — the pair table is
     * candidate-sized (the dedup screen's output), never corpus-sized —
-    * and one aggregate row out. */
+    * and one aggregate row out.
+    *
+    * Coverage contract (ADVICE r17): a pair whose endpoint is MISSING
+    * from the assignment cannot be scored, but silently shrinking the
+    * audit denominator would let a drifted pairs/assignment input
+    * certify a held-out set it never actually checked — so the joins
+    * are LEFT joins and such pairs are counted out loud in
+    * `n_unmatched` (n_pairs + n_unmatched == the input pair count;
+    * n_crossing is over the matched pairs only). A caller seeing
+    * n_unmatched > 0 has a stale assignment, not a clean audit. */
   def splitLeakage(pairs: DataFrame, aCol: String, bCol: String,
       assignment: DataFrame, idCol: String, splitCol: String): DataFrame =
     pairs
       .join(assignment.select(col(idCol).as(aCol),
-        col(splitCol).as("__split_a")), Seq(aCol))
+        col(splitCol).as("__split_a")), Seq(aCol), "left")
       .join(assignment.select(col(idCol).as(bCol),
-        col(splitCol).as("__split_b")), Seq(bCol))
-      .agg(count(lit(1)).as("n_pairs"),
-        count_if(col("__split_a") =!= col("__split_b")).as("n_crossing"))
+        col(splitCol).as("__split_b")), Seq(bCol), "left")
+      .agg(
+        count_if(col("__split_a").isNotNull && col("__split_b").isNotNull)
+          .as("n_pairs"),
+        count_if(col("__split_a") =!= col("__split_b")).as("n_crossing"),
+        count_if(col("__split_a").isNull || col("__split_b").isNull)
+          .as("n_unmatched"))
 }

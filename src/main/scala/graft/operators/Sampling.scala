@@ -378,8 +378,11 @@ object Sampling {
     * global sort. Bottom-k is also MERGEABLE (union two samples, keep
     * the k smallest), the property that makes it a one-pass sketch at
     * any sharding. Weights < 1 are clamped to 1 (zero/negative weights
-    * would divide-by-zero or invert the order — a weight-0 row must
-    * simply never win, so it gets the maximal-priority clamp instead).
+    * would divide-by-zero or invert the order) — i.e. a zero/negative-
+    * weight row is DEMOTED to ordinary weight-1 sampling probability,
+    * not excluded: it can still land in the bottom-k when its hash is
+    * small. Callers that need hard exclusion must filter such rows out
+    * before the draw (and the q166 oracle replays the same clamp).
     *
     * @return (keyCol, weight, priority), the k smallest priorities,
     *         ordered (priority, key). */

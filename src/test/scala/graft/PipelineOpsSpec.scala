@@ -439,12 +439,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got7 = SweepLine.dailyPeakConcurrency(withNull.repartition(7),
       "st", "et").collect().map(_.getLong(4)).toSeq
     assert(got7 == got.map(_._5).toSeq)
-    // the hour-nested hot-day path (threshold 0 forces it) returns the
-    // SAME five-column rows — carry_in semantics and all
-    val gotNested = SweepLine.dailyPeakConcurrency(withNull, "st", "et", 0L)
+    // the HOUR-nested path (day 1 has 9 deltas, its densest hour 4 —
+    // threshold 4 trips the day check but not the hour check) returns
+    // the SAME five-column rows — carry_in semantics and all
+    val gotHour = SweepLine.dailyPeakConcurrency(withNull, "st", "et", 4L)
       .collect().map(r => (r.getTimestamp(0).toString.take(10),
         r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-    assert(gotNested.toSeq == got.toSeq)
+    assert(gotHour.toSeq == got.toSeq)
+    // and the MINUTE-nested path (r18: threshold 0 trips the hot-hour
+    // check too, recursing to per-(day,hour,minute) windows) — same rows
+    val gotMinute = SweepLine.dailyPeakConcurrency(withNull, "st", "et", 0L)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(gotMinute.toSeq == got.toSeq)
   }
 
   test("poisson bootstrap: exact draws, sane mass, partition-invariant CI") {
@@ -532,8 +539,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     val assign = Seq((1L, "train"), (2L, "eval"), (3L, "train"),
       (10L, "train"), (11L, "train"), (99L, "eval")).toDF("id", "split")
     val got = Dedup.splitLeakage(pairs, "id_a", "id_b", assign, "id", "split")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).head
-    assert(got == ((3L, 2L)), s"1-2 and 2-3 cross, 10-11 does not: $got")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(got == ((3L, 2L, 0L)), s"1-2 and 2-3 cross, 10-11 does not: $got")
+    // coverage contract (ADVICE r17): a pair endpoint missing from the
+    // assignment must surface in n_unmatched, never silently shrink the
+    // denominator — n_pairs + n_unmatched == input pair count
+    val drifted = Dedup.splitLeakage(pairs, "id_a", "id_b",
+        assign.filter($"id" =!= 3L && $"id" =!= 10L), "id", "split")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(drifted == ((1L, 1L, 2L)),
+      s"pairs 2-3 (b missing) and 10-11 (a missing) must count unmatched: $drifted")
     // the cluster-representative invariant: ANY split that is a pure
     // function of the component representative leaks zero pairs
     val byRep = ConnectedComponents.dedupClusters(pairs, "id_a", "id_b")

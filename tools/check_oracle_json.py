@@ -238,8 +238,16 @@ def main():
             print(f"PRUNE {k}: no longer in the oracle registry")
     with open(json_out, "w") as f:
         json.dump(merged, f, indent=1, sort_keys=True)
+    # The summary counts REAL oracle queries only; the type sweep (an
+    # underscore report key that also increments `fails`) gets its own
+    # verdict line instead of silently skewing the n/fails arithmetic
+    # (ADVICE r17: a sweep-only failure used to print "164/165 match"
+    # when all 165 value-compares passed).
     n = len([k for k in report if not k.startswith("_")])
-    print(f"\n{n - fails}/{n} oracle queries match -> {json_out}")
+    sweep_failed = 1 if "_type_sweep" in report else 0
+    print(f"\n{n - (fails - sweep_failed)}/{n} oracle queries match"
+          + (" [TYPE SWEEP FAILED]" if sweep_failed else "")
+          + f" -> {json_out}")
     sys.exit(1 if fails else 0)
 
 
