@@ -150,6 +150,47 @@ object Bench {
       val v = math.min(prior, runMin)
       java.nio.file.Files.write(calibFile, f"$v%.4f".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+
+  /** Sentinel HISTORY (VERDICT r17 #6): the per-host calibration file
+    * keeps only the running MIN, so "was there ever a quiet window, and
+    * when" is unanswerable after the fact — the standing 2×-gate gap is
+    * exactly that no committed artifact has `contended:false`, because
+    * every measured window so far ran 1.2-1.8× above the committed
+    * 0.1087 s idle floor. Every bench run now APPENDS one JSON line
+    * (UTC time, run floor, resolved ref, contended verdict, sf, mode)
+    * to `calibration/sentinel_history_<host>.jsonl` in the repo, so:
+    * (a) a future quiet window is recognized automatically — the run
+    * that lands within CleanAnchorBand of the committed ref announces
+    * itself on stderr as the clean-anchor candidate, and its history
+    * line is the durable record even if the artifact is overwritten;
+    * (b) the contention narrative ("the floor is the hypervisor's") is
+    * auditable as a time series instead of asserted per-round. Append-
+    * only and best-effort: a read-only checkout must not fail the bench. */
+  private val CleanAnchorBand = 1.10
+  private def appendSentinelHistory(runFloor: Double, contended: Boolean,
+      sfDir: String, mode: String): Unit =
+    try {
+      val dir = repoRoot.getOrElse(java.nio.file.Paths.get("."))
+        .resolve("calibration")
+      java.nio.file.Files.createDirectories(dir)
+      val ts = java.time.format.DateTimeFormatter.ISO_INSTANT
+        .format(java.time.Instant.now().truncatedTo(
+          java.time.temporal.ChronoUnit.SECONDS))
+      val refJ = SentinelAbsRef.map(r => f"$r%.4f").getOrElse("null")
+      val line = f"""{"ts":"$ts","floor":$runFloor%.4f,"ref":$refJ,"contended":$contended,"sf":"$sfDir","mode":"$mode"}"""
+      java.nio.file.Files.write(dir.resolve(s"sentinel_history_$hostName.jsonl"),
+        (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      SentinelAbsRef.foreach { ref =>
+        if (runFloor <= ref * CleanAnchorBand && !contended)
+          System.err.println(f"[bench] CLEAN-ANCHOR CANDIDATE: run floor " +
+            f"$runFloor%.4f s within ${(CleanAnchorBand - 1) * 100}%.0f%% of " +
+            f"the idle ref $ref%.4f s and contended=false — commit this " +
+            "run's artifact as the uncontended anchor (VERDICT r17 #6).")
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sentinel history append failed: ${e.getMessage}") }
   private val MaxChunkRetries = 2
 
   /** Floor-normalized total (VERDICT r14 #5 / r15 #4): the sentinel is
@@ -333,6 +374,7 @@ object Bench {
       println(miniJson("total_prodcold", total, sfDir, contended,
         results, prodcoldPath))
       updateCalibration(sentinelBase)
+      appendSentinelHistory(sentinelBase, contended, sfDir, "prodcold")
       spark.stop()
       return
     }
@@ -433,6 +475,7 @@ object Bench {
     // log tail even with sbt's trailing [success] line after it.
     println(miniJson("total", total, sfDir, contended, results, detailPath))
     updateCalibration(sentinelBase)
+    appendSentinelHistory(sentinelBase, contended, sfDir, "two-pass")
     spark.stop()
   }
 
