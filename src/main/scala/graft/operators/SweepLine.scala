@@ -52,7 +52,19 @@ object SweepLine {
     * is a prefix of the (ts, delta) order, so per-hour runs concatenate
     * to the per-day run; pinned equal by PipelineOpsSpec/PropertySpec).
     * The decision input is already on the driver — the same bounded
-    * per-day subtotal read that computes midnight carries. */
+    * per-day subtotal read that computes midnight carries.
+    *
+    * And once more (r18, VERDICT r17 #4): a day skewed into one HOUR
+    * would still sort that hour in one task, so when any single
+    * (day, hour) exceeds the SAME threshold the identical pattern
+    * recurses to MINUTE grain — minute subtotals -> a ≤60-rows-per-hour
+    * exclusive scan for each minute's carry (stacked on the hour
+    * carries) -> per-(day, hour, minute) windows, splitting the hot
+    * hour's sort a further 60 ways, exact by the same prefix argument.
+    * The hour-grain decision needs per-hour counts, which the per-day
+    * driver read doesn't carry — so the check is one extra bounded
+    * aggregate (a single max row) over the already-persisted deltas,
+    * paid ONLY after the day-level threshold has tripped. */
   def dailyPeakConcurrency(intervals: DataFrame, startCol: String,
       endCol: String, hotDayDeltas: Long): DataFrame = {
     val deltas = intervals
@@ -109,22 +121,71 @@ object SweepLine {
         .select(col("day"), col("hour"), col("n_starts"), col("n_ends"),
           col("carry_in"),
           (col("carry_in") + col("hour_offset")).as("hour_carry"))
-      val wRun = Window.partitionBy(col("day"), col("hour"))
-        .orderBy(col("ts"), col("delta"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hourDeltas
-        .withColumn("run", sum(col("delta")).over(wRun))
-        .groupBy(col("day"), col("hour")).agg(max(col("run")).as("max_run"))
-        .join(broadcast(hourBase), Seq("day", "hour"))
-        .select(col("day"), col("n_starts"), col("n_ends"), col("carry_in"),
-          greatest(col("hour_carry"),
-            col("hour_carry") + col("max_run")).as("hpeak"))
-        .groupBy(col("day"))
-        .agg(max(col("n_starts")).as("n_starts"),
-          max(col("n_ends")).as("n_ends"),
-          max(col("carry_in")).as("carry_in"),
-          max(col("hpeak")).as("peak"))
-        .orderBy(col("day"))
+      // one bounded read (a single max row) to see whether the skew is
+      // deeper than a hot DAY — a hot HOUR, which hour grain can't split
+      val maxHourDeltas = hourDeltas.groupBy(col("day"), col("hour"))
+        .agg(count(lit(1)).as("c")).agg(max(col("c")))
+        .collect()(0).getLong(0)
+      if (maxHourDeltas <= hotDayDeltas) {
+        val wRun = Window.partitionBy(col("day"), col("hour"))
+          .orderBy(col("ts"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hourDeltas
+          .withColumn("run", sum(col("delta")).over(wRun))
+          .groupBy(col("day"), col("hour")).agg(max(col("run")).as("max_run"))
+          .join(broadcast(hourBase), Seq("day", "hour"))
+          .select(col("day"), col("n_starts"), col("n_ends"), col("carry_in"),
+            greatest(col("hour_carry"),
+              col("hour_carry") + col("max_run")).as("hpeak"))
+          .groupBy(col("day"))
+          .agg(max(col("n_starts")).as("n_starts"),
+            max(col("n_ends")).as("n_ends"),
+            max(col("carry_in")).as("carry_in"),
+            max(col("hpeak")).as("peak"))
+          .orderBy(col("day"))
+      } else {
+        // minute-nested path: the same decomposition a third time.
+        // Each minute's carry = hour_carry + exclusive within-hour
+        // prefix of minute subtotals (a ≤60-rows-per-(day,hour) window);
+        // the corpus-sized window partitions by (day, hour, minute) —
+        // the hot hour's sort splits a further 60 ways. Exact by the
+        // same prefix argument: minute truncation is monotone in ts, so
+        // per-minute runs concatenate to the per-hour run, and the first
+        // active minute's carry IS hour_carry (covering the
+        // inherited-level peak). minuteBase is active-minutes-sized
+        // (≤1440/day) — joined without a broadcast hint so AQE sizes it.
+        val minuteDeltas = hourDeltas
+          .withColumn("minute", date_trunc("minute", col("ts")))
+        val wMin = Window.partitionBy(col("day"), col("hour"))
+          .orderBy(col("minute"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val minuteBase = minuteDeltas
+          .groupBy(col("day"), col("hour"), col("minute"))
+          .agg(sum(col("delta")).as("msum"))
+          .withColumn("minute_offset",
+            coalesce(sum(col("msum")).over(wMin), lit(0L)))
+          .join(broadcast(hourBase), Seq("day", "hour"))
+          .select(col("day"), col("hour"), col("minute"),
+            col("n_starts"), col("n_ends"), col("carry_in"),
+            (col("hour_carry") + col("minute_offset")).as("minute_carry"))
+        val wRunM = Window.partitionBy(col("day"), col("hour"), col("minute"))
+          .orderBy(col("ts"), col("delta"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        minuteDeltas
+          .withColumn("run", sum(col("delta")).over(wRunM))
+          .groupBy(col("day"), col("hour"), col("minute"))
+          .agg(max(col("run")).as("max_run"))
+          .join(minuteBase, Seq("day", "hour", "minute"))
+          .select(col("day"), col("n_starts"), col("n_ends"), col("carry_in"),
+            greatest(col("minute_carry"),
+              col("minute_carry") + col("max_run")).as("mpeak"))
+          .groupBy(col("day"))
+          .agg(max(col("n_starts")).as("n_starts"),
+            max(col("n_ends")).as("n_ends"),
+            max(col("carry_in")).as("carry_in"),
+            max(col("mpeak")).as("peak"))
+          .orderBy(col("day"))
+      }
     }
     LoopCache.finish(out, deltas)
   }

@@ -213,12 +213,25 @@ class PropertySpec extends AnyFunSuite {
       val got = SweepLine.dailyPeakConcurrency(df, "st", "et")
         .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(4))
         .toMap
-      // hour-nested hot-day path (hotDayDeltas = 0 forces it): must be
-      // row-for-row the flat path — the r17 decomposition pin
+      // threshold 0 now forces the DEEPEST nesting (r18: every hour
+      // count > 0 trips the hot-hour check too) — the minute-nested
+      // path must be row-for-row the flat path
       val gotNested = SweepLine.dailyPeakConcurrency(df, "st", "et", 0L)
         .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(4))
         .toMap
-      assert(gotNested == got, s"nested != flat on interval set $i: $ivs")
+      assert(gotNested == got, s"minute-nested != flat on set $i: $ivs")
+      // and the intermediate HOUR path (hot day, no hot hour) whenever
+      // this interval set can express it: threshold = max deltas/hour
+      // trips the day check but not the hour check
+      val allDeltas = ivs.flatMap { case (s, e) => Seq(s, e) }
+      val maxHour = allDeltas.groupBy(_ / 3600).values.map(_.size).max.toLong
+      val maxDay = allDeltas.groupBy(_ / 86400).values.map(_.size).max.toLong
+      if (maxHour < maxDay) {
+        val gotHour = SweepLine.dailyPeakConcurrency(df, "st", "et", maxHour)
+          .collect().map(r => r.getTimestamp(0).getTime / 1000 -> r.getLong(4))
+          .toMap
+        assert(gotHour == got, s"hour-nested != flat on set $i: $ivs")
+      }
       // brute force: concurrency at instant t = #{[s,e) : s <= t < e},
       // evaluated at every delta instant plus each active day's start
       val deltas = ivs.flatMap { case (s, e) => Seq(s, e) }.distinct.sorted
