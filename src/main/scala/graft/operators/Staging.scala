@@ -25,7 +25,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - written to a temp dir then ATOMICALLY renamed into place, so a
   *    concurrent second JVM (Verify racing Bench) either wins the
   *    rename or discards its attempt and reads the winner's — a reader
-  *    never sees a half-written stage;
+  *    never sees a half-written stage; since r18 an advisory heartbeat
+  *    lock additionally makes the second cold process WAIT for the
+  *    winner instead of paying a duplicate derive (one derive + one
+  *    wait-and-read — gated cross-process by tools/check_stage_race.sh);
   *  - cache-transparent: callers get a plain parquet-backed DataFrame;
   *    Spark's CacheManager / LoopCache pin it exactly like the derived
   *    plan, and clearing caches (the prodcold protocol) re-reads the
@@ -129,7 +132,23 @@ object Staging {
   /** [[stagedOrDerive]] with the refresh decision as a parameter — the
     * env-var entry point above is the production path; the explicit
     * `force` overload lets the concurrency specs drive the refresh
-    * branch deterministically. */
+    * branch deterministically.
+    *
+    * Cross-process work dedup (r18, VERDICT r17 #8): the rename protocol
+    * alone is CORRECT under any interleaving, but two cold processes
+    * landing on a fresh corpus (the real deployment shape: Verify racing
+    * Bench, two jobs on a new snapshot) would both pay the full derive
+    * and one would discard — at the 100 TB design point that is the
+    * fact-table shuffle paid twice. A best-effort advisory LOCK
+    * (atomic createFile + heartbeat) makes the loser WAIT for the
+    * winner's `_SUCCESS` instead of deriving. The lock is a cost
+    * optimization, never a correctness dependency: a crashed holder's
+    * heartbeat stops and the lock goes stale (default 30 s,
+    * SPARK_GRAFT_STAGE_LOCK_STALE_MS), a waiter steals it atomically
+    * (move-to-trash, so exactly one stealer wins) and derives itself;
+    * if staleness ever misfires (a >30 s GC pause on the holder), the
+    * outcome is merely the pre-r18 double-derive, which the rename
+    * protocol already handles. Readers still trust ONLY `_SUCCESS`. */
   private[graft] def stagedOrDerive(spark: SparkSession, name: String,
       inputs: Seq[String], force: Boolean)(derive: => DataFrame): DataFrame = {
     val dir = stageDirOf(name, inputs)
@@ -144,29 +163,61 @@ object Staging {
     // re-check it; if absent, the blocker is garbage — move it aside and
     // retry the stage rather than silently reading truncated parquet.
     var attempts = 0
+    var spins = 0
+    var waited = false
+    val lock = stageRoot.resolve(s".${dir.getFileName}.lock")
     while (!Files.exists(dir.resolve("_SUCCESS")) && attempts < 3) {
-      attempts += 1
-      // Under the protocol a stage dir appears atomically and complete,
-      // so dir-present-but-unmarked is stale garbage by definition —
-      // move it aside (ATOMICALLY — never delete in place: an in-place
-      // recursive delete can destroy a CONCURRENT stager's freshly
-      // renamed-in complete stage in the window between this process's
-      // _SUCCESS check and its delete walk, ADVICE r11) so the rename
-      // below can land.
-      if (Files.exists(dir) && !Files.exists(dir.resolve("_SUCCESS")))
-        trashAside(dir)
-      val tmp = stageRoot.resolve(
-        s".${dir.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      derive.write.mode("overwrite").parquet(tmp.toString)
-      // ANY rename failure means "did not win" — on Linux a non-empty
-      // target surfaces as a bare FileSystemException (ENOTEMPTY), not
-      // DirectoryNotEmptyException, so catch the whole family
-      // (StagingSpec's concurrent-stagers pin): the loop re-checks
-      // `_SUCCESS` and either reads the winner or retries.
-      try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileSystemException =>
-          deleteRecursively(tmp)
+      val token = tryAcquireLock(lock)
+      if (token.isDefined) {
+        val heartbeat = startHeartbeat(lock)
+        try {
+          // re-check under the lock: a winner may have completed between
+          // the loop test and our acquire
+          if (!Files.exists(dir.resolve("_SUCCESS"))) {
+            attempts += 1
+            // Under the protocol a stage dir appears atomically and
+            // complete, so dir-present-but-unmarked is stale garbage by
+            // definition — move it aside (ATOMICALLY — never delete in
+            // place: an in-place recursive delete can destroy a
+            // CONCURRENT stager's freshly renamed-in complete stage in
+            // the window between this process's _SUCCESS check and its
+            // delete walk, ADVICE r11) so the rename below can land.
+            if (Files.exists(dir) && !Files.exists(dir.resolve("_SUCCESS")))
+              trashAside(dir)
+            val tmp = stageRoot.resolve(
+              s".${dir.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+            derive.write.mode("overwrite").parquet(tmp.toString)
+            // ANY rename failure means "did not win" — on Linux a
+            // non-empty target surfaces as a bare FileSystemException
+            // (ENOTEMPTY), not DirectoryNotEmptyException, so catch the
+            // whole family (StagingSpec's concurrent-stagers pin): the
+            // loop re-checks `_SUCCESS` and either reads the winner or
+            // retries.
+            try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case _: java.nio.file.FileSystemException =>
+                deleteRecursively(tmp)
+            }
+          }
+        } finally {
+          heartbeat.interrupt()
+          releaseLock(lock, token.get)
+        }
+      } else {
+        // someone else holds a FRESH lock: wait for their _SUCCESS (or
+        // for the lock to die) instead of paying a duplicate derive
+        waited = true
+        awaitWinner(dir, lock)
+        // spin guard: acquire failing while NO lock exists (broken FS)
+        // must degrade to the error path, never a hot loop
+        if (!Files.exists(lock) && !Files.exists(dir.resolve("_SUCCESS"))) {
+          spins += 1
+          if (spins > 300)
+            throw new IllegalStateException(
+              s"stage lock $lock unacquirable with no holder present — " +
+                "filesystem refused createFile; check the stage root")
+          Thread.sleep(LockPollMs)
+        }
       }
     }
     if (!Files.exists(dir.resolve("_SUCCESS")))
@@ -176,10 +227,82 @@ object Staging {
           "delete it manually or point SPARK_GRAFT_STAGE_DIR elsewhere")
     recordStage(name,
       if (prebuilt) "\"prebuilt\""
+      else if (attempts == 0 && waited) "\"waited\""
       else f"${(System.nanoTime() - t0) / 1e9}%.3f")
     // a re-derive under the same dir name (REFRESH, stale-dir retry)
     // must drop the memoized relation — its file list is gone
     readStage(spark, dir.toString, invalidate = !prebuilt)
+  }
+
+  // ---- advisory stage lock (work dedup only — see stagedOrDerive) ----
+  private def lockStaleMs: Long =
+    sys.env.get("SPARK_GRAFT_STAGE_LOCK_STALE_MS").map(_.toLong)
+      .getOrElse(30000L)
+  private val LockPollMs = 200L
+
+  /** Atomic acquire: createFile wins or loses; the lock body carries a
+    * per-acquire token so a holder whose lock was STOLEN (staleness
+    * misfire) can never delete the thief's fresh lock on release. */
+  private def tryAcquireLock(lock: Path): Option[String] =
+    try {
+      Files.createDirectories(lock.getParent)
+      val token = java.util.UUID.randomUUID().toString
+      Files.createFile(lock)
+      Files.write(lock, token.getBytes("UTF-8"))
+      Some(token)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => None
+      case _: java.io.IOException => None
+    }
+
+  private def releaseLock(lock: Path, token: String): Unit =
+    try {
+      val mine = new String(Files.readAllBytes(lock), "UTF-8") == token
+      if (mine) Files.deleteIfExists(lock)
+    } catch { case _: java.io.IOException => () }
+
+  /** Daemon heartbeat: touches the lock's mtime so waiters can tell a
+    * live slow derive from a dead holder. Dies with the JVM (kill -9
+    * stops the heartbeat, the lock goes stale, a waiter steals it). */
+  private def startHeartbeat(lock: Path): Thread = {
+    val t = new Thread(() => {
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(lockStaleMs / 6 max 100L)
+          Files.setLastModifiedTime(lock,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+        }
+      } catch { case _: InterruptedException | _: java.io.IOException => () }
+    }, s"graft-stage-heartbeat-${lock.getFileName}")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+
+  /** Block until the lock holder publishes `_SUCCESS`, or the lock
+    * disappears / goes stale (holder finished, crashed, or was killed).
+    * Stale steal is an ATOMIC move-to-trash so exactly one waiter wins
+    * the takeover; the rest loop back to acquire/wait. */
+  private def awaitWinner(dir: Path, lock: Path): Unit = {
+    while (true) {
+      if (Files.exists(dir.resolve("_SUCCESS"))) return
+      if (!Files.exists(lock)) return
+      val age =
+        try System.currentTimeMillis() -
+          Files.getLastModifiedTime(lock).toMillis
+        catch { case _: java.io.IOException => return }
+      if (age > lockStaleMs) {
+        val trash = stageRoot.resolve(
+          s".${lock.getFileName}.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+        try {
+          Files.move(lock, trash, StandardCopyOption.ATOMIC_MOVE)
+          Files.deleteIfExists(trash)
+        } catch { case _: java.io.IOException => () }
+        return
+      }
+      Thread.sleep(LockPollMs)
+    }
   }
 
   /** Remove a blocking dir WITHOUT an in-place recursive delete: rename
