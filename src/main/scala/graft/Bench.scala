@@ -236,6 +236,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // rank-filter pre-trim for corpus-scale quotas (see Verify.scala)
       .config("spark.sql.optimizer.windowGroupLimitThreshold", "16777216")
+      // Shuffle files are only deleted after their RDDs are GARBAGE
+      // COLLECTED (ContextCleaner), and a big-heap bench JVM can run a
+      // 157-query pass without a single full GC — Spark's 30min default
+      // periodicGC let the r18 sf10 run accumulate 63 GB of dead shuffle
+      // files and fill the disk. 120s bounds the backlog to a few
+      // queries' worth; the GC itself is off the timed path's critical
+      // sections (it runs in the cleaner thread between queries).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "120s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = Queries.registry.filter(_.bench)
@@ -379,6 +388,25 @@ object Bench {
       return
     }
 
+    // BIG-CORPUS cache scope (r18): the suite-lifetime cache reuse below
+    // is the point of the warm tier — but every pinned plan also pins
+    // its SHUFFLE FILES (ContextCleaner can only reap what is
+    // unreferenced), and at the sf10 replica a full two-pass run
+    // accumulated 63+ GB of live shuffle/cache spill and filled the
+    // disk. SPARK_GRAFT_CHUNK_CLEAR=1 drops caches + operator memos at
+    // each CHUNK boundary, bounding retained state to one chunk's worth
+    // (~20 queries): pass B then re-measures with staged tables, JIT,
+    // and OS page cache warm but Spark caches cold — a steady-state
+    // re-run, not a cache-hit run. The artifact records which scope
+    // measured it ("cache_scope") so warm numbers are never compared
+    // across scopes by accident.
+    val chunkClear = sys.env.get("SPARK_GRAFT_CHUNK_CLEAR").contains("1")
+    val cacheScope = if (chunkClear) "chunk" else "suite"
+    def chunkBoundary(): Unit = if (chunkClear) {
+      spark.catalog.clearCache()
+      graft.operators.LoopCache.clearMemo()
+    }
+
     // ---- pass A (cold): chunked, sentinel-audited, NO retries — a
     // retry would run against warm caches and stop being a cold
     // measurement. A drifted close therefore SETS the contended flag
@@ -386,15 +414,17 @@ object Bench {
     // artifact must say so rather than certify a load-poisoned cold
     // total with contended:false).
     val passA: Seq[(String, Double)] = qs.grouped(SentinelChunk).flatMap { chunk =>
+      chunkBoundary()
       val times = chunk.map(q => q.name -> timeQuery(q))
       if (probe() > sentinelBase * SentinelDriftMax) contended = true
       times
     }.toSeq
-    // NOTE: no clearCache between queries — CacheManager matches
-    // persisted plans SEMANTICALLY, so pass 2's identical queries
-    // legitimately reuse pass 1's cached intermediates and min-of-two
-    // reports warm steady-state (clearing forced both passes cold and
-    // inflated the iterative-graph queries ~2x; measured round 5).
+    // NOTE: no clearCache between queries (default suite scope) —
+    // CacheManager matches persisted plans SEMANTICALLY, so pass 2's
+    // identical queries legitimately reuse pass 1's cached
+    // intermediates and min-of-two reports warm steady-state (clearing
+    // forced both passes cold and inflated the iterative-graph queries
+    // ~2x; measured round 5).
 
     // ---- pass B (warm): chunked, and a chunk whose closing sentinel
     // drifted re-runs (min-merged) up to MaxChunkRetries — this is what
@@ -409,6 +439,7 @@ object Bench {
       var attempt = 0
       var clean = false
       while (!clean && attempt <= MaxChunkRetries) {
+        chunkBoundary()
         val times = chunk.map(q => q.name -> timeQuery(q))
         times.foreach { case (n, v) =>
           warmByName(n) = warmByName.get(n).map(merge(_, v)).getOrElse(v)
@@ -448,7 +479,7 @@ object Bench {
     // totals, the audit verdict, and the 20 heaviest warm queries —
     // under ~1.5 KB, so it parses from the tail.
     val staged = graft.operators.Staging.provenanceJson
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"partial":$partial,"attempt_failures":$failCountsJ,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"sentinels":$sj,"contended":$contended,"staged":$staged,"queries":${qjson(results)}}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"cache_scope":"$cacheScope","total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"partial":$partial,"attempt_failures":$failCountsJ,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"sentinels":$sj,"contended":$contended,"staged":$staged,"queries":${qjson(results)}}"""
     // Detail file lands next to the checkout being benched: env override
     // first, else the working directory (NOT a hardcoded absolute path —
     // a bench run from another checkout must not write into this one).
@@ -461,7 +492,7 @@ object Bench {
     // explicitly marked: renamed key + truncation flag. Naive
     // round-over-round tail comparers must use the detail file.
     val topWarm = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-    val shortLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"total_cold":${totalOf(passA)}%.3f,"n_queries":${results.size},"failed":$failed,"partial":$partial,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"contended":$contended,"staged":$staged,"detail":"$detailPath","queries_truncated":true,"queries_top20":${qjson(topWarm)}}"""
+    val shortLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"cache_scope":"$cacheScope","total_cold":${totalOf(passA)}%.3f,"n_queries":${results.size},"failed":$failed,"partial":$partial,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"contended":$contended,"staged":$staged,"detail":"$detailPath","queries_truncated":true,"queries_top20":${qjson(topWarm)}}"""
     println(shortLine)
     // The round-total also lands in its OWN clean file (VERDICT r11 #3):
     // BENCH_r{8..11}.json all read "parsed": null because the total line

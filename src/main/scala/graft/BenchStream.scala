@@ -44,6 +44,9 @@ object BenchStream {
       // or large-staging run can't silently undercount (ADVICE r15)
       .config("spark.sql.streaming.numRecentProgressUpdates", "10000")
       .config("spark.ui.enabled", "false")
+      // bound dead-shuffle-file accumulation on big heaps (see Bench)
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "120s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

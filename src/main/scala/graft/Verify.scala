@@ -29,6 +29,9 @@ object Verify {
       // rank-filter pre-trim (WindowGroupLimit) for corpus-scale quotas:
       // the 1000-row default defeats it for any realistic target_n
       .config("spark.sql.optimizer.windowGroupLimitThreshold", "16777216")
+      // bound dead-shuffle-file accumulation on big heaps (see Bench)
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "120s"))
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     if (master.startsWith("local-cluster")) {
       // Fail fast (ADVICE r15): without the packaged jar, every task
