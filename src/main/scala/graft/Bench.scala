@@ -247,7 +247,17 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "120s"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs = Queries.registry.filter(_.bench)
+    // SPARK_GRAFT_BENCH_ONLY=q120_link_prediction[,name...] restricts the
+    // run to the named queries — a builder-side A/B probe that keeps the
+    // EXACT bench protocol (warmup, sentinel audit, chunk cache scope)
+    // for a subset. Never set by the driver; a filtered artifact is
+    // distinguishable by its n_queries.
+    val qs = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        Queries.registry.filter(q => q.bench && want(q.name))
+      case None => Queries.registry.filter(_.bench)
+    }
     // JVM/codegen warmup on the smallest SF so the timed runs measure the
     // query, not first-call classloading. EVERY query is warmed (r12):
     // warming only the first absorbed shared infrastructure but left each

@@ -112,6 +112,64 @@ object Combinations2Expression {
     SqlBridge.column(Combinations2Expression(SqlBridge.expression(sortedLongs)))
 }
 
+/** [[Combinations2Expression]] with the pair PACKED into one long —
+  * `(a << 32) | b` — for graphs whose ids fit in 31 bits (callers
+  * verify; LinkPredict checks min/max id and falls back to the struct
+  * form past the bound). The output is a PRIMITIVE long array: no
+  * per-pair row object, no boxed array slots — the struct form
+  * allocates a `GenericInternalRow` per pair, which at a billion
+  * wedges (q120 @ sf10) made GC and allocation the dominant
+  * map-stage cost. Packing is order-preserving for non-negative ids
+  * (lexicographic (a,b) == numeric packed order), so downstream
+  * sorts/groupings on the packed key match the unpacked pair. */
+case class Combinations2PackedExpression(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "combinations2_packed"
+  override def foldable: Boolean = child.foldable
+
+  override def nullSafeEval(input: Any): Any =
+    Combinations2PackedExpression.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Combinations2PackedExpression.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Combinations2PackedExpression =
+    copy(child = newChild)
+}
+
+object Combinations2PackedExpression {
+
+  /** Static helper shared by interpreted eval and generated code. */
+  def compute(items: ArrayData): ArrayData = {
+    val n = items.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Long])
+    val v = items.toLongArray()
+    val out = new Array[Long](n * (n - 1) / 2)
+    var w = 0
+    var i = 0
+    while (i < n - 1) {
+      val hi = v(i) << 32
+      var j = i + 1
+      while (j < n) {
+        out(w) = hi | v(j)
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column API: `combinations2Packed(sortedLongs)` → array of packed
+    * `(a << 32) | b` longs. Ids must be non-negative and < 2^31. */
+  def combinations2Packed(sortedLongs: Column): Column =
+    SqlBridge.column(Combinations2PackedExpression(SqlBridge.expression(sortedLongs)))
+}
+
 /** Full cross product of two long arrays as (a, b) structs — the
   * new×old pair expansion of incremental dedup buckets
   * (operators/Dedup.incrementalLshCandidatePairs), same flat-loop

@@ -1,21 +1,47 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
 /** Throwaway component timer for cost attribution (not part of any
-  * contract; contents change per investigation). Current: q92 plan dump —
-  * where do 57 CPU-s go before the vocabulary collect, and does the
-  * vocabulary IN filter reach the postings scan as a pushed filter? */
+  * contract; contents change per investigation). Current: q120 sf10
+  * supralinearity — per-stage wall/CPU/shuffle/spill attribution of the
+  * fused wedge plan. Usage: Scratch <sfDir> <shufflePartitions>. */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/scale100x")
+    val parts = if (args.length > 1) args(1) else "32"
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = graft.Queries.queries("q92_bm25_topk")(spark, "/root/testdata/sf0.1")
-    val plan = df.queryExecution.executedPlan.toString
-    println("=== q92 executed plan (first 9000 chars) ===")
-    println(plan.take(9000))
+    // warm codegen on the tiny corpus first (bench protocol)
+    graft.Queries.queries("q120_link_prediction")(spark, "/root/testdata/sf0.001")
+      .write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    graft.operators.LoopCache.clearMemo()
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val m = i.taskMetrics
+        val wall = (i.completionTime.getOrElse(0L) -
+          i.submissionTime.getOrElse(0L)) / 1e3
+        println(f"[stage ${i.stageId}%3d] ${i.name.takeWhile(_ != '\n').take(60)}%-60s " +
+          f"tasks=${i.numTasks}%4d wall=$wall%7.1fs cpu=${m.executorCpuTime / 1e9}%8.1fs " +
+          f"run=${m.executorRunTime / 1e3}%8.1fs " +
+          f"shW=${m.shuffleWriteMetrics.bytesWritten / 1e9}%6.2fG " +
+          f"shR=${m.shuffleReadMetrics.totalBytesRead / 1e9}%6.2fG " +
+          f"spillMem=${m.memoryBytesSpilled / 1e9}%6.2fG " +
+          f"spillDisk=${m.diskBytesSpilled / 1e9}%6.2fG gc=${m.jvmGCTime / 1e3}%5.1fs")
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    graft.Queries.queries("q120_link_prediction")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    println(f"[scratch] q120 @ $sfDir, shuffle.partitions=$parts: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     spark.stop()
   }
 }

@@ -84,6 +84,21 @@ class Wave6Spec extends AnyFunSuite {
       (1L, 5L) -> (1L, 0.5), (3L, 5L) -> (1L, 0.5)))
   }
 
+  test("link prediction: ids past 2^31 take the struct path, same scores") {
+    // the same square+pendant graph shifted by 2^33 — max id exceeds the
+    // packed-pair bound, so the operator must route through the struct
+    // fallback and still produce the identical (shifted) scores
+    val off = 1L << 33
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (4L, 5L))
+      .map { case (u, v) => (u + off, v + off) }.toDF("u", "v")
+    val got = operators.LinkPredict.topCommonNeighborPairs(edges, topN = 10)
+      .collect().map(r => (r.getLong(0) - off, r.getLong(1) - off) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map(
+      (1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 2.0 / 3.0),
+      (1L, 5L) -> (1L, 0.5), (3L, 5L) -> (1L, 0.5)))
+  }
+
   test("fuzzy match: typo pairs verified, block-key edits missed by design") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
