@@ -238,6 +238,28 @@ class KernelSpec extends AnyFunSuite {
       Seq((2L, 3L), (2L, 5L), (2L, 8L), (3L, 5L), (3L, 8L), (5L, 8L)))
   }
 
+  test("combinations2Packed unpacks to exactly the struct expansion") {
+    // random sorted neighbor lists over the packed-id domain, plus the
+    // boundary id 2^31 - 1: (a << 32) | b must round-trip every pair in
+    // the same order as the struct form
+    val rnd = new scala.util.Random(42)
+    val lists = (Seq.empty[Long] +: Seq(Int.MaxValue.toLong) +:
+      (1 to 20).map(_ => Seq.fill(rnd.nextInt(12))(
+        rnd.nextLong(Int.MaxValue.toLong + 1)).distinct.sorted)).toDF("s")
+    val both = lists.select(
+      graft.functions.Combinations2Expression.combinations2(col("s")).as("p"),
+      graft.functions.Combinations2PackedExpression
+        .combinations2Packed(col("s")).as("pk"))
+      .collect()
+    both.foreach { r =>
+      val structPairs = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(p => (p.getLong(0), p.getLong(1)))
+      val packedPairs = r.getSeq[Long](1)
+        .map(x => (x >>> 32, x & 0xFFFFFFFFL))
+      assert(packedPairs == structPairs)
+    }
+  }
+
   test("adjacency PageRank equals edge-layout PageRank (fixed + personalized)") {
     import graft.operators.PageRank
     val e = adjGraphEdges
