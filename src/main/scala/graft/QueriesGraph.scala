@@ -464,8 +464,19 @@ object QueriesGraph {
     * in basket count at any corpus scale. */
   private[graft] def tripleSupport(
       baskets: DataFrame, maxBasket: Int = 64): DataFrame = {
-    val capped = baskets.select(
-      slice(col("s"), 1, maxBasket).as("s"))
+    // Explicit round-robin re-split BEFORE the cubic expansion: AQE sizes
+    // the post-aggregate stage from the basket table's BYTES, which
+    // under-counts the C(k,3) fan-out behind it (measured at sf0.1: the
+    // 5 MB basket output coalesced to 4 tasks that then did ALL the
+    // explode+count work — 0.69 s wall on a 32-core box). The basket
+    // table is node-sized (one row per order), so the extra exchange is
+    // noise next to the expansion it parallelizes; defaultParallelism
+    // keeps it scale-adaptive rather than tuned to either local mode or
+    // a cluster (guide §2.5: expansion stages must be sized from the
+    // expanded volume, not the input bytes).
+    val capped = baskets
+      .repartition(baskets.sparkSession.sparkContext.defaultParallelism)
+      .select(slice(col("s"), 1, maxBasket).as("s"))
     // flat imperative expansion (functions/Combinations): the HOF
     // triple-nested transform/sequence shape cost seconds of janino
     // compile on first call and allocated nested array shells per

@@ -92,16 +92,23 @@ object QueriesPipeline {
   // ------------------------------------------------------------------
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val norm = TextFunctions.normalizeText(col("text"))
     // the exact count dedups on a 128-bit content digest, not the
     // normalized document body: the distinct carries 16 bytes/doc
     // through the Expand + exchange instead of whole documents (the
     // q56/q140 digest rule). md5 ≡ string distinct-count short of a
     // 2^-64-scale collision; the oracle counts the strings themselves.
-    d.groupBy(col("source"))
+    // The normalize runs in a projection BELOW the aggregate: a distinct
+    // aggregate plans an Expand with one projection per leg, and an
+    // expression inlined into the aggregate would be re-evaluated per leg
+    // (2× the regex pass per row); referencing a pre-projected attribute
+    // makes Expand copy the value instead (CollapseProject refuses to
+    // inline a non-cheap expression used twice, so the Project survives).
+    d.select(col("source"),
+        TextFunctions.normalizeText(col("text")).as("norm"))
+      .groupBy(col("source"))
       .agg(
-        countDistinct(md5(norm.cast("binary"))).as("exact_cnt"),
-        approx_count_distinct(norm, 0.02).as("approx_cnt"))
+        countDistinct(md5(col("norm").cast("binary"))).as("exact_cnt"),
+        approx_count_distinct(col("norm"), 0.02).as("approx_cnt"))
       .select(col("source"), col("exact_cnt"),
         (abs(col("approx_cnt") - col("exact_cnt")).cast("double")
           / col("exact_cnt").cast("double") <= 0.05).as("hll_within_5pct"))
@@ -786,17 +793,30 @@ object QueriesPipeline {
       .select(to_date(col("o_orderdate")).as("day"),
         col("o_custkey").as("cust"))
     val dayRegs = DistinctSketch.registers(dc, Seq("day"), "cust")
-    val days = dc.select(col("day").as("d")).distinct()
     // ×7 register expansion, kept deliberately: per-day register hits
     // are SPARSE (~m·(1−e^{−n_day/m}) of the 256 registers), so the
     // expansion shuffles ≈ 7·hits rows — measured cheaper than the
     // dense (day × 256) grid a range-frame window merge needs (the
     // grid quadruples the row count at this corpus's per-day
     // cardinality and pays two extra exchanges).
+    // "d is a REAL report day" rides the expansion itself: a real day
+    // (≥1 order ⇒ ≥1 register row) contributes k=0 rows to its own
+    // group, a phantom day (date_add overshoot past a gap or the corpus
+    // end) never does — so the old `join(broadcast(days))` clip, which
+    // paid a SECOND full orders scan + distinct + broadcast build just
+    // to re-derive that fact, collapses into a max(k=0) flag reduced
+    // per day over the register-grid table (bounded by days×256 rows at
+    // any corpus scale). The flag window's (d)-exchange replaces no one:
+    // the summary aggregate needed the same repartition anyway.
+    val wd = Window.partitionBy(col("d"))
     val rolled = dayRegs.withColumn("k", explode(expr("sequence(0, 6)")))
-      .select(expr("date_add(day, k)").as("d"), col("reg"), col("max_rho"))
-      .join(broadcast(days), "d")
-      .groupBy(col("d"), col("reg")).agg(max(col("max_rho")).as("max_rho"))
+      .select(expr("date_add(day, k)").as("d"), col("reg"), col("max_rho"),
+        when(col("k") === 0, 1).otherwise(0).as("k0"))
+      .groupBy(col("d"), col("reg"))
+      .agg(max(col("max_rho")).as("max_rho"), max(col("k0")).as("k0"))
+      .withColumn("is_real", max(col("k0")).over(wd))
+      .filter(col("is_real") === 1)
+      .select(col("d"), col("reg"), col("max_rho"))
     DistinctSketch.summary(rolled, Seq("d")).orderBy(col("d"))
   }
 

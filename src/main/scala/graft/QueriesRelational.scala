@@ -789,12 +789,18 @@ object QueriesRelational {
       .select(col("x.d").as("d"), col("x.delta").as("delta"))
       .groupBy(col("d")).agg(sum(col("delta")).as("delta"))
     // running sum over the (tiny) sorted boundary∪report day axis,
-    // then keep the real report days
+    // then keep the real report days. Membership in `days` rides the
+    // full join itself as a flag (a full-join row whose left side
+    // matched has the marker; one whose `d` came only from `deltas`
+    // doesn't) — the previous re-join against broadcast(days) rebuilt
+    // the days subtree a third time (scan orders + distinct + a
+    // broadcast build) only to re-ask what the full join already knew.
     val wd = Window.orderBy(col("d"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    days.join(deltas, Seq("d"), "full")
+    days.withColumn("is_day", lit(true))
+      .join(deltas, Seq("d"), "full")
       .withColumn("active_7d", sum(coalesce(col("delta"), lit(0L))).over(wd))
-      .join(broadcast(days), "d") // keep real report days only
+      .filter(col("is_day"))
       .select(col("d"), col("active_7d"))
       .orderBy(col("d"))
   }

@@ -1086,15 +1086,21 @@ object QueriesText {
         Tables.documents(spark, sfDir).select("doc_id", "source", "text")),
       "doc_id", "source", "text")
     val samples = Multimodal.stubWaveform(payloads)
-    val runs = Multimodal.silenceRuns(samples, silenceBelow = 128, minRun = 3)
-    val perSrc = samples.groupBy(col("source"))
-      .agg(countDistinct(col("media_id")).as("n_media"),
-        count(lit(1)).as("n_samples"))
-    val runAgg = runs.groupBy(col("source"))
-      .agg(count(lit(1)).as("n_runs"),
-        max(col("run_len")).as("longest_run"),
-        sum(col("run_len")).as("sil_in_runs"))
-    perSrc.join(runAgg, Seq("source"), "left")
+    // one-pass per-media stats (Multimodal.silenceRunMediaStats): the
+    // old two-consumer shape (silenceRuns + a separate per-source count
+    // over the same `samples`) expanded the waveform twice — Catalyst
+    // duplicates shared subtrees, and the mapPartitions decode is
+    // opaque to it. Same values: per-media rows are distinct, so
+    // count(*) here ≡ countDistinct(media_id) there, and the re-summed
+    // run stats are the same integers the run-level aggregate produced.
+    val stats = Multimodal.silenceRunMediaStats(
+      samples, silenceBelow = 128, minRun = 3)
+    stats.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_samples")).as("n_samples"),
+        sum(col("n_runs")).as("n_runs"),
+        max(col("longest_run")).as("longest_run"),
+        sum(col("sil_in_runs")).as("sil_in_runs"))
       .select(col("source"), col("n_media"), col("n_samples"),
         coalesce(col("n_runs"), lit(0L)).as("n_runs"),
         coalesce(col("longest_run"), lit(0L)).as("longest_run"),
@@ -1170,17 +1176,26 @@ object QueriesText {
       "doc_id", "source", "text")
     val seg = Multimodal.sceneCuts(
       Multimodal.stubWaveform(payloads), minDelta = 512)
+    // ONE consumer of `seg`: the old shape aggregated it twice (scene
+    // lengths + per-media frame/cut counts) and joined the halves —
+    // Catalyst duplicates shared subtrees, so the mapPartitions
+    // waveform expansion and the cut window ran twice per call. The
+    // scene-level aggregate already holds everything: frames = Σ
+    // scene_len, cuts = Σ per-scene cuts, and the two re-aggregates
+    // ride the window's media_id partitioning (no new exchange until
+    // the final per-source rollup). Values are the same integers.
     val scenes = seg.groupBy(col("media_id"), col("source"), col("scene"))
-      .agg(count(lit(1)).as("scene_len"))
-    val perMedia = seg.groupBy(col("media_id"), col("source"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts"))
+      .agg(count(lit(1)).as("scene_len"),
+        sum(when(col("is_cut"), 1L).otherwise(0L)).as("n_cuts_s"))
+    val perMedia = scenes.groupBy(col("media_id"), col("source"))
+      .agg(sum(col("scene_len")).as("n_frames"),
+        sum(col("n_cuts_s")).as("n_cuts"),
+        max(col("scene_len")).as("longest_m"))
     perMedia.groupBy(col("source"))
       .agg(count(lit(1)).as("n_media"),
         sum(col("n_frames")).as("n_frames"),
-        sum(col("n_cuts")).as("n_cuts"))
-      .join(scenes.groupBy(col("source"))
-        .agg(max(col("scene_len")).as("longest_scene")), Seq("source"))
+        sum(col("n_cuts")).as("n_cuts"),
+        max(col("longest_m")).as("longest_scene"))
       .select(col("source"), col("n_media"), col("n_frames"), col("n_cuts"),
         col("longest_scene"),
         expr("CASE WHEN n_frames > n_media THEN" +

@@ -74,10 +74,15 @@ object Dsir {
     * `llr(b) = ln((c_t(b)+1)/(N_t+buckets)) - ln((c_r(b)+1)/(N_r+buckets))`
     * as DECIMAL(18,6), from ONE pass over the feature stream (raw and
     * target counted in the same aggregate). `buckets` rows out. */
-  def llrTable(feats: DataFrame, isTarget: Column, buckets: Int): DataFrame = {
-    val counts = feats.groupBy(col("bucket")).agg(
+  def llrTable(feats: DataFrame, isTarget: Column, buckets: Int): DataFrame =
+    llrFromCounts(feats.groupBy(col("bucket")).agg(
       count(lit(1)).as("c_r"),
-      count(when(isTarget, 1)).as("c_t"))
+      count(when(isTarget, 1)).as("c_t")), buckets)
+
+  /** LLR table from a pre-aggregated per-bucket count table
+    * `(bucket, c_r, c_t)` — the tail of [[llrTable]], shared with the
+    * one-pass [[importanceWeights]] shape. */
+  def llrFromCounts(counts: DataFrame, buckets: Int): DataFrame = {
     // corpus-level totals as a WINDOW over the buckets-row aggregate — a
     // `counts.agg(...)` here would rebuild the counts lineage and pay a
     // second full corpus pass for two scalars. The single-partition
@@ -106,11 +111,31 @@ object Dsir {
     val marked = docs.withColumn("_is_target", isTarget)
     val feats = featureBuckets(marked, idCol, textCol, Seq("_is_target"),
       buckets)
-    val llr = llrTable(feats, col("_is_target"), buckets)
-    feats.join(broadcast(llr), "bucket")
+    // ONE tokenize pass, not two: consuming `feats` from both the LLR
+    // aggregate and the per-doc weight aggregate duplicates its whole
+    // subtree (Catalyst shares nothing across DAG branches), so the
+    // corpus was tokenized + md5-bucketed twice per run — the two
+    // heaviest stages of the q143 profile at sf0.1 (5.6 s + 8.0 s CPU).
+    // Instead the stream collapses FIRST into per-(doc, bucket) counts
+    // — the only exchange that sees feature volume, map-combined — and
+    // both models derive from that compact table: the bucket model sums
+    // `cnt` per bucket (buckets-row output), and the per-doc weight
+    // re-aggregates `cnt` and `llr · cnt`. Σ llr over feature rows
+    // ≡ Σ llr·cnt over (doc, bucket) rows, term-for-term in exact
+    // DECIMAL arithmetic, so the weights are bit-identical.
+    val perDocBucket = feats
+      .groupBy(col(idCol), col("_is_target"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val counts = perDocBucket.groupBy(col("bucket")).agg(
+      sum(col("cnt")).as("c_r"),
+      // coalesce: a bucket with no target rows must count 0, not NULL
+      // (count(when(...)) in llrTable's path yields 0 there)
+      coalesce(sum(when(col("_is_target"), col("cnt"))), lit(0L)).as("c_t"))
+    val llr = llrFromCounts(counts, buckets)
+    perDocBucket.join(broadcast(llr), "bucket")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
-        sum(col("llr")).as("log_w_dec"))
+      .agg(sum(col("cnt")).as("n_feats"),
+        sum(col("llr") * col("cnt")).as("log_w_dec"))
   }
 
   /** Gumbel top-`k` resample over the weight table: append the exact

@@ -40,12 +40,23 @@ object HistogramQuantile {
       col(bucketCol).cast("int").as("bucket"))
     val daily = rows.groupBy(col("day"), col("bucket"))
       .agg(count(lit(1)).as("n"))
-    val days = rows.select(col("day").as("d")).distinct()
+    // "d is a REAL report day" rides the expansion: a real day (≥1 row
+    // ⇒ ≥1 daily histogram row) contributes k=0 rows to its own group, a
+    // phantom day (date_add overshoot past a gap or the corpus end)
+    // never does — so the old `join(broadcast(days))` clip, which paid a
+    // SECOND full scan + distinct + broadcast build to re-derive that
+    // fact, collapses into a max(k=0) flag reduced per day over the
+    // histogram-grid table (≤ days×buckets rows at any corpus scale).
+    // The flag window shares the quantile windows' (d)-exchange.
     val merged = daily
       .withColumn("k", explode(expr(s"sequence(0, ${windowDays - 1})")))
-      .select(expr("date_add(day, k)").as("d"), col("bucket"), col("n"))
-      .join(broadcast(days), "d")
-      .groupBy(col("d"), col("bucket")).agg(sum(col("n")).as("n"))
+      .select(expr("date_add(day, k)").as("d"), col("bucket"), col("n"),
+        when(col("k") === 0, 1).otherwise(0).as("k0"))
+      .groupBy(col("d"), col("bucket"))
+      .agg(sum(col("n")).as("n"), max(col("k0")).as("k0"))
+      .withColumn("is_real", max(col("k0")).over(Window.partitionBy(col("d"))))
+      .filter(col("is_real") === 1)
+      .select(col("d"), col("bucket"), col("n"))
     val cumW = Window.partitionBy(col("d")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val c = merged

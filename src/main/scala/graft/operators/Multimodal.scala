@@ -332,6 +332,44 @@ object Multimodal {
     }.toDF()
   }
 
+  /** ONE-PASS per-media silence statistics: (media_id, source,
+    * n_samples, n_runs, longest_run, sil_in_runs) — the q164 report's
+    * inputs from a single traversal of the sample stream. Consuming
+    * [[silenceRuns]] and a separate per-media count from the same
+    * `samples` DataFrame duplicates the decode subtree (Catalyst shares
+    * nothing across DAG branches — the mapPartitions waveform expansion
+    * ran TWICE per q164 call, the heaviest stage of its sf0.1 profile).
+    * Here the island key is built over the UNFILTERED stream — a
+    * running count of silent rows equals `row_number()` over the
+    * silent-only stream at every silent row, so `pos − that` is the
+    * identical island key — and total sample counts fall out of the
+    * same grouped pass (the null island of non-silent rows counts
+    * toward n_samples only). Runs shorter than `minRun` are screened in
+    * the per-media re-aggregate, bit-equal to [[silenceRuns]]'s filter;
+    * sources/media with no qualifying run report n_runs 0 and NULL
+    * longest_run/sil_in_runs (callers coalesce, matching the old
+    * left-join shape). One media-keyed window + two same-key
+    * aggregates: ~half the full-stream work of the two-consumer shape
+    * at any corpus scale. */
+  def silenceRunMediaStats(samples: DataFrame,
+      silenceBelow: Int, minRun: Int): DataFrame = {
+    require(minRun >= 1, s"minRun=$minRun must be >= 1")
+    val w = Window.partitionBy(col("media_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val silent = col("amp") < silenceBelow
+    val isRun = col("__grp").isNotNull && col("cnt") >= minRun
+    samples
+      .withColumn("__rn", sum(when(silent, 1L).otherwise(0L)).over(w))
+      .withColumn("__grp", when(silent, col("pos") - col("__rn")))
+      .groupBy(col("media_id"), col("source"), col("__grp"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("media_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_samples"),
+        count(when(isRun, 1)).as("n_runs"),
+        max(when(isRun, col("cnt"))).as("longest_run"),
+        sum(when(isRun, col("cnt"))).as("sil_in_runs"))
+  }
+
   /** Silence-run detection over a sample stream — the gaps-and-islands
     * pass an audio pipeline runs to drop dead air before training on a
     * clip: consecutive runs of ≥ `minRun` samples below `silenceBelow`,

@@ -564,16 +564,26 @@ class ScaleSpec extends AnyFunSuite {
   private def keyedExchanges(plan: String): Int =
     "Exchange (hash|range)partitioning".r.findAllIn(plan).length
 
-  test("q143 DSIR: LLR broadcast, TakeOrdered selection, two keyed shuffles") {
+  test("q143 DSIR: LLR broadcast, TakeOrdered selection, one shared tokenize exchange") {
     val plan = planOf("q143_dsir_importance")
     // the 4096-row model table must broadcast to the scoring pass, never
     // shuffle-join against the feature stream
     assert(plan.contains("BroadcastHashJoin"), plan)
     // Gumbel top-k is a TakeOrdered tree-reduction, not a global sort
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    // keyed stages: the bucket-model aggregate + the per-doc re-aggregate
-    // (the k-row rank window's SinglePartition is bounded by construction)
-    assert(keyedExchanges(plan) <= 2, s"${keyedExchanges(plan)} keyed:\n$plan")
+    // r18 one-tokenize shape: the feature stream collapses into ONE
+    // (doc, target, bucket) count exchange that BOTH models consume —
+    // it appears once per consumer in the static plan (AQE dedupes the
+    // canonically-identical exchanges into one materialized stage at
+    // runtime, measured as the tokenize pass running once, not twice).
+    // Keyed stages: that shared exchange (×2 textual), the bucket-model
+    // aggregate, the per-doc re-aggregate; distinct signatures ≤ 3.
+    assert(keyedExchanges(plan) <= 4, s"${keyedExchanges(plan)} keyed:\n$plan")
+    val sigs = "Exchange (hash|range)partitioning\\([^)]*\\)".r
+      .findAllIn(plan).map(_.replaceAll("#\\d+[L]?", "")).toSeq
+    assert(sigs.distinct.size <= 3, s"${sigs.distinct.size} distinct keyed:\n$plan")
+    assert(sigs.size - sigs.distinct.size >= 1,
+      s"expected the shared (doc,target,bucket) exchange to appear per consumer:\n$plan")
   }
 
   test("q145 BPE: pair mining over word types, TakeOrdered top-k") {

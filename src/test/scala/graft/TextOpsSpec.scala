@@ -344,6 +344,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(wf7.toSet == wf.toSet)
   }
 
+  test("silenceRunMediaStats: one-pass stats == silenceRuns + counts, ∀ random streams") {
+    // the r18 one-pass shape must reproduce the two-consumer report
+    // exactly — including media with zero qualifying runs (NULL
+    // longest/sil, n_runs 0) and all-silent / no-silent clips
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 12L).flatMap { m =>
+      val n = 1 + rnd.nextInt(12)
+      (1 to n).map(p => (m, if (m % 2 == 0) "a" else "b", p,
+        if (rnd.nextBoolean()) rnd.nextInt(128) else 128 + rnd.nextInt(896)))
+    }
+    val samples = rows.toDF("media_id", "source", "pos", "amp")
+    for (minRun <- Seq(1, 2, 3)) {
+      val stats = Multimodal.silenceRunMediaStats(samples, 128, minRun)
+        .select($"media_id", $"n_samples", $"n_runs",
+          coalesce($"longest_run", lit(0L)), coalesce($"sil_in_runs", lit(0L)))
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map { case (m, a, b, c, d) => m -> ((a, b, c, d)) }.toMap
+      val runs = Multimodal.silenceRuns(samples, 128, minRun)
+        .select($"media_id", $"run_len").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val counts = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      counts.foreach { case (m, n) =>
+        val rl: Seq[Long] = runs.get(m).map(_.toSeq).getOrElse(Seq.empty)
+        val want = (n, rl.size.toLong,
+          if (rl.isEmpty) 0L else rl.max, rl.sum)
+        assert(stats(m) == want, s"media $m minRun $minRun: ${stats(m)} vs $want")
+      }
+    }
+  }
+
   test("scene cuts: lag threshold, prefix-sum scene ids, hand-computed") {
     // media 1: amps 100, 700, 650, 100, 120 -> cuts at pos 2 (jump 600)
     // and pos 4 (jump 550); scenes [1], [2,3], [4,5]
