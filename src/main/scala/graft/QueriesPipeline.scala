@@ -439,15 +439,32 @@ object QueriesPipeline {
     // CPU-bound on a single-row-group scan (same reasoning as q51/q36)
     val d = Tables.rebalance(
       Tables.documents(spark, sfDir).select("doc_id", "source", "text"))
-    val quality = d
-      .withColumn("q", TextFunctions.qualityMetrics(col("text")))
-      .filter(col("q.quality_ok"))
-      .select(col("doc_id"), col("source"), col("text"), col("q.n_tokens").as("n_tokens"))
-    // projected dedup: downstream stages use only (doc_id, source,
-    // n_tokens), so the dedup window shuffles digests + metadata — the
-    // document bodies never leave the scan stage
+    // quality_ok is computed ONCE, in the dedup window's input
+    // projection, and FILTERED ABOVE the window. Filtering first reads
+    // naturally but plans catastrophically: predicate pushdown inlines
+    // the quality expression into a Filter operator, and Catalyst
+    // expression trees share nothing — the normalize+split chain
+    // appeared 12× in the filter condition plus once in the projection,
+    // and FilterExec has no subexpression elimination (measured at the
+    // sf10 replica: ONE 1097 s-CPU stage, ~220 µs/doc). A Project's
+    // codegen DOES eliminate common subexpressions, and a filter on a
+    // non-partition-key column cannot be pushed through the window, so
+    // this shape evaluates normalize/split once per document. Results
+    // are identical because quality_ok is DIGEST-INVARIANT: exact
+    // duplicates (same text ⇒ same metrics) pass or fail together, so
+    // every md5 cluster is kept or dropped whole and the min-doc_id
+    // winner within a kept cluster is unchanged — dedup-then-filter ≡
+    // filter-then-dedup, oracle-proven hash-exact.
+    val withQ = d.select(col("doc_id"), col("source"),
+      TextFunctions.qualityMetrics(col("text")).getField("quality_ok")
+        .as("q_ok"),
+      TextFunctions.qualityMetrics(col("text")).getField("n_tokens")
+        .as("n_tokens"),
+      col("text"))
     val deduped = operators.Dedup.exactDedupProjected(
-      quality, "doc_id", "text", keep = Seq("source", "n_tokens"))
+        withQ, "doc_id", "text", keep = Seq("source", "n_tokens", "q_ok"))
+      .filter(col("q_ok"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
     val sampled = operators.Sampling.stratifiedLehmerSample(
       deduped, "source", "doc_id", sampleRates)
     sampled.groupBy(col("source"))
@@ -739,11 +756,19 @@ object QueriesPipeline {
   def distinctRegisters(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_orderkey"))
+    // ONE scan of lineitem, not two: both legs derive from the distinct
+    // (flag, orderkey) table. The exact leg's countDistinct planned that
+    // partial-distinct exchange anyway; making it explicit lets the
+    // register sketch ride the SAME canonically-identical exchange (AQE
+    // materializes it once — the q143 reuse pattern), and max_rho over
+    // distinct keys equals max_rho over raw rows (duplicate keys hash to
+    // the same register value, so they never move a max).
+    val dk = li.distinct()
     val sk = DistinctSketch.summary(
-      DistinctSketch.registers(li, Seq("l_returnflag"), "l_orderkey"),
+      DistinctSketch.registers(dk, Seq("l_returnflag"), "l_orderkey"),
       Seq("l_returnflag"))
-    val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+    val exact = dk.groupBy(col("l_returnflag"))
+      .agg(count(col("l_orderkey")).as("exact_distinct"))
     sk.join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_distinct"),
         col("reg_sum"), col("registers_hit"))

@@ -215,6 +215,8 @@ object QueriesText {
     }
     d.select((col("doc_id") +: scores :+
         TextFunctions.langId(col("text")).as("lang_pred")): _*)
+      // sampling barrier — see q38
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
       .orderBy(col("doc_id"))
   }
 
@@ -246,6 +248,10 @@ object QueriesText {
     d.select(col("doc_id"), TextFunctions.qualityMetrics(col("text")).as("q"))
       .select(col("doc_id"), col("q.n_tokens"), col("q.avg_token_len"),
         col("q.punct_count"), col("q.stopword_ratio"), col("q.quality_ok"))
+      // narrow sampling barrier before the presentation sort — the range
+      // partitioner would otherwise re-run the metrics projection for its
+      // sampling pass (q38 has the full argument + measurement)
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
       .orderBy(col("doc_id"))
   }
 
@@ -284,6 +290,15 @@ object QueriesText {
     d.select(col("doc_id"),
         TextFunctions.tokenCountWs(col("text")).as("n_ws_tokens"),
         TextFunctions.tokenCountBpe(col("text")).as("n_bpe_tokens"))
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
+      // the narrow repartition above is the SAMPLING BARRIER for this
+      // presentation sort: a global orderBy plans a range exchange whose
+      // partitioner samples its child — and with the tokenize projection
+      // as the child, the corpus was tokenized TWICE per run (measured at
+      // the sf10 replica: two ~210 s-CPU stages, sampling + real pass).
+      // Behind the repartition the sampler re-reads 12-byte shuffle rows
+      // instead of re-running the projection; the extra exchange carries
+      // the narrow counts only, at any corpus scale.
       .orderBy(col("doc_id"))
   }
 
@@ -304,6 +319,8 @@ object QueriesText {
     val d = Tables.documents(spark, sfDir)
     d.select(col("doc_id"),
         RollingHashExpression.rollingHash(col("text")).as("fingerprint"))
+      // sampling barrier — see q38
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
       .orderBy(col("doc_id"))
   }
 

@@ -160,7 +160,29 @@ object Bm25 {
       .join(broadcast(qterms), Seq("tok"))
       .select(col("qid"), col("doc"),
         (idf * tfNorm).cast("decimal(18,6)").as("s"))
-    val scored = partial.groupBy(col("qid"), col("doc"))
+    // The per-(query, doc) sum's input is the postings×queries fan-out:
+    // Σ_tok df(tok)·q(tok) rows, with multiplicity ≤ query length — so a
+    // map-side partial sum barely reduces it while its hash map holds
+    // nearly the whole fan-out per task (measured at the sf10 replica:
+    // 19 GB spill against a 1.9 GB shuffle write in the scoring stage).
+    // The fan-out is CHEAPLY KNOWN before planning — one aggregate over
+    // the vocabulary-sized (qterms ⋈ df) join — so when it exceeds the
+    // memory-safe per-task bound the partials are skipped: raw scored
+    // rows ship through an explicit exchange sized to ~1M rows per task
+    // (the q120 PairRowsPerTask discipline) and the sum runs complete,
+    // post-exchange, spill-free. Small fan-outs (the sf0.1 shape) keep
+    // the planner's partial-agg pipeline unchanged.
+    val spark = tf.sparkSession
+    val fanOut = LoopCache.pinnedRow(
+      qterms.join(df_, Seq("tok"))
+        .agg(coalesce(sum(col("df")), lit(0L)))).getLong(0)
+    val cores = spark.sparkContext.defaultParallelism
+    val routed =
+      if (fanOut > 2L * 1000000 * cores)
+        partial.repartition(((fanOut + 999999) / 1000000).toInt,
+          col("qid"), col("doc"))
+      else partial
+    val scored = routed.groupBy(col("qid"), col("doc"))
       .agg(sum(col("s")).cast("double").as("score"))
 
     val w = org.apache.spark.sql.expressions.Window

@@ -54,10 +54,15 @@ object Chunking {
     require(windowTokens > 0 && stride > 0,
       s"windowTokens=$windowTokens and stride=$stride must be positive")
     val t = toks(col(textCol))
+    // the blank screen rides the explode (a null/guarded sequence emits
+    // no rows) instead of a filter: predicate pushdown inlines aliases
+    // with no cost check, so `filter(size(toks) > 0)` re-ran the whole
+    // tokenize chain below this projection — every document tokenized
+    // twice (same fix across this file; measured on the q56 shape)
     df.select(col(idCol), t.as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col(idCol),
-        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+        explode(when(size(col("toks")) > 0,
+          sequence(lit(0), size(col("toks")) - 1, lit(stride))))
           .as("start"),
         col("toks"))
       .select(
@@ -160,9 +165,10 @@ object Chunking {
     val t = toks(col(textCol))
     val blocks = df
       .select(col(idCol), t.as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col(idCol),
-        explode(sequence(lit(0), size(col("toks")) - 1, lit(blockTokens)))
+        // explode-guard, not a filter — see tokenWindows
+        explode(when(size(col("toks")) > 0,
+          sequence(lit(0), size(col("toks")) - 1, lit(blockTokens))))
           .as("start"),
         col("toks"))
       .select(col(idCol),
@@ -201,9 +207,10 @@ object Chunking {
     val t = toks(col(textCol))
     val blocks = df
       .select(col(idCol), t.as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col(idCol),
-        explode(sequence(lit(0), size(col("toks")) - 1, lit(blockTokens)))
+        // explode-guard, not a filter — see tokenWindows
+        explode(when(size(col("toks")) > 0,
+          sequence(lit(0), size(col("toks")) - 1, lit(blockTokens))))
           .as("start"),
         col("toks"))
       .select(col(idCol), col("start"),
@@ -251,17 +258,23 @@ object Chunking {
     require(divisor >= 2, s"divisor=$divisor must be >= 2")
     val t = toks(col(textCol))
     val withToks = df.select(col(idCol), t.as("toks"))
-      .filter(size(col("toks")) > 0)
     // cut list: every anchor position, plus the document end (distinct —
     // an anchor AT the end must not emit an empty trailing chunk)
-    val cuts = array_distinct(concat(
+    // null for a blank doc: sequence(1, 0) would yield [1, 0] and the
+    // element_at probe would index into the empty array (ANSI error) —
+    // the null propagates through the chunk transform so the explode
+    // below emits nothing, which is the blank-doc contract
+    val cuts = when(size(col("toks")) > 0, array_distinct(concat(
       filter(sequence(lit(1), size(col("toks"))), i =>
         graft.functions.Md5Word32Expression
           .md5Word32(element_at(col("toks"), i)) % divisor === 0),
-      array(size(col("toks")))))
+      array(size(col("toks"))))))
     withToks
       .withColumn("cuts", cuts)
-      .select(col(idCol), explode(
+      // empty docs contribute no chunks via the explode-guard (a bare
+      // sequence(1, 0) would yield [1, 0] and fabricate a chunk; the old
+      // pre-filter paid a second full tokenize — see tokenWindows)
+      .select(col(idCol), explode(when(size(col("toks")) > 0,
         // chunk j spans (cuts[j-1], cuts[j]] in 1-based token positions
         transform(sequence(lit(1), size(col("cuts"))), j => {
           val end = element_at(col("cuts"), j)
@@ -269,7 +282,7 @@ object Chunking {
             .otherwise(element_at(col("cuts"), j - 1) + 1)
           struct((j - 1).cast("int").as("chunk_idx"),
             slice(col("toks"), start, end - start + 1).as("ts"))
-        })).as("c"))
+        }))).as("c"))
       .select(col(idCol), col("c.chunk_idx"),
         size(col("c.ts")).cast("int").as("n_toks"),
         concat_ws(" ", col("c.ts")).as("chunk_text"))

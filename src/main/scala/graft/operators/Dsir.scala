@@ -59,16 +59,28 @@ object Dsir {
             (a, b) => concat_ws(" ", a, b)))).as("feature")): _*)
       .withColumn("bucket",
         // one-pass codegen md5 word (functions/Md5Word.scala), bit-equal
-        // to the oracle's ('0x'||substr(md5(f),1,8))::BIGINT % buckets
-        pmod(graft.functions.Md5Word32Expression.md5Word32(col("feature")),
-          lit(buckets.toLong)))
+        // to the oracle's ('0x'||substr(md5(f),1,8))::BIGINT % buckets.
+        // coalesce makes the column provably NON-NULLABLE (it never is —
+        // explode yields no null features — but Catalyst can't see
+        // that), so the downstream bucket equi-join doesn't infer an
+        // IsNotNull filter that would re-evaluate the md5 below this
+        // projection: pushdown inlines aliases with no cost check, and
+        // the inferred filter was hashing every feature TWICE.
+        coalesce(
+          pmod(graft.functions.Md5Word32Expression.md5Word32(col("feature")),
+            lit(buckets.toLong)), lit(0L)))
       .drop("feature")
   }
 
   private def withToks(docs: DataFrame, toks: Column, idCol: String,
       carryCols: Seq[String]): DataFrame =
+    // no blank filter: tokensWs is blank-safe ([] for empty/null) and the
+    // consumer explodes, so an empty token array contributes no rows —
+    // the same outcome a `size(t) > 0` filter bought, except the filter
+    // was PUSHED below this projection with the tokenize chain inlined
+    // (predicate pushdown does not cost-check aliases), tokenizing every
+    // document twice
     docs.select((col(idCol) +: carryCols.map(col) :+ toks.as("t")): _*)
-      .filter(size(col("t")) > 0) // tokensWs is blank-safe: [] for empty/null
 
   /** Per-bucket Laplace-smoothed LLR table:
     * `llr(b) = ln((c_t(b)+1)/(N_t+buckets)) - ln((c_r(b)+1)/(N_r+buckets))`

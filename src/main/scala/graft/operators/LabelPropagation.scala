@@ -79,28 +79,40 @@ object LabelPropagation {
       col("nbrs").cast("array<long>").as("nbrs"))
     // loop-tuned width + static rounds over an id-partitioned stationary
     // operand (see LoopCache.loopSession)
-    val w = LoopCache.loopWidth(adj.sparkSession, LoopCache.pinnedRow(
+    val pairVolume = LoopCache.pinnedRow(
       a0.agg(coalesce(sum(size(col("nbrs")).cast("long")), lit(0L))))
-      .getLong(0))
+      .getLong(0)
+    val w = LoopCache.loopWidth(adj.sparkSession, pairVolume)
+    // the PAIR exchange is sized from the pair volume itself, NOT capped
+    // at the core count (q120's PairRowsPerTask discipline): each round
+    // ships Σ deg raw (lab, dst) rows, and the reduce-side (dst, lab)
+    // hash map must stay inside one task's fair execution grant even
+    // with the pinned adjacency occupying the storage pool — at the sf10
+    // replica the 32-wide reduce held ~1.5M-entry maps per task and
+    // spilled ~8 GB per round; ~1M rows per task keeps the map tens of
+    // MB and spill-free while extra partitions cost only scheduling.
+    val pairW = math.max(w.toLong, (pairVolume + 999999) / 1000000).toInt
     val a = LoopCache.tunedInputs(w, a0).head
       .repartition(w, col("nid")).sortWithinPartitions("nid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // most frequent label, ties to the SMALLEST: one ascending scan of
-    // the sorted label list — runs are contiguous, and strict > keeps
-    // the first (= smallest) label among equal counts. Exactly the
-    // row_number(c desc, lab) argmax of the edge-layout rounds.
-    val mode = expr(
-      """aggregate(labs,
-        |  named_struct('bl', CAST(0 AS BIGINT), 'bc', CAST(0 AS BIGINT),
-        |               'cl', CAST(-1 AS BIGINT), 'cc', CAST(0 AS BIGINT)),
-        |  (s, x) -> IF(x = s.cl,
-        |    named_struct('bl', IF(s.cc + 1 > s.bc, s.cl, s.bl),
-        |                 'bc', IF(s.cc + 1 > s.bc, s.cc + 1, s.bc),
-        |                 'cl', s.cl, 'cc', s.cc + 1),
-        |    named_struct('bl', IF(s.bc = 0, x, s.bl),
-        |                 'bc', IF(s.bc = 0, CAST(1 AS BIGINT), s.bc),
-        |                 'cl', x, 'cc', CAST(1 AS BIGINT))),
-        |  s -> s.bl)""".stripMargin)
+    // most frequent label, ties to the SMALLEST — as the two-level
+    // CODEGEN argmax (count per (dst, lab), then max(struct(c, −lab))
+    // per dst: the q63 shape the edge-layout rounds use), with the
+    // q120 exchange discipline: the explode ships RAW (lab, dst) pairs
+    // through one explicit dst-keyed repartition, and BOTH aggregates
+    // run post-exchange (hash(dst) satisfies each one's clustering, so
+    // neither plans its own shuffle). The r17 form collected each
+    // node's neighbor labels into a sorted list and scanned it —
+    // partial_collect_list is an OBJECT-mode aggregate whose map-side
+    // buffers hold the whole edge volume as deserialized arrays:
+    // measured at the sf10 replica, every round's map stage spilled
+    // ~2.6 GB against a 330 MB shuffle write (guide §5: heavy spill ⇒
+    // different operator). A map-side partial count is no better there
+    // (nearly every (dst, lab) pair is distinct before convergence —
+    // the hash map outgrows its grant; measured 8 GB spill). Raw pairs
+    // compress to a comparable shuffle payload, the reduce-side maps
+    // are sized by the loop width, and every operator stays in
+    // whole-stage codegen. Same labels, same min-label tie-break.
     var labels = a.select(col("nid").as("id"), col("nid").as("lab"))
     var pinnedPrev = labels // identity seed over the pinned adjacency —
     // unpersisting ITS plan is a no-op (different plan from `a`)
@@ -108,9 +120,17 @@ object LabelPropagation {
       val pinned = LoopCache.step(
         a.join(labels, col("nid") === col("id"))
           .select(col("lab"), explode(col("nbrs")).as("dst"))
+          .repartition(pairW, col("dst"))
+          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
           .groupBy(col("dst"))
-          .agg(sort_array(collect_list(col("lab"))).as("labs"))
-          .select(col("dst").as("id"), mode.as("lab")),
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("best"))
+          .select(col("dst").as("id"), (-col("best.nl")).as("lab"))
+          // land the round's labels back at loop width w: left at pairW,
+          // the next round's rank join would see mismatched partition
+          // counts and re-exchange the CACHED ADJACENCY (edge-sized,
+          // measured 179 MB/round at the sf10 replica) instead of this
+          // node-sized table
+          .repartition(w, col("id")),
         pinnedPrev)
       labels = SqlBridge.reRoot(pinned)
       pinnedPrev = pinned

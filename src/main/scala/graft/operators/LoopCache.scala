@@ -117,8 +117,20 @@ object LoopCache {
   def loopWidth(spark: org.apache.spark.sql.SparkSession, volumeRows: Long,
       rowsPerTask: Long = 300000L): Int = {
     val cores = spark.sparkContext.defaultParallelism
-    math.max(1L, math.min(cores.toLong,
-      (volumeRows + rowsPerTask - 1) / rowsPerTask)).toInt
+    val base = math.max(1L, math.min(cores.toLong,
+      (volumeRows + rowsPerTask - 1) / rowsPerTask))
+    // SPILL GUARD (r18, guide §5): at the core cap, per-task volume grows
+    // with the data while each concurrent task's execution grant stays
+    // ~1/cores of the pool — and the per-round aggregate hash maps of the
+    // iterative operators (PageRank token sums, HITS score sums, k-core
+    // degree counts) outgrow it: measured at the sf10 replica (240M-pair
+    // graph, 32-wide), every round spilled 4–11 GB against sub-GB shuffle
+    // writes. Above ~2M rows per task the width grows with the volume
+    // (bounded at 8× cores so scheduling stays sane); below it nothing
+    // changes — sf0.1-class loops keep their measured-optimal narrow
+    // widths, and a real cluster's cap scales with its core count.
+    val spillGuard = math.min(8L * cores, (volumeRows + 1999999) / 2000000)
+    math.max(base, spillGuard).toInt
   }
 
   /** Session a loop's rounds execute under: same SparkContext and shared

@@ -33,9 +33,12 @@ object Overlap {
     val t = toks(col(textCol))
     val blocks = df
       .select(col(srcCol).as("source"), t.as("toks"))
-      .filter(size(col("toks")) > 0)
       .select(col("source"),
-        explode(sequence(lit(0), size(col("toks")) - 1, lit(blockTokens)))
+        // explode-guard, not a filter: a pushed `size(toks) > 0` filter
+        // re-ran the tokenize below the projection (Chunking.tokenWindows
+        // has the full argument)
+        explode(when(size(col("toks")) > 0,
+          sequence(lit(0), size(col("toks")) - 1, lit(blockTokens))))
           .as("start"),
         col("toks"))
       .select(col("source"),

@@ -65,6 +65,11 @@ object Scratch {
       // task CPU per rep is steal-immune and is the primary A/B signal.
       val reps = (1 to 3).map { i =>
         if (i == 2) record = false
+        // steady-state tier semantics (bench SPARK_GRAFT_CHUNK_CLEAR=1):
+        // caches + operator memos dropped, so iterative queries re-run
+        // instead of returning their LoopCache memo
+        spark.catalog.clearCache()
+        graft.operators.LoopCache.clearMemo()
         cpuSum.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
