@@ -228,6 +228,11 @@ object Bench {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // cpus is free-form env text ("*" is a legal local[] arg): emit it as
+    // a bare JSON number only when it actually is one
+    val cpusJson =
+      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+      else "\"" + cpus + "\""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -379,18 +384,19 @@ object Bench {
       val qj = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
         .mkString("{", ",", "}")
       val sj = sentinels.map(s => f"$s%.3f").mkString("[", ",", "]")
-      val line = f"""{"metric":"total_prodcold","value":$total%.3f,"unit":"sec",$warmupJson,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"sentinels":$sj,"contended":$contended,"staged":${graft.operators.Staging.provenanceJson},"queries":$qj}"""
+      val line = f"""{"metric":"total_prodcold","value":$total%.3f,"unit":"sec",$warmupJson,"sf":"$sfDir","cpus":$cpusJson,"sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"sentinels":$sj,"contended":$contended,"staged":${graft.operators.Staging.provenanceJson},"queries":$qj}"""
       println(line)
       // the prodcold artifact lands in its own file too, so the official
       // record never depends on shell redirection of the sbt log
       val prodcoldPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
         java.nio.file.Paths.get("BENCH_PRODCOLD.json").toAbsolutePath.toString)
       writeArtifact(prodcoldPath, line)
+      writeArtifact(cpusKeyedPath(prodcoldPath, cpus), line)
       // ABSOLUTE LAST stdout line: a minimal record that survives any
       // log-tail scrape window (BENCH_r{8..12}.json all read "parsed":
       // null because the full line outgrew the driver's ~2000-char tail
       // — VERDICT r12 "what's wrong #1"). Everything else is in the file.
-      println(miniJson("total_prodcold", total, sfDir, contended,
+      println(miniJson("total_prodcold", total, sfDir, cpus, contended,
         results, prodcoldPath))
       updateCalibration(sentinelBase)
       appendSentinelHistory(sentinelBase, contended, sfDir, "prodcold")
@@ -489,20 +495,25 @@ object Bench {
     // totals, the audit verdict, and the 20 heaviest warm queries —
     // under ~1.5 KB, so it parses from the tail.
     val staged = graft.operators.Staging.provenanceJson
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"cache_scope":"$cacheScope","total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"partial":$partial,"attempt_failures":$failCountsJ,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"sentinels":$sj,"contended":$contended,"staged":$staged,"queries":${qjson(results)}}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"cache_scope":"$cacheScope","total_cold":${totalOf(passA)}%.3f,"queries_cold":${qjson(passA)},"failed":$failed,"partial":$partial,"attempt_failures":$failCountsJ,"sf":"$sfDir","cpus":$cpusJson,"sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"sentinels":$sj,"contended":$contended,"staged":$staged,"queries":${qjson(results)}}"""
     // Detail file lands next to the checkout being benched: env override
     // first, else the working directory (NOT a hardcoded absolute path —
     // a bench run from another checkout must not write into this one).
+    // ALSO written to a cpus-keyed sibling (BENCH_DETAIL_c8.json …): the
+    // driver runs the bench at two core counts per round, and the second
+    // run used to clobber the first's only full per-query record
+    // (VERDICT r18 #6 — the 8-CPU detail overwrote the 32-CPU one).
     val detailPath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_DETAIL",
       java.nio.file.Paths.get("BENCH_DETAIL.json").toAbsolutePath.toString)
     writeArtifact(detailPath, line)
+    writeArtifact(cpusKeyedPath(detailPath, cpus), line)
     // stdout gets the SHORT line; "queries" would misread as the full
     // per-query dict it held through r10 (ADVICE r11), so the subset is
     // explicitly marked: renamed key + truncation flag. Naive
     // round-over-round tail comparers must use the detail file.
     val topWarm = results.filter(_._2 >= 0).sortBy(-_._2).take(20)
-    val shortLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"cache_scope":"$cacheScope","total_cold":${totalOf(passA)}%.3f,"n_queries":${results.size},"failed":$failed,"partial":$partial,"sf":"$sfDir","sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"contended":$contended,"staged":$staged,"detail":"$detailPath","queries_truncated":true,"queries_top20":${qjson(topWarm)}}"""
+    val shortLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$warmupJson,"cache_scope":"$cacheScope","total_cold":${totalOf(passA)}%.3f,"n_queries":${results.size},"failed":$failed,"partial":$partial,"sf":"$sfDir","cpus":$cpusJson,"sentinel_base":$sentinelBase%.3f,$sentinelRefJson,${floorNormJson(total, sentinelBase)},"contended":$contended,"staged":$staged,"detail":"$detailPath","queries_truncated":true,"queries_top20":${qjson(topWarm)}}"""
     println(shortLine)
     // The round-total also lands in its OWN clean file (VERDICT r11 #3):
     // BENCH_r{8..11}.json all read "parsed": null because the total line
@@ -514,21 +525,45 @@ object Bench {
     // prodcold branch note). The short line above stays for humans and
     // for BENCH_TOTAL.json; this one exists to parse from a ~2000-char
     // log tail even with sbt's trailing [success] line after it.
-    println(miniJson("total", total, sfDir, contended, results, detailPath))
+    println(miniJson("total", total, sfDir, cpus, contended, results,
+      detailPath))
     updateCalibration(sentinelBase)
     appendSentinelHistory(sentinelBase, contended, sfDir, "two-pass")
     spark.stop()
   }
 
-  /** Sub-500-char headline record: the driver contract's metric/value/
-    * unit/sf/queries keys with only the 5 heaviest queries inlined;
-    * `detail` points at the full artifact. */
+  /** Tail-window-sized headline record: the driver contract's metric/
+    * value/unit/sf/queries keys with the heaviest queries inlined;
+    * `detail` points at the full artifact. The driver's log-tail scrape
+    * window is exactly 2000 chars (measured: BENCH_r{16,17,18}.json all
+    * carry len(tail)==2000) and sbt appends a ~75-char [success] line
+    * after this one, so the inlined map is capped by BYTES, not by a
+    * fixed top-5 count (r18's top-5 cap left the round-over-round PERF
+    * diff with n_common=1 — VERDICT r18 #6): greedily take the heaviest
+    * queries while the whole line stays under 1850 chars (~top-45).
+    * `cpus` is stamped so the scaling pair's artifacts are
+    * self-identifying. */
   private def miniJson(metric: String, total: Double, sfDir: String,
-      contended: Boolean, results: Seq[(String, Double)],
+      cpus: String, contended: Boolean, results: Seq[(String, Double)],
       detailPath: String): String = {
-    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
-      .map { case (k, v) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-    f"""{"metric":"$metric","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"contended":$contended,"detail":"$detailPath","queries_truncated":true,"queries":$top}"""
+    val cpusJson =
+      if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus
+      else "\"" + cpus + "\""
+    def line(top: Seq[(String, Double)]): String = {
+      val qj = top.map { case (k, v) => "\"" + k + f"\":$v%.2f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"$metric","value":$total%.3f,"unit":"sec","sf":"$sfDir","cpus":$cpusJson,"n_queries":${results.size},"contended":$contended,"detail":"$detailPath","queries_truncated":true,"queries":$qj}"""
+    }
+    val ranked = results.filter(_._2 >= 0).sortBy(-_._2)
+    var n = ranked.size
+    while (n > 5 && line(ranked.take(n)).length > 1850) n -= 1
+    line(ranked.take(n))
+  }
+
+  /** `/x/BENCH_DETAIL.json` → `/x/BENCH_DETAIL_c32.json` for cpus=32. */
+  private def cpusKeyedPath(path: String, cpus: String): String = {
+    val i = path.lastIndexOf('.')
+    if (i < 0) s"${path}_c$cpus" else s"${path.substring(0, i)}_c$cpus${path.substring(i)}"
   }
 
   private def writeArtifact(path: String, line: String): Unit =
