@@ -353,16 +353,32 @@ object QueriesRelational {
   // -------------------------------------------------------------------
   def asOfPrevSpend(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
-    val left = o.select(col("o_orderkey"), col("o_custkey").as("custkey"),
-      to_date(col("o_orderdate")).as("od"))
+    // Day-grain asof (r19, guide §1.2/§2.3): the generic AsOfJoin union
+    // needed TWO orders scans (left rows + the daily aggregate) and ran
+    // its window over |orders|+|days| rows. But this asof's right side
+    // is an aggregate OF the left side's own day grain, so the strict
+    // "latest day before mine" is just lag(1) over the day-grain rows:
+    // one scan, one (custkey, day) aggregate that also gathers the day's
+    // order keys, a window over DAY rows (not order rows), explode back.
+    // Orders with a NULL date form one day-group per customer that sorts
+    // first (nulls-first asc): its own lag is null (no previous row) and
+    // the first real day's lag(d) is null — the when() below nulls the
+    // total in exactly those cases, matching strict-asof's "no prior
+    // day" contract for both. Values are identical because day_total is
+    // the same DECIMAL-exact sum and lag(1) at day grain IS the strict
+    // asof match (every daily row has >= 1 order by construction).
     val daily = o.groupBy(col("o_custkey").as("custkey"),
         to_date(col("o_orderdate")).as("d"))
-      .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("day_total"))
-    graft.operators.AsOfJoin.asOf(
-        left, daily, key = "custkey", leftTime = "od", rightTime = "d",
-        valueCols = Seq("day_total"), strict = true)
-      .select(col("o_orderkey"), col("asof_time").as("prev_date"),
-        col("day_total").as("prev_day_total"))
+      .agg(
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("day_total"),
+        collect_list(col("o_orderkey")).as("okeys"))
+    val w = Window.partitionBy(col("custkey")).orderBy(col("d"))
+    daily
+      .select(col("okeys"),
+        lag(col("d"), 1).over(w).as("prev_date"),
+        lag(col("day_total"), 1).over(w).as("pdt"))
+      .select(explode(col("okeys")).as("o_orderkey"), col("prev_date"),
+        when(col("prev_date").isNotNull, col("pdt")).as("prev_day_total"))
       .orderBy(col("o_orderkey"))
   }
 

@@ -176,12 +176,19 @@ object Chunking {
           .as("block"))
       .select(col(idCol),
         (if (hashBlocks) xxhash64(col("block")) else col("block")).as("block"))
-    val freq = blocks.groupBy(col("block")).agg(count(lit(1)).as("block_df"))
-    blocks.join(freq, Seq("block"))
+    // per-(doc, block) pre-counts — same single-tokenize-pass rewrite as
+    // boilerplateScrub/cdcDupStats below (r19, guide §1.2): both
+    // consumers derive from one canonically-identical (doc, block)
+    // exchange; block_df == Σ cnt, per-doc counts re-associate exactly
+    val pre = blocks.groupBy(col(idCol), col("block"))
+      .agg(count(lit(1)).as("cnt"))
+    val freq = pre.groupBy(col("block")).agg(sum(col("cnt")).as("block_df"))
+    pre.join(freq, Seq("block"))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_blocks"),
-        count_if(col("block_df") > 1).as("n_dup_blocks"))
+        sum(col("cnt")).as("n_blocks"),
+        sum(when(col("block_df") > 1, col("cnt")).otherwise(lit(0L)))
+          .as("n_dup_blocks"))
       .withColumn("dup_ratio",
         col("n_dup_blocks").cast("double") / col("n_blocks").cast("double"))
   }
@@ -216,21 +223,49 @@ object Chunking {
       .select(col(idCol), col("start"),
         concat_ws(" ", slice(col("toks"), col("start") + 1, lit(blockTokens)))
           .as("block"))
-    val removal = blocks
+    // Per-(doc, block) pre-counts (r19, the q143 pattern, guide §1.2):
+    // `blocks` used to feed the removal-set aggregate AND the probe join
+    // as two separate subtrees, so the corpus was tokenized twice per
+    // run. Collapsing to one (doc, block) aggregate first makes that
+    // exchange the ONLY consumer of the tokenize stream, and both the
+    // removal set and the reassembly derive from it — canonically
+    // identical subtree, so AQE materializes the tokenize stage once.
+    // Equivalences are exact-integer: countDistinct(doc) per block over
+    // raw rows == count(*) over per-(doc, block) rows; per-doc
+    // count(*) == Σ cnt; count_if(boilerplate) == Σ cnt over flagged
+    // rows; and the surviving (start, block) pairs — flattened back out
+    // of the gathered start lists — sort identically (starts are unique
+    // within a doc).
+    // `pre`'s single aggregate buffer (the gathered starts) must appear
+    // in BOTH consumers or column pruning forks the exchange (the
+    // removal branch would drop the collect_list partial and the two
+    // subtrees stop being canonically equal — no AQE stage reuse, two
+    // tokenize passes). So the occurrence count is folded into the list
+    // (cnt == size(starts)) and the removal branch anchors `starts`
+    // with a provably-true filter (a group gathers >= 1 start), which
+    // blocks the pruner without changing a row.
+    val pre = blocks
+      .groupBy(col(idCol), col("block"))
+      .agg(collect_list(col("start")).as("starts"))
+    val removal = pre
+      .filter(size(col("starts")) > 0)
       .groupBy(col("block"))
-      .agg(countDistinct(col(idCol)).as("block_docs"))
+      .agg(count(lit(1)).as("block_docs"))
       .filter(col("block_docs") > maxDocFreq)
       .select(col("block"), lit(true).as("boilerplate"))
-    blocks
+    pre
       .join(broadcast(removal), Seq("block"), "left")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_blocks"),
-        count_if(col("boilerplate")).as("n_removed"),
+        sum(size(col("starts")).cast("long")).as("n_blocks"),
+        sum(when(col("boilerplate"), size(col("starts")).cast("long"))
+          .otherwise(lit(0L))).as("n_removed"),
         concat_ws(" ",
           transform(
-            sort_array(collect_list(
-              when(col("boilerplate").isNull, struct(col("start"), col("block"))))),
+            sort_array(flatten(collect_list(
+              when(col("boilerplate").isNull,
+                transform(col("starts"),
+                  s => struct(s.as("start"), col("block"))))))),
             b => b.getField("block"))).as("cleaned_text"))
   }
 
@@ -299,15 +334,40 @@ object Chunking {
   def cdcDupStats(df: DataFrame, idCol: String, textCol: String,
       divisor: Int = 16): DataFrame = {
     val chunks = cdcChunks(df, idCol, textCol, divisor)
-    val freq = chunks.groupBy(col("chunk_text"))
-      .agg(count(lit(1)).as("chunk_df"))
-    chunks.join(freq, Seq("chunk_text"))
+    // Per-(doc, chunk) pre-counts (r19, the q143/boilerplateScrub
+    // pattern, guide §1.2): `chunks` used to feed the frequency
+    // aggregate AND the probe join as two subtrees — the whole CDC
+    // chunking (tokenize + per-token md5 + slices) ran twice per run.
+    // One (doc, chunk_text) aggregate is now the only consumer; the
+    // frequency table and the join probe both derive from its exchange
+    // (canonically identical → AQE materializes the chunk stage once),
+    // and the chunk_text join ships distinct-per-doc rows instead of
+    // every occurrence. n_toks is a pure function of chunk_text
+    // (single-space joining of non-empty tokens is injective), so max()
+    // over the group is THE value. All counts re-associate exactly:
+    // chunk_df == Σ cnt; per-doc count(*) == Σ cnt; Σ n_toks == Σ nt·cnt.
+    // `pre` carries ONLY (id, chunk_text, cnt): the partial aggregate
+    // below its exchange must be identical in both consumers or column
+    // pruning forks them (the freq branch would drop any extra partial
+    // buffer and the exchange stops being canonically equal — measured:
+    // two 32-task chunk stages instead of one). n_toks is therefore NOT
+    // carried; it is re-derived per distinct (doc, chunk) row after the
+    // join as size(split(chunk_text, ' ')) — exact, because chunk_text
+    // is the single-space join of >= 1 non-empty space-free tokens.
+    val pre = chunks.groupBy(col(idCol), col("chunk_text"))
+      .agg(count(lit(1)).as("cnt"))
+    val freq = pre.groupBy(col("chunk_text"))
+      .agg(sum(col("cnt")).as("chunk_df"))
+    pre.join(freq, Seq("chunk_text"))
+      .select(col(idCol), col("cnt"), col("chunk_df"),
+        size(split(col("chunk_text"), " ")).cast("long").as("nt"))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_chunks"),
-        count_if(col("chunk_df") > 1).as("n_dup_chunks"),
-        sum(col("n_toks")).as("n_toks"),
-        sum(when(col("chunk_df") > 1, col("n_toks").cast("long"))
+        sum(col("cnt")).as("n_chunks"),
+        sum(when(col("chunk_df") > 1, col("cnt")).otherwise(lit(0L)))
+          .as("n_dup_chunks"),
+        sum(col("nt") * col("cnt")).as("n_toks"),
+        sum(when(col("chunk_df") > 1, col("nt") * col("cnt"))
           .otherwise(lit(0L))).as("dup_toks"))
       .withColumn("dup_token_ppm",
         expr("(dup_toks * 1000000) div n_toks"))

@@ -586,6 +586,46 @@ class ScaleSpec extends AnyFunSuite {
       s"expected the shared (doc,target,bucket) exchange to appear per consumer:\n$plan")
   }
 
+  // r19 one-pass rewrites (q87/q167/q77): both consumers of the
+  // per-(doc, block|chunk) pre-count aggregate must stay CANONICALLY
+  // EQUAL below their exchange — that equality is the exact condition
+  // for AQE to materialize the tokenize/chunk stage once (measured:
+  // one 32-task stage whose shuffle output is read by both branches).
+  // Column pruning breaks it silently (dropping an unused partial
+  // buffer from one branch forks the subtrees), so the pin asserts the
+  // physical condition itself, not a string shape.
+  private def hasCanonicallySharedExchange(name: String): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val q = Queries.registry.find(_.name == name).get
+    val sp = q.fn(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    sp.collect { case e: ShuffleExchangeExec => e.canonicalized }
+      .groupBy(identity).exists(_._2.size >= 2)
+  }
+
+  test("q87/q167/q77 one-pass pre-counts: the tokenize exchange is shared") {
+    for (n <- Seq("q87_boilerplate_scrub", "q167_cdc_dup_chunks",
+        "q77_dup_block_ratio"))
+      assert(hasCanonicallySharedExchange(n),
+        s"$n: no canonically-equal exchange pair — the pre-count subtree " +
+          "forked (column pruning?) and the corpus pays two tokenize passes")
+  }
+
+  test("q22 asof: one orders scan, day-grain window") {
+    val plan = planOf("q22_asof_prev_spend")
+    // day-grain rewrite (r19): the daily aggregate gathers each day's
+    // order keys, lag(1) runs over DAY rows, explode restores order
+    // grain — the second orders scan and the |orders|+|days| union
+    // window are gone
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(keyedExchanges(plan) <= 3, s"${keyedExchanges(plan)} keyed:\n$plan")
+  }
+
   test("q145 BPE: pair mining over word types, TakeOrdered top-k") {
     val plan = planOf("q145_bpe_merges")
     assert(plan.contains("TakeOrderedAndProject"), plan)
