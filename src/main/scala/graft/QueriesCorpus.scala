@@ -204,9 +204,13 @@ object QueriesCorpus {
           Seq(Tables.path(sfDir, "documents"))) {
         Dedup.minHashSignatures(docs, "doc_id", "text")
       })
+    // one-pass batch split (r19): the new/old sides partition ONE staged
+    // table by an id rule, so tag rows in place instead of unioning two
+    // filters of it — one scan, and the banding stages keep the table's
+    // partition count instead of doubling it
     val newSigs = sigs.filter(col("doc_id") % 5 === 0)
-    val oldSigs = sigs.filter(col("doc_id") % 5 =!= 0)
-    val cands = Dedup.incrementalLshCandidatePairs(newSigs, oldSigs, "doc_id")
+    val cands = Dedup.incrementalLshCandidatePairsTagged(
+      sigs.withColumn("is_new", col("doc_id") % 5 === 0), "doc_id", "is_new")
     val hits = Dedup
       .shingleJaccardOnCandidates(docs, "doc_id", "text", cands,
         minJaccard = 0.8, keep = Seq("vs_old"))

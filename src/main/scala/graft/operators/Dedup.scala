@@ -264,10 +264,36 @@ object Dedup {
       maxBucketSize: Int = 200): DataFrame = {
     requireIntegralId(newSigs, idCol, "incrementalLshCandidatePairs")
     requireIntegralId(oldSigs, idCol, "incrementalLshCandidatePairs")
-    val tagged = newSigs.select(col(idCol).cast("long").as("id"), col("sig"),
-        lit(true).as("is_new"))
-      .union(oldSigs.select(col(idCol).cast("long").as("id"), col("sig"),
-        lit(false).as("is_new")))
+    incrementalLshCore(
+      newSigs.select(col(idCol).cast("long").as("id"), col("sig"),
+          lit(true).as("is_new"))
+        .union(oldSigs.select(col(idCol).cast("long").as("id"), col("sig"),
+          lit(false).as("is_new"))),
+      numPerm, bands, maxBucketSize)
+  }
+
+  /** [[incrementalLshCandidatePairs]] for the common case where old and
+    * new are a PARTITION of one signature table (a batch column, an id
+    * rule): `isNewCol` tags each row in ONE pass over the table, instead
+    * of the two-filter union that scans it twice and doubles the
+    * partition count of every banding stage downstream (r19, guide
+    * §1.2 — measured on q81: the union shape ran every screen stage
+    * 64-wide over two staged-table scans). */
+  def incrementalLshCandidatePairsTagged(
+      sigs: DataFrame, idCol: String, isNewCol: String,
+      numPerm: Int = 64, bands: Int = 16,
+      maxBucketSize: Int = 200): DataFrame = {
+    requireIntegralId(sigs, idCol, "incrementalLshCandidatePairsTagged")
+    incrementalLshCore(
+      sigs.select(col(idCol).cast("long").as("id"), col("sig"),
+        col(isNewCol).cast("boolean").as("is_new")),
+      numPerm, bands, maxBucketSize)
+  }
+
+  private def incrementalLshCore(
+      taggedInput: DataFrame,
+      numPerm: Int, bands: Int, maxBucketSize: Int): DataFrame = {
+    val tagged = taggedInput
       // same cache policy + lifetime as lshCandidatePairs' sigRows (see
       // comment there): plan-keyed, session-lived, clearCache() to evict
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
