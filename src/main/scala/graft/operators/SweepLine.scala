@@ -67,12 +67,18 @@ object SweepLine {
     * paid ONLY after the day-level threshold has tripped. */
   def dailyPeakConcurrency(intervals: DataFrame, startCol: String,
       endCol: String, hotDayDeltas: Long): DataFrame = {
+    // +1/−1 rows come from ONE pass via explode, not a two-branch union
+    // (r19, guide §1.2): the union form re-ran the whole upstream
+    // interval computation once per branch — for q159 that was the full
+    // sessionize (two windows + an aggregate) computed twice, with only
+    // the scan exchange reused — and doubled the partition count of
+    // every stage over the deltas
     val deltas = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull)
-      .select(col(startCol).as("ts"), lit(1L).as("delta"))
-      .unionByName(intervals
-        .filter(col(startCol).isNotNull && col(endCol).isNotNull)
-        .select(col(endCol).as("ts"), lit(-1L).as("delta")))
+      .select(explode(array(
+        struct(col(startCol).as("ts"), lit(1L).as("delta")),
+        struct(col(endCol).as("ts"), lit(-1L).as("delta")))).as("d"))
+      .select(col("d.ts").as("ts"), col("d.delta").as("delta"))
       .withColumn("day", date_trunc("day", col("ts")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded driver read (one row per active day), exclusive scan for
