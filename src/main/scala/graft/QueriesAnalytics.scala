@@ -156,16 +156,24 @@ object QueriesAnalytics {
   // exercise.
   // -------------------------------------------------------------------
   def correlatedAboveAvg(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_q58")
-    spark.sql(
-      """SELECT o_orderpriority, count(*) AS n_above,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
-        |FROM orders_q58 o
-        |WHERE o_totalprice > (
-        |    SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-        |    FROM orders_q58 o2 WHERE o2.o_custkey = o.o_custkey)
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin)
+    // The correlated scalar subquery planned as a per-custkey aggregate
+    // joined back to a SECOND orders scan. The subquery's group is the
+    // row's own key, so a window over one scan computes the identical
+    // per-customer average in place (r19, guide §2.4 "remove shuffles
+    // outright"): one scan, one custkey exchange, no join. Arithmetic is
+    // value-identical — the same DECIMAL(18,2) sum cast to DOUBLE, then
+    // one IEEE double division by the same count.
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+    val cavg = (sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+      .cast("double") / count(lit(1)).over(w)).as("cavg")
+    o.select(col("o_orderpriority"), col("o_totalprice"), cavg)
+      .filter(col("o_totalprice") > col("cavg"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+        expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("sum_above"))
+      .orderBy(col("o_orderpriority"))
   }
 
   val correlatedAboveAvgSql: String =
@@ -277,6 +285,11 @@ object QueriesAnalytics {
   // -------------------------------------------------------------------
   def hourlyEventRollup(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
+    // r19 audit note: a single-distinct-column aggregate does NOT pay the
+    // multi-distinct Expand — Spark 4 already plans this as the two-level
+    // shape (partial agg keyed (hour, type, user), then (hour, type));
+    // an explicit two-level rewrite produced a structurally identical
+    // plan and was dropped.
     ev.groupBy(
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
         col("event_type"))

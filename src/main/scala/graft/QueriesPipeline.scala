@@ -888,26 +888,33 @@ object QueriesPipeline {
   def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
     val norm = TextFunctions.normalizeText(col("text"))
-    // The occurrence stream feeds BOTH the vocab aggregate and the
-    // coverage join, and is DELIBERATELY not pinned: it is a cheap
-    // narrow chain over the corpus scan, and the exploded token stream
-    // is LARGER than the corpus — caching it to save the second scan
-    // measured 3x slower at sf0.1 and would be a worse trade at 100 TB
-    // (write+hold a super-corpus-sized cache vs re-run a pruned scan).
-    // Contrast PrefixJoin/NgramLm, whose pinned streams feed 3+ plans
-    // including joins back into themselves.
+    // Per-(source, term) pre-counts (r19, the q143/q87 pattern, guide
+    // §1.2/§2.3): the occurrence stream used to feed the vocab aggregate
+    // AND the coverage join as two subtrees — the corpus tokenized twice
+    // (pinning the exploded stream measured 3× worse at sf0.1 and is a
+    // non-starter at 100 TB, so r18 left both passes in). One
+    // (source, term) count aggregate is now the only consumer of the
+    // tokenize stream; the vocab (Σcnt per term) and the coverage rollup
+    // both derive from its canonically-identical exchange, so AQE
+    // materializes the tokenize stage once — and the exchange ships
+    // distinct (source, term) pairs instead of every occurrence. The
+    // pre-counts also make oov_types a plain count_if (pre rows are
+    // already distinct per (source, term)), killing the countDistinct
+    // Expand that duplicated the probe stream.
     val toks = d.filter(length(norm) > 0)
       .select(col("source"), explode(split(norm, " ")).as("term"))
-    val vocab = toks.groupBy(col("term"))
+    val pre = toks.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("cnt"))
+    val vocab = pre.groupBy(col("term"))
+      .agg(sum(col("cnt")).as("cnt"))
       .orderBy(col("cnt").desc, col("term")).limit(500)
       .select(col("term"), lit(1).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("term"), "left")
+    pre.join(broadcast(vocab), Seq("term"), "left")
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("total_occ"),
-        count_if(col("in_vocab").isNull).as("oov_occ"),
-        countDistinct(when(col("in_vocab").isNull, col("term")))
-          .as("oov_types"))
+      .agg(sum(col("cnt")).as("total_occ"),
+        sum(when(col("in_vocab").isNull, col("cnt")).otherwise(lit(0L)))
+          .as("oov_occ"),
+        count_if(col("in_vocab").isNull).as("oov_types"))
       .select(col("source"), col("total_occ"), col("oov_occ"),
         col("oov_types"),
         expr("(10000 * oov_occ) div total_occ").as("oov_bps"))

@@ -609,7 +609,7 @@ class ScaleSpec extends AnyFunSuite {
 
   test("q87/q167/q77 one-pass pre-counts: the tokenize exchange is shared") {
     for (n <- Seq("q87_boilerplate_scrub", "q167_cdc_dup_chunks",
-        "q77_dup_block_ratio"))
+        "q77_dup_block_ratio", "q127_vocab_coverage"))
       assert(hasCanonicallySharedExchange(n),
         s"$n: no canonically-equal exchange pair — the pre-count subtree " +
           "forked (column pruning?) and the corpus pays two tokenize passes")
