@@ -179,7 +179,8 @@ object Bm25 {
     val cores = spark.sparkContext.defaultParallelism
     val routed =
       if (fanOut > 2L * 1000000 * cores)
-        partial.repartition(((fanOut + 999999) / 1000000).toInt,
+        partial.repartition(
+          LoopCache.pairWidth(spark, fanOut, floor = cores),
           col("qid"), col("doc"))
       else partial
     val scored = routed.groupBy(col("qid"), col("doc"))

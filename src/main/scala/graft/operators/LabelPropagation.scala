@@ -91,7 +91,7 @@ object LabelPropagation {
     // replica the 32-wide reduce held ~1.5M-entry maps per task and
     // spilled ~8 GB per round; ~1M rows per task keeps the map tens of
     // MB and spill-free while extra partitions cost only scheduling.
-    val pairW = math.max(w.toLong, (pairVolume + 999999) / 1000000).toInt
+    val pairW = LoopCache.pairWidth(adj.sparkSession, pairVolume, floor = w)
     val a = LoopCache.tunedInputs(w, a0).head
       .repartition(w, col("nid")).sortWithinPartitions("nid")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

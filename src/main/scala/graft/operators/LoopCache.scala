@@ -133,6 +133,24 @@ object LoopCache {
     math.max(base, spillGuard).toInt
   }
 
+  /** Width for a PAIR-VOLUME-sized exchange (q120's PairRowsPerTask
+    * discipline, shared by LabelPropagation's round exchange and BM25's
+    * scoring fan-out): enough partitions to keep reduce-side hash maps
+    * near `rowsPerTask` (~1M keeps them tens of MB and spill-free —
+    * sf10-replica measurements in the callers), never below `floor`
+    * (the loop width, so downstream re-exchanges don't mismatch), and
+    * CEILED at 64×cores (ADVICE r18: unbounded, a 10^10-pair graph
+    * would request 10k+ partitions per round). 64 waves per core
+    * amortizes scheduling; past the ceiling per-task state grows
+    * linearly again — the graceful end of the envelope, reached only
+    * beyond 64M rows per core. */
+  def pairWidth(spark: org.apache.spark.sql.SparkSession, volumeRows: Long,
+      floor: Int, rowsPerTask: Long = 1000000L): Int = {
+    val cores = spark.sparkContext.defaultParallelism
+    val sized = (volumeRows + rowsPerTask - 1) / rowsPerTask
+    math.max(floor.toLong, math.min(64L * cores, sized)).toInt
+  }
+
   /** Session a loop's rounds execute under: same SparkContext and shared
     * CacheManager (pins made here are visible to the parent and vice
     * versa — SharedState owns the cache), but exchanges default to

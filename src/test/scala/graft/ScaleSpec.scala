@@ -682,6 +682,11 @@ class ScaleSpec extends AnyFunSuite {
     assert(LoopCache.loopWidth(spark, 4000000L * cores) == 2 * cores)
     //   and at unbounded volume it stops at the 8×cores ceiling.
     assert(LoopCache.loopWidth(spark, Long.MaxValue / 2) == 8 * cores)
+    // pairWidth (shared by LPA rounds + BM25 fan-out routing): never
+    // below the floor, ~1M rows/task sizing, 64×cores ceiling
+    assert(LoopCache.pairWidth(spark, 0L, floor = 3) == 3)
+    assert(LoopCache.pairWidth(spark, 5000000L, floor = 1) == 5)
+    assert(LoopCache.pairWidth(spark, Long.MaxValue / 2, floor = 1) == 64 * cores)
     // the tuned session is a clone: loop conf set there, parent untouched
     val tuned = LoopCache.loopSession(spark, 3)
     assert(tuned.conf.get("spark.sql.shuffle.partitions") == "3")
