@@ -117,20 +117,22 @@ object LoopCache {
   def loopWidth(spark: org.apache.spark.sql.SparkSession, volumeRows: Long,
       rowsPerTask: Long = 300000L): Int = {
     val cores = spark.sparkContext.defaultParallelism
-    val base = math.max(1L, math.min(cores.toLong,
-      (volumeRows + rowsPerTask - 1) / rowsPerTask))
-    // SPILL GUARD (r18, guide §5): at the core cap, per-task volume grows
-    // with the data while each concurrent task's execution grant stays
-    // ~1/cores of the pool — and the per-round aggregate hash maps of the
-    // iterative operators (PageRank token sums, HITS score sums, k-core
-    // degree counts) outgrow it: measured at the sf10 replica (240M-pair
-    // graph, 32-wide), every round spilled 4–11 GB against sub-GB shuffle
-    // writes. Above ~2M rows per task the width grows with the volume
-    // (bounded at 8× cores so scheduling stays sane); below it nothing
-    // changes — sf0.1-class loops keep their measured-optimal narrow
-    // widths, and a real cluster's cap scales with its core count.
-    val spillGuard = math.min(8L * cores, (volumeRows + 1999999) / 2000000)
-    math.max(base, spillGuard).toInt
+    // NO spill guard above the core cap (r19 — this REVERSES the r18
+    // "grow the width past cores to bound per-task aggregate maps"
+    // change, which shipped without its A/B). The committed A/B at the
+    // sf10-class replica (SCALE.md §r19) measured the guard as a 1.7–2×
+    // REGRESSION on the loops it existed for: q94 PageRank rounds at
+    // 120-wide wrote 2.4× the shuffle bytes (splitting maps reduces
+    // map-side combining — each dst key appears in more tasks) and
+    // spilled 13 GB/round vs 6.3 GB at 32-wide (the spill is the round
+    // join/sort, whose total scales with rows processed, not with the
+    // reduce width — concurrent tasks are bounded by cores either way);
+    // q118 k-core: warm 20 → 36 s, spill 17 → 33 GB with the guard;
+    // q111 flat (its pair exchange is sized separately by [[pairWidth]],
+    // which is the RIGHT place for reduce-map sizing — it widens one
+    // keyed exchange, not every stage of the round).
+    math.max(1L, math.min(cores.toLong,
+      (volumeRows + rowsPerTask - 1) / rowsPerTask)).toInt
   }
 
   /** Width for a PAIR-VOLUME-sized exchange (q120's PairRowsPerTask

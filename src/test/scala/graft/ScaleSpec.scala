@@ -671,17 +671,13 @@ class ScaleSpec extends AnyFunSuite {
     assert(LoopCache.loopWidth(spark, 0L) == 1)
     assert(LoopCache.loopWidth(spark, 300000L) == 1)
     assert(LoopCache.loopWidth(spark, 300001L) == math.min(2, cores))
-    assert(LoopCache.loopWidth(spark, 2390000L) == math.max(math.min(8, cores), 2))
-    // spill guard (r18, guide §5): above ~2M rows/task the width keeps
-    // growing with the volume past the core cap — per-task aggregate
-    // state must stay bounded — with an 8×cores ceiling so scheduling
-    // overhead stays sane. Threshold pins:
-    //   at 2M rows/task × cores the guard meets the base cap exactly,
-    assert(LoopCache.loopWidth(spark, 2000000L * cores) == cores)
-    //   at 4M rows/task × cores it doubles past it,
-    assert(LoopCache.loopWidth(spark, 4000000L * cores) == 2 * cores)
-    //   and at unbounded volume it stops at the 8×cores ceiling.
-    assert(LoopCache.loopWidth(spark, Long.MaxValue / 2) == 8 * cores)
+    assert(LoopCache.loopWidth(spark, 2390000L) == math.min(8, cores))
+    // loop width caps at the cluster parallelism — the r18 spill guard
+    // that grew it to 8×cores at huge volumes was A/B-measured as a
+    // 1.7–2× regression at the sf10 replica and removed (SCALE.md §r19:
+    // wider rounds reduce map-side combining and cannot reduce the round
+    // join's spill, which scales with rows, not reduce width)
+    assert(LoopCache.loopWidth(spark, Long.MaxValue / 2) == cores)
     // pairWidth (shared by LPA rounds + BM25 fan-out routing): never
     // below the floor, ~1M rows/task sizing, 64×cores ceiling
     assert(LoopCache.pairWidth(spark, 0L, floor = 3) == 3)
