@@ -207,14 +207,16 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
-  test("q58 correlated subquery decorrelates: aggregate + join, no per-row subquery") {
+  test("q58 per-key average: one orders scan, window in place of the self-join") {
     val plan = QueriesAnalytics.correlatedAboveAvg(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    // Catalyst must rewrite the scalar subquery into a per-customer
-    // aggregate joined back — a surviving ScalarSubquery in the physical
-    // plan would mean one subquery execution per row
+    // r19: the correlated average is computed by a window over ONE scan
+    // (the decorrelated aggregate + join re-scanned orders); no subquery,
+    // no join, a single parquet scan
     assert(!plan.contains("ScalarSubquery"), plan)
-    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
   }
 
   test("q59 star join: all three dimensions broadcast, fact side never shuffles pre-agg") {
